@@ -1,0 +1,361 @@
+"""Configuration registry for seld_tpu.
+
+Re-designs the reference's `Config` class-of-constants (ref: config.py:3-118)
+as composable frozen dataclasses with dotted-path CLI overrides, preserving
+every knob the reference exposes (model selection, DSP params, windowing,
+grid geometry, optimizer/scheduler/early-stop/checkpoint policy, loss
+weights, dataset paths and the single-file debug mode) and adding the
+TPU-specific knobs the reference has no concept of (mesh shape, dtype
+policy, Pallas kernel toggles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, replace
+from pathlib import Path
+from typing import Any, Tuple
+
+# STARSS22 class map (ref: config.py:21-36). Index 13 is the background class.
+STARSS22_CLASSES = {
+    0: "Female speech, woman speaking",
+    1: "Male speech, man speaking",
+    2: "Clapping",
+    3: "Telephone",
+    4: "Laughter",
+    5: "Domestic sounds",
+    6: "Walk, footsteps",
+    7: "Door, open or close",
+    8: "Music",
+    9: "Musical instrument",
+    10: "Water tap, faucet",
+    11: "Bell",
+    12: "Knock",
+    13: "Background",
+}
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths, discovery, and the single-file debug mode.
+
+    ref: config.py:6-18 (paths + USE_FULL_DATASET), config.py:105-118
+    (Sony/TAU split directories).
+    """
+
+    base_path: str = "."
+    audio_dirname: str = "foa_dev"
+    metadata_dirname: str = "metadata_dev"
+    output_dirname: str = "outputs"
+    checkpoint_dirname: str = "checkpoints"
+
+    use_full_dataset: bool = True
+    train_audio_file: str = "fold3_room21_mix001.wav"
+    train_meta_file: str = "fold3_room21_mix001.csv"
+    test_audio_file: str = "fold4_room23_mix001.wav"
+    test_meta_file: str = "fold4_room23_mix001.csv"
+
+    # Host-side input pipeline (TPU addition; the reference uses 2 DataLoader
+    # workers, ref main.py:64).
+    prefetch_depth: int = 2
+    shuffle_seed: int = 0
+
+    @property
+    def audio_path(self) -> Path:
+        return Path(self.base_path) / self.audio_dirname
+
+    @property
+    def metadata_path(self) -> Path:
+        return Path(self.base_path) / self.metadata_dirname
+
+    @property
+    def output_path(self) -> Path:
+        return Path(self.base_path) / self.output_dirname
+
+    @property
+    def checkpoint_path(self) -> Path:
+        return Path(self.base_path) / self.checkpoint_dirname
+
+    def split_dirs(self, split: str) -> list[tuple[Path, Path]]:
+        """(audio_dir, metadata_dir) pairs for a split in {train, test}."""
+        assert split in ("train", "test"), split
+        out = []
+        for site in ("sony", "tau"):
+            sub = f"dev-{split}-{site}"
+            out.append((self.audio_path / sub, self.metadata_path / sub))
+        return out
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Signal-processing front-end (ref: config.py:85-92).
+
+    The reference computes per-channel torchaudio MelSpectrogram
+    (power=2, hann, center/reflect-pad, HTK mel scale, no filterbank norm)
+    followed by AmplitudeToDB (10*log10, amin=1e-10, no top-db)
+    (ref: dataset.py:27-58). Those exact semantics are the parity contract
+    for seld_tpu.features.
+    """
+
+    sample_rate: int = 24_000
+    n_fft: int = 960  # int(0.04 * 24000) — 40 ms
+    hop_length: int = 480  # int(0.02 * 24000) — 20 ms -> 50 fps
+    n_mels: int = 64
+    f_min: float = 0.0
+    f_max: float | None = None  # defaults to sample_rate / 2
+    power: float = 2.0
+    amin: float = 1e-10
+    top_db: float | None = None
+    use_pallas: bool = True  # fused Pallas mel kernel on TPU; jnp path is the oracle
+
+    @property
+    def frames_per_second(self) -> int:
+        return self.sample_rate // self.hop_length
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    """Spatial-grid geometry (ref: config.py:94-97, dataset.py:190-192)."""
+
+    cell_degrees: int = 10
+    num_classes: int = 14  # includes background at index num_classes-1
+
+    @property
+    def n_el(self) -> int:  # I in the reference
+        return int(180 // self.cell_degrees)
+
+    @property
+    def n_az(self) -> int:  # J in the reference
+        return int(360 // self.cell_degrees)
+
+    @property
+    def n_cells(self) -> int:
+        return self.n_el * self.n_az
+
+    @property
+    def background_class(self) -> int:
+        return self.num_classes - 1
+
+
+@dataclass(frozen=True)
+class WindowConfig:
+    """Corpus windowing (ref: config.py:91-92, dataset.py:194-200).
+
+    5 s windows with a 1 s hop over the concatenated corpus; the last
+    window is padded with zeros / background labels
+    (ref: dataset.py:282-300).
+    """
+
+    window_seconds: float = 5.0
+    hop_seconds: float = 1.0
+
+    def window_frames(self, feat: FeatureConfig) -> int:
+        return int(self.window_seconds * feat.sample_rate / feat.hop_length)
+
+    def hop_frames(self, feat: FeatureConfig) -> int:
+        return int(self.hop_seconds * feat.sample_rate / feat.hop_length)
+
+
+@dataclass(frozen=True)
+class TargetConfig:
+    """Label rasterization + Gaussian spatial augmentation.
+
+    ref: dataset.py:60-119 (point targets, 100 ms metadata frame fanned out
+    to 5x 20 ms label frames) and smrl_seld_gaussian.py:397-535 (per-source
+    fixed Gaussian displacement + 2-sigma rectangular region painting,
+    azimuth wraparound by shortest angular distance).
+    """
+
+    metadata_frame_ms: int = 100
+    label_frame_ms: int = 20
+    use_gaussian_augmentation: bool = False  # train-side only, like the monolith
+    sigma_azimuth: float = 5.0
+    sigma_elevation: float = 5.0
+    augmentation_seed: int = 0
+    # Max simultaneous metadata rows per file the vectorized rasterizer is
+    # padded to (static shape for jit); files with more rows fall back to
+    # chunked rasterization.
+    max_rows_per_chunk: int = 4096
+
+    @property
+    def fanout(self) -> int:
+        return self.metadata_frame_ms // self.label_frame_ms  # = 5
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Backbone selection + per-model hyperparameters (ref: config.py:38-60)."""
+
+    model_type: str = "resnet_conformer"  # cnn | crnn | conformer | resnet_conformer
+    num_classes: int = 14
+    n_channels: int = 4
+    n_mels: int = 64
+
+    # CRNN (ref: config.py:43-47)
+    crnn_cnn_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    crnn_rnn_hidden: int = 256
+    crnn_rnn_layers: int = 2
+    crnn_dropout: float = 0.3
+
+    # Conformer (ref: config.py:49-54)
+    conf_d_model: int = 256
+    conf_n_heads: int = 4
+    conf_n_layers: int = 2
+    conf_kernel_size: int = 31
+    conf_dropout: float = 0.3
+
+    # ResNet50-Conformer (ref: config.py:56-60)
+    resnet_conf_d_model: int = 512
+    resnet_conf_n_heads: int = 8
+    resnet_conf_n_layers: int = 4
+    resnet_dropout: float = 0.3
+
+    # CSPDarkNet (ref: model.py:134-141)
+    csp_use_small: bool = True
+
+    # TPU dtype policy: bf16 activations/compute with f32 params & loss.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Composite loss selection (ref: config.py:71-74, loss.py:6-172).
+
+    The reference's modular path activates only the class term
+    (loss.py:166); the gaussian monolith activates all three
+    (smrl_seld_gaussian.py:1059-1070). `use_aiur`/`use_cl` select between
+    those behaviors explicitly.
+    """
+
+    loss_type: str = "mse"  # 'ce' | 'mse'
+    w_class: float = 1.0
+    w_aiur: float = 1.0
+    w_cl: float = 1.0
+    use_aiur: bool = False
+    use_cl: bool = False
+    # CE class weighting: events 1.0, background 0.05 (ref: trainer.py:99-101)
+    background_class_weight: float = 0.05
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / schedule / early stop / checkpoint policy (ref: config.py:62-82)."""
+
+    num_epochs: int = 30
+    batch_size: int = 16
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    lr_decay_factor: float = 0.5
+    lr_decay_patience: int = 5
+    # Early stopping on *train* loss (ref: trainer.py:262-270)
+    patience: int = 20
+    min_delta: float = 1e-4
+    # Checkpoints: best on test loss + rolling every N, keep last K
+    # (ref: trainer.py:273-308, config.py:80-82)
+    save_every_n_epochs: int = 5
+    keep_last_n_checkpoints: int = 3
+    seed: int = 0
+    log_every_steps: int = 10
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (TPU addition; the reference is single-GPU).
+
+    axes: data (batch sharding), model (tensor-parallel sharding of wide
+    layers). Defaults to all devices on the data axis.
+    """
+
+    data_axis: int = -1  # -1 => all remaining devices
+    model_axis: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    grid: GridConfig = field(default_factory=GridConfig)
+    window: WindowConfig = field(default_factory=WindowConfig)
+    targets: TargetConfig = field(default_factory=TargetConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace_path(self, path: str, value: Any) -> "Config":
+        """Return a new Config with `path` (e.g. 'train.batch_size') replaced."""
+        head, _, rest = path.partition(".")
+        if not rest:
+            return replace(self, **{head: value})
+        sub = getattr(self, head)
+        new_sub = _replace_nested(sub, rest, value)
+        return replace(self, **{head: new_sub})
+
+
+def _replace_nested(obj: Any, path: str, value: Any) -> Any:
+    head, _, rest = path.partition(".")
+    if rest:
+        return replace(obj, **{head: _replace_nested(getattr(obj, head), rest, value)})
+    return replace(obj, **{head: _coerce(obj, head, value)})
+
+
+def _coerce(obj: Any, name: str, value: Any) -> Any:
+    """Coerce a string CLI value to the declared field type."""
+    if not isinstance(value, str):
+        return value
+    for f in fields(obj):
+        if f.name == name:
+            current = getattr(obj, name)
+            if isinstance(current, bool) or f.type in ("bool",):
+                return value.lower() in ("1", "true", "yes", "on")
+            if isinstance(current, int) and not isinstance(current, bool):
+                return int(value)
+            if isinstance(current, float):
+                return float(value)
+            if isinstance(current, tuple):
+                return tuple(int(v) for v in value.strip("()[] ").split(",") if v)
+            if current is None:
+                try:
+                    return float(value)
+                except ValueError:
+                    return value
+            return value
+    raise KeyError(f"unknown config field {name!r} on {type(obj).__name__}")
+
+
+def parse_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply `a.b.c=value` CLI overrides (the flag system the reference
+    lacks — ref behavior is editing config.py by hand, SURVEY §5)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} must be key=value")
+        key, _, val = ov.partition("=")
+        cfg = cfg.replace_path(key.strip(), val.strip())
+    return cfg
+
+
+def config_to_dict(cfg: Any) -> dict:
+    """Serialize a (nested) config to plain dicts — stored inside
+    checkpoints so eval can rebuild the exact architecture (designing out
+    the reference's config-mismatch hazard, ref trainer.py:430-432)."""
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: config_to_dict(getattr(cfg, f.name)) for f in fields(cfg)}
+    if isinstance(cfg, tuple):
+        return list(cfg)
+    return cfg
+
+
+def config_from_dict(d: dict, cls: type = Config) -> Any:
+    kwargs = {}
+    for f in fields(cls):
+        v = d.get(f.name, dataclasses.MISSING)
+        if v is dataclasses.MISSING:
+            continue
+        if dataclasses.is_dataclass(f.default_factory() if f.default_factory is not dataclasses.MISSING else None):  # type: ignore[misc]
+            kwargs[f.name] = config_from_dict(v, type(f.default_factory()))  # type: ignore[misc]
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
