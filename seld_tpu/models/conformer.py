@@ -1,0 +1,54 @@
+"""SELD Conformer: CNN encoder + Conformer blocks + grid head.
+
+Capability parity with ref model_conformer.py:116-215: the CRNN's CNN
+encoder, linear projection to d_model=256, N=2 ConformerBlocks (half-step
+FFNs, 4-head MHSA, depthwise-conv module k=31), and the shared FC head.
+Contract: (B, T, C, F) -> (B, T, G, M) float32 logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from seld_tpu.models.layers import CNNEncoder, ConformerBlock, GridHead
+
+
+class SELDConformer(nn.Module):
+    grid_size: tuple[int, int] = (18, 36)
+    num_classes: int = 14
+    cnn_channels: Sequence[int] = (64, 128, 256, 512)
+    d_model: int = 256
+    n_heads: int = 4
+    n_layers: int = 2
+    kernel_size: int = 31
+    dropout: float = 0.3
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = x.astype(self.dtype)
+        x = jnp.swapaxes(x, 2, 3)  # (B, T, F, C) NHWC
+        x = CNNEncoder(tuple(self.cnn_channels), **kw)(x, train=train)
+        x = nn.Dense(self.d_model, name="proj", **kw)(x)
+        for i in range(self.n_layers):
+            x = ConformerBlock(
+                d_model=self.d_model,
+                n_heads=self.n_heads,
+                d_ff=4 * self.d_model,
+                kernel_size=self.kernel_size,
+                dropout=self.dropout,
+                name=f"block_{i}",
+                **kw,
+            )(x, train=train)
+        return GridHead(
+            hidden=512,
+            grid_cells=self.grid_size[0] * self.grid_size[1],
+            num_classes=self.num_classes,
+            dropout=self.dropout,
+            **kw,
+        )(x, train=train)

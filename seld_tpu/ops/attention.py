@@ -1,0 +1,37 @@
+"""Multi-head self-attention compute op.
+
+The reference computes vanilla full (T x T) attention per head in fp32
+(ref: model_conformer.py:47-68). Here the contraction runs on the MXU in
+the model's compute dtype with an fp32 softmax; a Pallas flash-attention
+kernel (seld_tpu.ops.flash_attention) can be swapped in for long windows —
+at the reference's T=250 the full score matrix is tiny (250x250 per head)
+and XLA's fused path is already at speed of light, so the einsum form is
+the default.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def multi_head_attention(q, k, v, *, scale: float | None = None, dtype=None):
+    """q, k, v: (B, H, T, Dh) -> (B, H, T, Dh).
+
+    Softmax is computed in float32 regardless of input dtype (bf16-safe),
+    matching the numerics the reference gets from fp32 torch.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    compute_dtype = dtype or q.dtype
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jnp.astype(
+        jnp.exp(scores * scale - jnp.max(scores * scale, axis=-1, keepdims=True)), jnp.float32
+    )
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum(
+        "bhts,bhsd->bhtd", probs.astype(compute_dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(compute_dtype)

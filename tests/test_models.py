@@ -1,0 +1,134 @@
+"""Model contract tests — the pytest upgrade of the reference's
+verify_dims.py (ref verify_dims.py:10-114): every backbone maps
+(B, T, C, F) -> (B, T, G, M) float32 logits, trains with mutable batch
+stats, and (where the reference is importable) matches its parameter
+count within tolerance."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seld_tpu.config import GridConfig, ModelConfig
+from seld_tpu.models import build_model, init_variables
+
+B, T, C, F, G, M = 2, 16, 4, 64, 648, 14
+
+MODEL_TYPES = ["crnn", "conformer", "resnet_conformer", "cnn"]
+
+
+def make_model(model_type, **over):
+    cfg = ModelConfig(model_type=model_type, compute_dtype="float32", **over)
+    return build_model(cfg, GridConfig())
+
+
+def init_and_apply(model, x, train=False):
+    rng = jax.random.PRNGKey(0)
+    variables = init_variables(model, rng, x)
+    if train:
+        out, updates = jax.jit(
+            lambda v, x: model.apply(
+                v, x, train=True, mutable=["batch_stats"], rngs={"dropout": rng}
+            )
+        )(variables, x)
+        return out, variables, updates
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    return out, variables, None
+
+
+@pytest.mark.parametrize("model_type", MODEL_TYPES)
+def test_output_contract(model_type):
+    x = jnp.zeros((B, T, C, F), jnp.float32)
+    model = make_model(model_type)
+    out, variables, _ = init_and_apply(model, x)
+    assert out.shape == (B, T, G, M)
+    assert out.dtype == jnp.float32
+    assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.parametrize("model_type", MODEL_TYPES)
+def test_train_mode_updates_batch_stats(model_type):
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, 10, C, F)), jnp.float32)
+    model = make_model(model_type)
+    out, variables, updates = init_and_apply(model, x, train=True)
+    assert out.shape == (B, 10, G, M)
+    if "batch_stats" in variables:
+        # running stats must actually move for BN-bearing models
+        old = jax.tree_util.tree_leaves(variables["batch_stats"])
+        new = jax.tree_util.tree_leaves(updates["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new)
+        )
+
+
+def test_full_window_shape_crnn():
+    # The reference contract at full window length (verify_dims.py:14-23).
+    x = jnp.zeros((1, 250, C, F), jnp.float32)
+    model = make_model("crnn")
+    out, _, _ = init_and_apply(model, x)
+    assert out.shape == (1, 250, G, M)
+
+
+def test_bf16_compute_dtype():
+    # Default policy: bf16 compute, f32 params, f32 logits.
+    cfg = ModelConfig(model_type="conformer")  # compute_dtype bf16 default
+    model = build_model(cfg, GridConfig())
+    x = jnp.zeros((1, 8, C, F), jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(0), x)
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(p.dtype == jnp.float32 for p in leaves)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    assert out.dtype == jnp.float32 and bool(jnp.isfinite(out).all())
+
+
+def param_count(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+
+
+REFERENCE = Path("/root/reference")
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
+@pytest.mark.parametrize(
+    "model_type,tol",
+    [("crnn", 0.01), ("conformer", 0.01), ("resnet_conformer", 0.01), ("cnn", 0.01)],
+)
+def test_param_count_parity_with_reference(model_type, tol):
+    """Parameter-count parity: the architectures must be the same size as
+    the reference's (printed but never recorded there — verify_dims.py:41).
+    Tolerance covers known parameterization deltas (flax GRU bias layout)."""
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        import torch  # noqa: F401
+        from model import SMRSELDWithCSPDarkNet
+        from model_conformer import SELD_Conformer
+        from model_crnn import SELD_CRNN
+        from resnet50_model import SELD_ResNet50_Conformer
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+    torch_models = {
+        "crnn": lambda: SELD_CRNN(),
+        "conformer": lambda: SELD_Conformer(),
+        "resnet_conformer": lambda: SELD_ResNet50_Conformer(),
+        "cnn": lambda: SMRSELDWithCSPDarkNet(use_small=True),
+    }
+    ref_model = torch_models[model_type]()
+    ref_count = sum(p.numel() for p in ref_model.parameters())
+
+    model = make_model(model_type)
+    x = jnp.zeros((1, 4, C, F), jnp.float32)
+    variables = jax.eval_shape(
+        lambda r: model.init({"params": r, "dropout": r}, x, train=False),
+        jax.random.PRNGKey(0),
+    )
+    ours = param_count(variables)
+
+    assert ours == pytest.approx(ref_count, rel=tol), (
+        f"{model_type}: ours={ours:,} ref={ref_count:,}"
+    )
