@@ -1,0 +1,162 @@
+"""Composite SMR-SELD loss: class CE/MSE + AIUR + converging localization.
+
+Parity contracts (ref: loss.py:6-172):
+
+  * class_ce_loss — one-hot targets are argmax-collapsed to indices and
+    scored with weighted cross entropy over (B*T*G, M); torch semantics:
+    weighted *mean* = sum(w_y * nll) / sum(w_y) (ref loss.py:27-42, class
+    weights events=1.0 / background=0.05 from trainer.py:99-101).
+  * class_mse_loss — softmax over classes, then plain MSE against the
+    one-hot targets (ref loss.py:44-54).
+  * aiur_loss — 1 - mean IoU between predicted and true non-background
+    argmax masks per (B, T); empty-vs-empty IoU defined as 1
+    (ref loss.py:56-87). Argmax makes it piecewise-constant — zero
+    gradient — exactly as in the reference (SURVEY §7 hard part (d): a
+    faithful quirk, kept for parity).
+  * converging_localization_loss — targets remapped to {1, -N_bac/N_non},
+    8-neighbor averaged-difference attention map with circular padding on
+    BOTH grid axes, dotted with predicted non-background activity on
+    event frames (ref loss.py:89-146). The circular-pad stencil is
+    expressed as jnp.roll sums — exact and vectorized.
+
+Activation modes: the reference's modular path uses only the class term
+(ref loss.py:149-166); its gaussian monolith activates all three
+(ref smrl_seld_gaussian.py:1059-1070). LossConfig.use_aiur / use_cl select
+the mode. All terms take logits; AIUR/CL consume softmax probabilities
+internally, as the monolith's probability-output model implies.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from seld_tpu.config import GridConfig, LossConfig
+
+EPS = 1e-10  # ref loss.py:15
+
+
+def make_class_weights(num_classes: int, background_weight: float = 0.05):
+    """Events 1.0, background down-weighted (ref trainer.py:99-101)."""
+    w = jnp.ones((num_classes,), jnp.float32)
+    return w.at[num_classes - 1].set(background_weight)
+
+
+def class_ce_loss(logits, targets, class_weights=None):
+    """Weighted cross entropy with argmax-collapsed targets.
+
+    logits, targets: (..., M). Matches torch nn.CrossEntropyLoss(weight=w)
+    normalization: sum(w_y * nll_y) / sum(w_y).
+    """
+    labels = jnp.argmax(targets, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if class_weights is None:
+        return jnp.mean(nll)
+    w = class_weights[labels]
+    return jnp.sum(w * nll) / jnp.sum(w)
+
+
+def class_mse_loss(logits, targets):
+    """softmax(logits) vs one-hot targets, mean over every element
+    (ref loss.py:44-54)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(jnp.square(probs - targets))
+
+
+def aiur_loss(logits, targets):
+    """1 - mean frame IoU of non-background argmax masks (ref loss.py:56-87)."""
+    m = logits.shape[-1]
+    bg = m - 1
+    pred_mask = (jnp.argmax(logits, axis=-1) != bg).astype(jnp.float32)  # (B,T,G)
+    true_mask = (jnp.argmax(targets, axis=-1) != bg).astype(jnp.float32)
+    intersection = jnp.sum(pred_mask * true_mask, axis=-1)  # (B,T)
+    union = jnp.sum(pred_mask, -1) + jnp.sum(true_mask, -1) - intersection
+    iou = intersection / (union + 1e-8)
+    iou = jnp.where(union > 0, iou, jnp.ones_like(iou))  # empty==empty -> 1
+    return 1.0 - jnp.mean(iou)
+
+
+def converging_localization_loss(logits_or_probs, targets, n_el: int, n_az: int,
+                                 from_logits: bool = True):
+    """Attention-weighted localization convergence term (ref loss.py:89-146)."""
+    b, t, g, m = targets.shape
+    probs = (
+        jax.nn.softmax(logits_or_probs.astype(jnp.float32), axis=-1)
+        if from_logits
+        else logits_or_probs.astype(jnp.float32)
+    )
+    pred = probs.reshape(b, t, n_el, n_az, m)
+    true = targets.reshape(b, t, n_el, n_az, m).astype(jnp.float32)
+
+    true_nonbg = jnp.sum(true[..., :-1], axis=-1)  # (B,T,I,J)
+    pred_nonbg = jnp.sum(pred[..., :-1], axis=-1)
+
+    is_event = true_nonbg > 0.01
+    n_bac = jnp.sum(~is_event, axis=(2, 3), keepdims=True).astype(jnp.float32)
+    n_non = jnp.sum(is_event, axis=(2, 3), keepdims=True).astype(jnp.float32)
+
+    ratio = -(n_bac / (n_non + EPS))
+    y_prime = jnp.where(is_event, ratio, 1.0)  # (B,T,I,J)
+
+    # 8-neighbor averaged difference with circular wrap on both axes:
+    # neighbor(di,dj)[i,j] = y[(i+di) % I, (j+dj) % J]  == roll by (-di,-dj).
+    diff_sum = jnp.zeros_like(y_prime)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            neighbor = jnp.roll(y_prime, shift=(-di, -dj), axis=(2, 3))
+            diff_sum = diff_sum + (neighbor - y_prime)
+    y_at = y_prime + diff_sum / 8.0
+
+    has_events = (n_non > 0).astype(jnp.float32)  # (B,T,1,1)
+    weighted = pred_nonbg * y_at * has_events
+    denom = jnp.sum(has_events) * n_el * n_az + EPS
+    return jnp.sum(weighted) / denom
+
+
+class LossOutput(NamedTuple):
+    total: jnp.ndarray
+    breakdown: dict
+
+
+class SELDLossFn:
+    """Configured composite loss: __call__(logits, targets) ->
+    (total, breakdown). Pure and jit-friendly (breakdown values are
+    scalars inside the jitted step; host code floats them for logging,
+    unlike the reference's per-step .item() syncs at trainer.py:182)."""
+
+    def __init__(self, cfg: LossConfig, grid: GridConfig, class_weights=None):
+        self.cfg = cfg
+        self.grid = grid
+        if class_weights is None and cfg.loss_type == "ce":
+            class_weights = make_class_weights(
+                grid.num_classes, cfg.background_class_weight
+            )
+        self.class_weights = class_weights
+
+    def __call__(self, logits, targets) -> LossOutput:
+        cfg = self.cfg
+        if cfg.loss_type == "mse":
+            loss_class = class_mse_loss(logits, targets)
+        elif cfg.loss_type == "ce":
+            loss_class = class_ce_loss(logits, targets, self.class_weights)
+        else:
+            raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
+
+        total = cfg.w_class * loss_class
+        breakdown = {f"class_{cfg.loss_type}": loss_class}
+        if cfg.use_aiur:
+            l_aiur = aiur_loss(logits, targets)
+            total = total + cfg.w_aiur * l_aiur
+            breakdown["aiur"] = l_aiur
+        if cfg.use_cl:
+            l_cl = converging_localization_loss(
+                logits, targets, self.grid.n_el, self.grid.n_az
+            )
+            total = total + cfg.w_cl * l_cl
+            breakdown["cl"] = l_cl
+        return LossOutput(total, breakdown)

@@ -1,0 +1,172 @@
+"""Golden tests for the composite loss against torch oracles that restate
+the reference math (ref loss.py:6-172)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+from seld_tpu.config import GridConfig, LossConfig
+from seld_tpu.losses import (
+    SELDLossFn,
+    aiur_loss,
+    class_ce_loss,
+    class_mse_loss,
+    converging_localization_loss,
+    make_class_weights,
+)
+
+B, T, I, J, M = 2, 3, 18, 36, 14
+G = I * J
+
+
+def random_batch(rng, peaked=True):
+    logits = rng.standard_normal((B, T, G, M)).astype(np.float32)
+    labels = np.zeros((B, T, G, M), np.float32)
+    cls = rng.integers(0, M, (B, T, G))
+    # mostly background with sparse events, like real targets
+    cls = np.where(rng.random((B, T, G)) < 0.9, M - 1, cls)
+    for b in range(B):
+        for t in range(T):
+            labels[b, t, np.arange(G), cls[b, t]] = 1.0
+    return logits, labels
+
+
+# ---- torch oracles (restating ref loss.py formulas) ----
+
+def torch_ce(logits, labels, weights=None):
+    yp = torch.from_numpy(logits).view(-1, M)
+    yt = torch.from_numpy(labels).argmax(-1).view(-1)
+    w = torch.from_numpy(np.asarray(weights)) if weights is not None else None
+    return torch.nn.CrossEntropyLoss(weight=w)(yp, yt).item()
+
+
+def torch_mse(logits, labels):
+    yp = tF.softmax(torch.from_numpy(logits), dim=-1)
+    return tF.mse_loss(yp, torch.from_numpy(labels)).item()
+
+
+def torch_aiur(logits, labels):
+    yp = torch.from_numpy(logits)
+    yt = torch.from_numpy(labels)
+    bg = M - 1
+    pm = (yp.argmax(-1) != bg).float()
+    tm = (yt.argmax(-1) != bg).float()
+    inter = (pm * tm).sum(-1)
+    union = pm.sum(-1) + tm.sum(-1) - inter
+    iou = inter / (union + 1e-8)
+    iou = torch.where(union > 0, iou, torch.ones_like(iou))
+    return (1.0 - iou.mean()).item()
+
+
+def torch_cl(logits, labels):
+    eps = 1e-10
+    yp = tF.softmax(torch.from_numpy(logits), dim=-1).view(B, T, I, J, M)
+    yt = torch.from_numpy(labels).view(B, T, I, J, M)
+    true_nonbg = yt[..., :-1].sum(-1)
+    pred_nonbg = yp[..., :-1].sum(-1)
+    n_bac = (true_nonbg < 0.01).sum(dim=(2, 3), keepdim=True).float()
+    n_non = (true_nonbg > 0.01).sum(dim=(2, 3), keepdim=True).float()
+    y_prime = torch.ones_like(true_nonbg)
+    ratio = -(n_bac / (n_non + eps))
+    y_prime = torch.where(true_nonbg > 0.01, ratio.expand_as(true_nonbg), y_prime)
+    ypad = tF.pad(y_prime, (1, 1, 1, 1), mode="circular")
+    diff = torch.zeros_like(y_prime)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            diff += ypad[:, :, 1 + di : I + 1 + di, 1 + dj : J + 1 + dj] - y_prime
+    y_at = y_prime + diff / 8.0
+    has = (n_non > 0).float()
+    weighted = pred_nonbg * y_at * has
+    denom = has.sum() * I * J + eps
+    return (weighted.sum() / denom).item()
+
+
+def test_ce_matches_torch(rng):
+    logits, labels = random_batch(rng)
+    got = float(class_ce_loss(logits, labels))
+    assert got == pytest.approx(torch_ce(logits, labels), rel=1e-5)
+
+
+def test_weighted_ce_matches_torch(rng):
+    logits, labels = random_batch(rng)
+    w = np.asarray(make_class_weights(M, 0.05))
+    got = float(class_ce_loss(logits, labels, class_weights=np.asarray(w)))
+    assert got == pytest.approx(torch_ce(logits, labels, w), rel=1e-5)
+
+
+def test_mse_matches_torch(rng):
+    logits, labels = random_batch(rng)
+    got = float(class_mse_loss(logits, labels))
+    assert got == pytest.approx(torch_mse(logits, labels), rel=1e-5)
+
+
+def test_aiur_matches_torch(rng):
+    logits, labels = random_batch(rng)
+    got = float(aiur_loss(logits, labels))
+    assert got == pytest.approx(torch_aiur(logits, labels), rel=1e-5)
+
+
+def test_aiur_empty_vs_empty_is_perfect():
+    # All-background preds and labels: IoU := 1 -> loss 0 (ref loss.py:80-82)
+    logits = np.zeros((1, 1, G, M), np.float32)
+    logits[..., M - 1] = 10.0
+    labels = np.zeros((1, 1, G, M), np.float32)
+    labels[..., M - 1] = 1.0
+    assert float(aiur_loss(logits, labels)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cl_matches_torch(rng):
+    logits, labels = random_batch(rng)
+    got = float(converging_localization_loss(logits, labels, I, J))
+    assert got == pytest.approx(torch_cl(logits, labels), rel=1e-4, abs=1e-7)
+
+
+def test_cl_no_event_frames_is_zero():
+    logits = np.random.default_rng(1).standard_normal((1, 2, G, M)).astype(np.float32)
+    labels = np.zeros((1, 2, G, M), np.float32)
+    labels[..., M - 1] = 1.0
+    got = float(converging_localization_loss(logits, labels, I, J))
+    assert got == pytest.approx(0.0, abs=1e-6)
+
+
+def test_composite_modes(rng):
+    logits, labels = random_batch(rng)
+    grid = GridConfig()
+    # modular mode: class term only (ref loss.py:166)
+    fn = SELDLossFn(LossConfig(loss_type="mse"), grid)
+    total, bd = fn(logits, labels)
+    assert set(bd) == {"class_mse"}
+    assert float(total) == pytest.approx(float(bd["class_mse"]))
+    # monolith mode: all three (ref smrl_seld_gaussian.py:1059-1070)
+    fn3 = SELDLossFn(
+        LossConfig(loss_type="mse", use_aiur=True, use_cl=True, w_aiur=1.0, w_cl=1.0),
+        grid,
+    )
+    total3, bd3 = fn3(logits, labels)
+    assert set(bd3) == {"class_mse", "aiur", "cl"}
+    expected = float(bd3["class_mse"]) + float(bd3["aiur"]) + float(bd3["cl"])
+    assert float(total3) == pytest.approx(expected, rel=1e-6)
+
+
+def test_loss_is_differentiable(rng):
+    import jax
+    import jax.numpy as jnp
+
+    logits, labels = random_batch(rng)
+    fn = SELDLossFn(
+        LossConfig(loss_type="mse", use_aiur=True, use_cl=True), GridConfig()
+    )
+    g = jax.grad(lambda lo: fn(lo, jnp.asarray(labels)).total)(jnp.asarray(logits))
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_ce_mode_uses_background_downweight(rng):
+    logits, labels = random_batch(rng)
+    fn = SELDLossFn(LossConfig(loss_type="ce"), GridConfig())
+    total, bd = fn(logits, labels)
+    w = np.asarray(make_class_weights(M, 0.05))
+    assert float(total) == pytest.approx(torch_ce(logits, labels, w), rel=1e-5)
