@@ -1,0 +1,203 @@
+"""Corpus construction: files -> device-computed mel features + bitmask
+labels -> windowed views.
+
+Re-designs the reference's eager SELDDataset (ref dataset.py:167-330)
+TPU-first:
+
+  * Features are computed ON DEVICE in fixed-shape batches of STFT frames
+    (the reference runs torchaudio's CPU STFT per channel in Python,
+    ref dataset.py:46-51). Host-side framing is a zero-copy numpy
+    as_strided view with the exact center/reflect semantics, so device
+    batches have static shapes (one compile) regardless of file length.
+  * Labels live as (T, G) uint16 class bitmasks (seld_tpu.targets) —
+    112x smaller than the reference's dense (T, 648, 14) float32 corpus
+    (ref dataset.py:84, tens of GB for the full dataset) — and are decoded
+    to one-hot on device inside the train step.
+  * Windows are INDEX ARITHMETIC over the concatenated corpus (start
+    offsets), not materialized copies (ref dataset.py:267-317 stores every
+    window). Window/hop/padding semantics match: 250-frame windows, 50-
+    frame hop, start < total_frames, last window zero-padded with
+    background labels (mask 0 decodes to background=1 exactly as the
+    reference pads, ref dataset.py:290-300).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seld_tpu.config import FeatureConfig, GridConfig, TargetConfig, WindowConfig
+from seld_tpu.data.audio import load_wav
+from seld_tpu.features.mel import hann_window, mel_filterbank, num_stft_frames
+from seld_tpu.targets.gaussian import rasterize_gaussian_labels
+from seld_tpu.targets.rasterize import (
+    encode_events_to_bitmask,
+    load_metadata_csv,
+    total_label_frames,
+)
+from seld_tpu.utils.logging import get_logger
+
+_FRAME_CHUNK = 8192  # STFT frames per device batch (static shape)
+
+
+@functools.lru_cache(maxsize=4)
+def _mel_chunk_fn(n_fft: int, n_mels: int, sample_rate: int, f_min: float,
+                  f_max: float | None, amin: float):
+    """Jitted fixed-shape mel pipeline over a (CHUNK, n_fft) frame block."""
+    window = hann_window(n_fft)
+    fb = mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate, f_min, f_max)
+
+    @jax.jit
+    def run(frames):  # (CHUNK, n_fft) f32
+        spec = jnp.fft.rfft(frames * jnp.asarray(window), axis=-1)
+        power = jnp.square(spec.real) + jnp.square(spec.imag)
+        mel = power.astype(jnp.float32) @ jnp.asarray(fb)
+        return 10.0 * jnp.log10(jnp.maximum(mel, amin))
+
+    return run
+
+
+def _frame_view(wave: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """Zero-copy (C, T, n_fft) strided frame view with center/reflect pad."""
+    c, n = wave.shape
+    t_frames = num_stft_frames(n, hop)
+    pad = n_fft // 2
+    padded = np.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
+    # Ensure the last frame fits.
+    need = (t_frames - 1) * hop + n_fft
+    if padded.shape[1] < need:
+        padded = np.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+    s0, s1 = padded.strides
+    return np.lib.stride_tricks.as_strided(
+        padded, shape=(c, t_frames, n_fft), strides=(s0, hop * s1, s1)
+    )
+
+
+def compute_mel_features(wave: np.ndarray, feat: FeatureConfig) -> np.ndarray:
+    """(C, N) waveform -> (T, C, n_mels) float32 log-mel, device-computed."""
+    frames = _frame_view(wave.astype(np.float32), feat.n_fft, feat.hop_length)
+    c, t, nf = frames.shape
+    flat = np.ascontiguousarray(frames.reshape(c * t, nf))
+    run = _mel_chunk_fn(
+        feat.n_fft, feat.n_mels, feat.sample_rate, feat.f_min, feat.f_max, feat.amin
+    )
+    out = np.empty((c * t, feat.n_mels), np.float32)
+    for start in range(0, c * t, _FRAME_CHUNK):
+        chunk = flat[start : start + _FRAME_CHUNK]
+        if chunk.shape[0] < _FRAME_CHUNK:
+            chunk = np.pad(chunk, ((0, _FRAME_CHUNK - chunk.shape[0]), (0, 0)))
+        res = np.asarray(run(jnp.asarray(chunk)))
+        out[start : start + _FRAME_CHUNK] = res[: min(_FRAME_CHUNK, c * t - start)]
+    # (C, T, n_mels) -> (T, C, n_mels): time-major so window slicing is a
+    # contiguous leading-axis view.
+    return np.ascontiguousarray(out.reshape(c, t, feat.n_mels).transpose(1, 0, 2))
+
+
+@dataclass
+class WindowedCorpus:
+    """Concatenated corpus + window index table.
+
+    mel:        (T_pad, C, n_mels) float32
+    label_mask: (T_pad, G) uint16 class bitmask (0 == background)
+    starts:     (W,) int32 window start frames
+    """
+
+    mel: np.ndarray
+    label_mask: np.ndarray
+    starts: np.ndarray
+    window_frames: int
+    total_frames: int  # before padding
+    n_el: int
+    n_az: int
+    num_classes: int
+
+    def __len__(self) -> int:
+        return len(self.starts)
+
+    def gather(self, idxs: np.ndarray):
+        """Batch gather -> (B, win, C, F) float32, (B, win, G) uint16."""
+        offs = self.starts[np.asarray(idxs)][:, None] + np.arange(self.window_frames)
+        return self.mel[offs], self.label_mask[offs]
+
+
+def build_corpus(
+    audio_files,
+    metadata_files,
+    feat: FeatureConfig,
+    grid: GridConfig,
+    window: WindowConfig,
+    targets: TargetConfig,
+    train: bool = True,
+) -> WindowedCorpus:
+    """Load every (wav, csv) pair, compute features + labels, concatenate,
+    and index windows (the pipeline of ref dataset.py:212-317)."""
+    assert len(audio_files) == len(metadata_files)
+    log = get_logger()
+    mels, masks = [], []
+    for idx, (apath, mpath) in enumerate(zip(audio_files, metadata_files)):
+        try:
+            wave, sr = load_wav(apath)
+            mel = compute_mel_features(wave, feat)  # (T_mel, C, F)
+            t_lab = total_label_frames(wave.shape[1], sr, targets.label_frame_ms)
+            frames, classes, sources, az, el = load_metadata_csv(mpath)
+            if train and targets.use_gaussian_augmentation:
+                mask = rasterize_gaussian_labels(
+                    frames, classes, sources, az, el, t_lab,
+                    n_el=grid.n_el, n_az=grid.n_az, num_classes=grid.num_classes,
+                    fanout=targets.fanout,
+                    sigma_azimuth=targets.sigma_azimuth,
+                    sigma_elevation=targets.sigma_elevation,
+                    seed=targets.augmentation_seed, file_key=idx,
+                    return_dense=False,
+                )
+            else:
+                mask = encode_events_to_bitmask(
+                    frames, classes, az, el, t_lab,
+                    n_el=grid.n_el, n_az=grid.n_az, fanout=targets.fanout,
+                )
+            # Crop to common length (ref dataset.py:246-249).
+            t_common = min(mel.shape[0], mask.shape[0])
+            mels.append(mel[:t_common])
+            masks.append(mask[:t_common])
+        except Exception:
+            log.error("Error processing file %d (%s)", idx, apath)
+            raise
+
+    mel = np.concatenate(mels, axis=0)
+    mask = np.concatenate(masks, axis=0)
+    total = mel.shape[0]
+
+    win = window.window_frames(feat)
+    hop = window.hop_frames(feat)
+    starts = np.arange(0, total, hop, dtype=np.int32)  # start < total (ref :274)
+
+    # Pad so the last window is full: zeros in mel (the reference pads
+    # spectrograms with 0.0, ref dataset.py:293) and bitmask 0 == background
+    # (ref dataset.py:298-299).
+    pad_to = int(starts[-1]) + win
+    if pad_to > total:
+        mel = np.concatenate(
+            [mel, np.zeros((pad_to - total, *mel.shape[1:]), mel.dtype)], axis=0
+        )
+        mask = np.concatenate(
+            [mask, np.zeros((pad_to - total, mask.shape[1]), mask.dtype)], axis=0
+        )
+
+    log.info(
+        "Corpus: %d files, %d frames, %d windows of %d frames (hop %d)",
+        len(audio_files), total, len(starts), win, hop,
+    )
+    return WindowedCorpus(
+        mel=mel,
+        label_mask=mask,
+        starts=starts,
+        window_frames=win,
+        total_frames=total,
+        n_el=grid.n_el,
+        n_az=grid.n_az,
+        num_classes=grid.num_classes,
+    )

@@ -1,0 +1,83 @@
+"""Synthetic SELD data: random FOA-like clips + plausible metadata.
+
+Serves the role of the reference's single-file debug mode and notebook
+quick-tests (ref config.py:14-18, SMR_SELD_2.ipynb cell 37) when no
+STARSS22 corpus is mounted — used by tests, smoke training, and bench.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from seld_tpu.config import Config
+from seld_tpu.data.audio import write_wav
+from seld_tpu.data.corpus import WindowedCorpus, build_corpus
+
+
+def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4):
+    """A clip of mixed tones + noise, and random event metadata rows."""
+    n = int(seconds * sample_rate)
+    t = np.arange(n) / sample_rate
+    wave = 0.01 * rng.standard_normal((n_channels, n)).astype(np.float32)
+    n_events = rng.integers(2, 8)
+    rows = []
+    for _ in range(n_events):
+        f0 = rng.uniform(200, 4000)
+        start_s = rng.uniform(0, max(seconds - 1.0, 0.1))
+        dur_s = rng.uniform(0.3, 1.5)
+        cls = int(rng.integers(0, 13))
+        src = int(rng.integers(0, 3))
+        az = int(rng.integers(-180, 180))
+        el = int(rng.integers(-90, 91))
+        s0, s1 = int(start_s * sample_rate), min(int((start_s + dur_s) * sample_rate), n)
+        tone = 0.1 * np.sin(2 * np.pi * f0 * t[s0:s1]).astype(np.float32)
+        wave[:, s0:s1] += tone * rng.uniform(0.3, 1.0, (n_channels, 1)).astype(np.float32)
+        # metadata rows at 100 ms cadence over the active span
+        for meta_frame in range(int(start_s * 10), int((start_s + dur_s) * 10)):
+            rows.append((meta_frame, cls, src, az, el))
+    rows.sort()
+    return wave, np.asarray(rows, dtype=np.int64).reshape(-1, 5)
+
+
+def synthetic_corpus(
+    cfg: Config, n_files: int = 2, seconds: float = 12.0, seed: int = 0,
+    train: bool = True,
+) -> WindowedCorpus:
+    """Build a WindowedCorpus directly from in-memory synthetic clips."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        audio_files, meta_files = synthetic_raw_files(
+            Path(td), cfg, n_files=n_files, seconds=seconds, seed=seed
+        )
+        return build_corpus(
+            audio_files, meta_files, cfg.features, cfg.grid, cfg.window,
+            cfg.targets, train=train,
+        )
+
+
+def synthetic_raw_files(
+    root: Path, cfg: Config, n_files: int = 2, seconds: float = 12.0, seed: int = 0,
+    split_dirs: bool = False,
+):
+    """Write synthetic (wav, csv) pairs to disk; with split_dirs=True,
+    lay out the STARSS22 directory structure for discovery tests."""
+    rng = np.random.default_rng(seed)
+    audio_files, meta_files = [], []
+    for i in range(n_files):
+        wave, rows = synthetic_clip(rng, seconds, cfg.features.sample_rate)
+        if split_dirs:
+            sub = "dev-train-sony" if i % 2 == 0 else "dev-train-tau"
+            apath = root / cfg.data.audio_dirname / sub / f"fold3_room1_mix{i:03d}.wav"
+            mpath = root / cfg.data.metadata_dirname / sub / f"fold3_room1_mix{i:03d}.csv"
+        else:
+            apath = root / f"clip{i:03d}.wav"
+            mpath = root / f"clip{i:03d}.csv"
+        write_wav(apath, wave, cfg.features.sample_rate)
+        mpath.parent.mkdir(parents=True, exist_ok=True)
+        np.savetxt(mpath, rows, fmt="%d", delimiter=",")
+        audio_files.append(str(apath))
+        meta_files.append(str(mpath))
+    return audio_files, meta_files

@@ -1,0 +1,111 @@
+"""Data layer tests: WAV round-trip, discovery pairing, corpus windowing
+arithmetic, device-mel == jnp-oracle parity, batch iteration."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from seld_tpu.config import Config, DataConfig
+from seld_tpu.data import (
+    BatchIterator,
+    build_corpus,
+    discover_files,
+    load_wav,
+    synthetic_corpus,
+    synthetic_raw_files,
+)
+from seld_tpu.data.audio import write_wav
+from seld_tpu.data.corpus import compute_mel_features
+from seld_tpu.features import log_mel_spectrogram
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    wave = (0.5 * rng.standard_normal((4, 24000))).astype(np.float32).clip(-1, 1)
+    write_wav(tmp_path / "x.wav", wave, 24000)
+    got, sr = load_wav(tmp_path / "x.wav")
+    assert sr == 24000 and got.shape == wave.shape
+    # 16-bit quantization + 32767/32768 scale asymmetry bound
+    np.testing.assert_allclose(got, wave, atol=1e-4)
+
+
+def test_discovery_pairs_and_missing_metadata(tmp_path):
+    cfg = Config().data
+    cfg = DataConfig(base_path=str(tmp_path))
+    synthetic_raw_files(tmp_path, Config(), n_files=4, seconds=1.0, split_dirs=True)
+    # make empty test dirs so discovery doesn't fail on glob
+    for sub in ("dev-test-sony", "dev-test-tau"):
+        (tmp_path / cfg.audio_dirname / sub).mkdir(parents=True, exist_ok=True)
+        (tmp_path / cfg.metadata_dirname / sub).mkdir(parents=True, exist_ok=True)
+    tr_a, tr_m, te_a, te_m = discover_files(cfg)
+    assert len(tr_a) == len(tr_m) == 4
+    assert te_a == [] and te_m == []
+    assert all(Path(a).stem == Path(m).stem for a, m in zip(tr_a, tr_m))
+    # removing one csv must hard-error (ref dataset.py:141-142)
+    Path(tr_m[0]).unlink()
+    with pytest.raises(FileNotFoundError):
+        discover_files(cfg)
+
+
+def test_single_file_mode_paths(tmp_path):
+    cfg = DataConfig(base_path=str(tmp_path), use_full_dataset=False)
+    tr_a, tr_m, te_a, te_m = discover_files(cfg)
+    assert len(tr_a) == len(te_a) == 1
+    assert "dev-train-sony" in tr_a[0] and "dev-test-sony" in te_a[0]
+
+
+def test_compute_mel_matches_frontend_oracle(rng):
+    import jax.numpy as jnp
+
+    cfg = Config()
+    wave = rng.standard_normal((4, 24000)).astype(np.float32)
+    got = compute_mel_features(wave, cfg.features)  # (T, C, F)
+    want = np.asarray(log_mel_spectrogram(jnp.asarray(wave)))  # (C, F, T)
+    np.testing.assert_allclose(got, want.transpose(2, 0, 1), atol=1e-3)
+
+
+def test_corpus_window_arithmetic():
+    cfg = Config()
+    corpus = synthetic_corpus(cfg, n_files=2, seconds=6.0, seed=0)
+    win = cfg.window.window_frames(cfg.features)  # 250
+    hop = cfg.window.hop_frames(cfg.features)  # 50
+    # each 6 s file -> min(301 mel, 300 label) = 300 frames; 2 files = 600
+    assert corpus.total_frames == 600
+    # windows: starts 0,50,...,550 (start < total) -> 12 (ref dataset.py:274)
+    assert len(corpus) == 12
+    assert corpus.starts[-1] == 550
+    # padded length covers the last window
+    assert corpus.mel.shape[0] == 550 + win
+    assert corpus.label_mask.shape == (550 + win, 648)
+    mel_w, mask_w = corpus.gather(np.array([11]))
+    assert mel_w.shape == (1, win, 4, 64)
+    # padding region: zero mel, background labels (mask 0)
+    assert (mel_w[0, -200:] == 0).all()
+    assert (mask_w[0, -200:] == 0).all()
+
+
+def test_batch_iterator_shapes_and_padding():
+    cfg = Config()
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=6.0, seed=1)
+    # 300 frames -> 6 windows; batch 4 -> batches of n_valid 4 and 2
+    it = BatchIterator(corpus, batch_size=4, shuffle=True, seed=0, prefetch=2)
+    assert len(it) == 2
+    batches = list(it)
+    assert [b.n_valid for b in batches] == [4, 2]
+    for b in batches:
+        assert b.mel.shape == (4, 250, 4, 64)
+        assert b.label_mask.shape == (4, 250, 648)
+    # shuffling differs across epochs but is deterministic per seed
+    order1 = [b.mel.sum() for b in BatchIterator(corpus, 4, seed=3, prefetch=0)]
+    it3 = BatchIterator(corpus, 4, seed=3, prefetch=0)
+    order1b = [b.mel.sum() for b in it3]
+    np.testing.assert_allclose(order1, order1b)
+
+
+def test_gaussian_corpus_train_only():
+    cfg = Config().replace_path("targets.use_gaussian_augmentation", True)
+    train = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=2, train=True)
+    test = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=2, train=False)
+    # augmentation inflates active cells on train only
+    # (ref smrl_seld_gaussian.py:2114-2127)
+    assert (train.label_mask != 0).sum() > (test.label_mask != 0).sum()
