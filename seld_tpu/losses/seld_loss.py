@@ -44,29 +44,43 @@ def make_class_weights(num_classes: int, background_weight: float = 0.05):
     return w.at[num_classes - 1].set(background_weight)
 
 
-def class_ce_loss(logits, targets, class_weights=None):
+def _example_weights(example_mask, batch: int):
+    """(B,) float validity weights; None -> all ones. Padded tail batches
+    (static-shape batching, seld_tpu.data.sampler) carry a mask so padded
+    rows contribute nothing — the loss then equals the reference's
+    variable-size-batch value exactly."""
+    if example_mask is None:
+        return jnp.ones((batch,), jnp.float32)
+    return example_mask.astype(jnp.float32)
+
+
+def class_ce_loss(logits, targets, class_weights=None, example_mask=None):
     """Weighted cross entropy with argmax-collapsed targets.
 
-    logits, targets: (..., M). Matches torch nn.CrossEntropyLoss(weight=w)
-    normalization: sum(w_y * nll_y) / sum(w_y).
+    logits, targets: (B, ..., M). Matches torch
+    nn.CrossEntropyLoss(weight=w) normalization:
+    sum(w_y * nll_y) / sum(w_y).
     """
     labels = jnp.argmax(targets, axis=-1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    if class_weights is None:
-        return jnp.mean(nll)
-    w = class_weights[labels]
-    return jnp.sum(w * nll) / jnp.sum(w)
+    w = jnp.ones_like(nll) if class_weights is None else class_weights[labels]
+    em = _example_weights(example_mask, logits.shape[0])
+    em = em.reshape((-1,) + (1,) * (nll.ndim - 1))
+    return jnp.sum(w * nll * em) / jnp.sum(w * em)
 
 
-def class_mse_loss(logits, targets):
+def class_mse_loss(logits, targets, example_mask=None):
     """softmax(logits) vs one-hot targets, mean over every element
     (ref loss.py:44-54)."""
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    return jnp.mean(jnp.square(probs - targets))
+    sq = jnp.square(probs - targets)
+    em = _example_weights(example_mask, logits.shape[0])
+    per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=-1)
+    return jnp.sum(per_example * em) / jnp.sum(em)
 
 
-def aiur_loss(logits, targets):
+def aiur_loss(logits, targets, example_mask=None):
     """1 - mean frame IoU of non-background argmax masks (ref loss.py:56-87)."""
     m = logits.shape[-1]
     bg = m - 1
@@ -76,11 +90,12 @@ def aiur_loss(logits, targets):
     union = jnp.sum(pred_mask, -1) + jnp.sum(true_mask, -1) - intersection
     iou = intersection / (union + 1e-8)
     iou = jnp.where(union > 0, iou, jnp.ones_like(iou))  # empty==empty -> 1
-    return 1.0 - jnp.mean(iou)
+    em = _example_weights(example_mask, logits.shape[0])[:, None]
+    return 1.0 - jnp.sum(iou * em) / (jnp.sum(em) * iou.shape[1])
 
 
 def converging_localization_loss(logits_or_probs, targets, n_el: int, n_az: int,
-                                 from_logits: bool = True):
+                                 from_logits: bool = True, example_mask=None):
     """Attention-weighted localization convergence term (ref loss.py:89-146)."""
     b, t, g, m = targets.shape
     probs = (
@@ -113,6 +128,8 @@ def converging_localization_loss(logits_or_probs, targets, n_el: int, n_az: int,
     y_at = y_prime + diff_sum / 8.0
 
     has_events = (n_non > 0).astype(jnp.float32)  # (B,T,1,1)
+    em = _example_weights(example_mask, targets.shape[0]).reshape(-1, 1, 1, 1)
+    has_events = has_events * em
     weighted = pred_nonbg * y_at * has_events
     denom = jnp.sum(has_events) * n_el * n_az + EPS
     return jnp.sum(weighted) / denom
@@ -138,24 +155,27 @@ class SELDLossFn:
             )
         self.class_weights = class_weights
 
-    def __call__(self, logits, targets) -> LossOutput:
+    def __call__(self, logits, targets, example_mask=None) -> LossOutput:
         cfg = self.cfg
         if cfg.loss_type == "mse":
-            loss_class = class_mse_loss(logits, targets)
+            loss_class = class_mse_loss(logits, targets, example_mask)
         elif cfg.loss_type == "ce":
-            loss_class = class_ce_loss(logits, targets, self.class_weights)
+            loss_class = class_ce_loss(
+                logits, targets, self.class_weights, example_mask
+            )
         else:
             raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
 
         total = cfg.w_class * loss_class
         breakdown = {f"class_{cfg.loss_type}": loss_class}
         if cfg.use_aiur:
-            l_aiur = aiur_loss(logits, targets)
+            l_aiur = aiur_loss(logits, targets, example_mask)
             total = total + cfg.w_aiur * l_aiur
             breakdown["aiur"] = l_aiur
         if cfg.use_cl:
             l_cl = converging_localization_loss(
-                logits, targets, self.grid.n_el, self.grid.n_az
+                logits, targets, self.grid.n_el, self.grid.n_az,
+                example_mask=example_mask,
             )
             total = total + cfg.w_cl * l_cl
             breakdown["cl"] = l_cl

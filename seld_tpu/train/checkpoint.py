@@ -1,0 +1,115 @@
+"""Orbax checkpointing: best-model + rolling checkpoints + resume.
+
+Policy parity with the reference (ref trainer.py:273-308, config.py:80-82):
+  * best checkpoint whenever test loss improves by > min_delta;
+  * rolling checkpoint every `save_every_n_epochs`, keeping the last
+    `keep_last_n_checkpoints` (orbax max_to_keep does the deletion queue).
+
+Designed-out reference hazards (SURVEY §5):
+  * checkpoints embed the full config dict, so eval/inference rebuilds the
+    EXACT trained architecture instead of trusting the live config
+    (ref trainer.py:430-432 rebuilds from the global Config — a latent
+    mismatch bug);
+  * `latest` restore enables resume — the reference writes checkpoints
+    but always restarts from epoch 1.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from seld_tpu.config import Config, config_from_dict, config_to_dict
+from seld_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory, cfg: Config):
+        self.directory = Path(directory).absolute()
+        self.cfg = cfg
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._best = ocp.CheckpointManager(
+            self.directory / "best",
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+        self._rolling = ocp.CheckpointManager(
+            self.directory / "rolling",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=cfg.train.keep_last_n_checkpoints
+            ),
+        )
+
+    def _meta(self, epoch: int, train_loss: float, test_loss: float) -> dict:
+        return {
+            "epoch": int(epoch),
+            "train_loss": float(train_loss),
+            "test_loss": float(test_loss),
+            "config": config_to_dict(self.cfg),
+        }
+
+    def _save(self, mgr, step: int, state: TrainState, meta: dict):
+        mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta),
+            ),
+        )
+
+    def save_best(self, epoch: int, state: TrainState, train_loss, test_loss):
+        self._save(self._best, epoch, state, self._meta(epoch, train_loss, test_loss))
+
+    def save_rolling(self, epoch: int, state: TrainState, train_loss, test_loss):
+        self._save(
+            self._rolling, epoch, state, self._meta(epoch, train_loss, test_loss)
+        )
+
+    def wait(self):
+        self._best.wait_until_finished()
+        self._rolling.wait_until_finished()
+
+    def _restore(self, mgr, step: int | None, template: TrainState):
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        return restored["state"], restored["meta"]
+
+    def restore_best(self, template: TrainState):
+        """-> (state, meta) or None."""
+        return self._restore(self._best, None, template)
+
+    def restore_latest(self, template: TrainState):
+        """Resume point: newest rolling checkpoint. -> (state, meta) or None."""
+        return self._restore(self._rolling, None, template)
+
+    def close(self):
+        self._best.close()
+        self._rolling.close()
+
+
+def load_checkpoint_config(directory) -> Config | None:
+    """Read the architecture config stored inside a checkpoint tree."""
+    directory = Path(directory).absolute()
+    for sub in ("best", "rolling"):
+        mgr = ocp.CheckpointManager(directory / sub)
+        try:
+            step = mgr.latest_step()
+            if step is None:
+                continue
+            meta = mgr.restore(
+                step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+            )["meta"]
+            return config_from_dict(meta["config"])
+        finally:
+            mgr.close()
+    return None

@@ -1,0 +1,95 @@
+"""Jitted train / eval steps.
+
+One fused XLA program per step: bitmask -> one-hot target decode, model
+forward (bf16 on the MXU), composite loss, backward, Adam update — all
+on device. The only host<->device traffic per step is the input batch in
+and a handful of scalar metrics out (the reference syncs loss.item()
+every step and runs its whole target pipeline on the host,
+ref trainer.py:165-191).
+
+Under a mesh, batches are sharded over the "data" axis and params follow
+seld_tpu.parallel.sharding rules (replicated or tensor-parallel); XLA
+derives the gradient all-reduce and TP collectives from the shardings.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from seld_tpu.losses import SELDLossFn
+from seld_tpu.targets.rasterize import decode_class_bitmask
+from seld_tpu.train.state import TrainState
+
+
+def _apply(model, state: TrainState, mel, train: bool, dropout_rng=None):
+    variables = state.variables()
+    kwargs = dict(train=train)
+    if train:
+        out, updates = model.apply(
+            variables,
+            mel,
+            mutable=["batch_stats"] if state.batch_stats else [],
+            rngs={"dropout": dropout_rng},
+            **kwargs,
+        )
+        return out, updates.get("batch_stats", state.batch_stats)
+    return model.apply(variables, mel, **kwargs), state.batch_stats
+
+
+def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
+                    donate: bool = True):
+    """Returns step(state, mel, label_mask, example_mask, rng) ->
+    (state, metrics)."""
+
+    def step(state: TrainState, mel, label_mask, example_mask, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        targets = decode_class_bitmask(label_mask, num_classes)
+
+        def loss_of(params):
+            out, new_stats = _apply(
+                model,
+                state.replace(params=params),
+                mel,
+                train=True,
+                dropout_rng=dropout_rng,
+            )
+            total, breakdown = loss_fn(out, targets, example_mask)
+            return total, (breakdown, new_stats)
+
+        (total, (breakdown, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {"loss": total, **breakdown}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
+                   return_logits: bool = False):
+    """Returns step(state, mel, label_mask, example_mask) -> metrics
+    (and logits when return_logits)."""
+
+    def step(state: TrainState, mel, label_mask, example_mask):
+        targets = decode_class_bitmask(label_mask, num_classes)
+        out, _ = _apply(model, state, mel, train=False)
+        total, breakdown = loss_fn(out, targets, example_mask)
+        metrics = {"loss": total, **breakdown}
+        if return_logits:
+            return metrics, out
+        return metrics
+
+    return jax.jit(step)

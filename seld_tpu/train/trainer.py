@@ -1,0 +1,219 @@
+"""Training loop: the host-side orchestration around the jitted step.
+
+Behavioral parity with ref trainer.py:23-392:
+  * model dispatch from config, CE class weights (background 0.05),
+    Adam(lr=1e-3, L2 wd=1e-4), ReduceLROnPlateau(0.5/5) on test loss,
+    early stopping on train loss (patience 20, min_delta 1e-4),
+    best checkpoint on test loss, rolling checkpoint every 5 epochs
+    keeping 3, loss-curve artifact, best-weights reload, history dump.
+
+TPU re-design:
+  * one jitted train step (forward+loss+backward+update fused); metrics
+    stay on device until the epoch summary — no per-step .item() syncs
+    (ref trainer.py:182 syncs every step);
+  * optional (data, model) mesh: batches shard over "data", wide layers
+    over "model" (seld_tpu.parallel); XLA inserts the collectives;
+  * resume from the latest rolling checkpoint (the reference never
+    resumes); no CUDA cache hygiene needed (XLA arena allocator).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seld_tpu.config import Config
+from seld_tpu.data.corpus import WindowedCorpus
+from seld_tpu.data.sampler import BatchIterator
+from seld_tpu.losses import SELDLossFn
+from seld_tpu.models import build_model
+from seld_tpu.parallel.sharding import batch_sharding, shard_variables
+from seld_tpu.train.checkpoint import CheckpointManager
+from seld_tpu.train.optimizer import (
+    current_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+from seld_tpu.train.schedule import EarlyStopping, ReduceLROnPlateau
+from seld_tpu.train.state import TrainState, create_train_state, param_count
+from seld_tpu.train.steps import make_eval_step, make_train_step
+from seld_tpu.utils.logging import get_logger
+
+
+def _device_batch(batch, mesh):
+    mel = jnp.asarray(batch.mel)
+    mask = jnp.asarray(batch.label_mask)
+    em = (jnp.arange(mel.shape[0]) < batch.n_valid).astype(jnp.float32)
+    if mesh is not None:
+        mel = jax.device_put(mel, batch_sharding(mesh, mel.ndim))
+        mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
+        em = jax.device_put(em, batch_sharding(mesh, 1))
+    return mel, mask, em
+
+
+def _epoch_mean(metric_list):
+    """Average per-batch scalars — one device sync per epoch."""
+    keys = metric_list[0].keys()
+    stacked = {k: jnp.stack([m[k] for m in metric_list]) for k in keys}
+    return {k: float(jnp.mean(v)) for k, v in stacked.items()}
+
+
+def train_model(
+    cfg: Config,
+    train_corpus: WindowedCorpus,
+    test_corpus: WindowedCorpus,
+    mesh=None,
+    workdir: str | Path | None = None,
+    resume: bool = False,
+):
+    """Train per config; returns (state, history)."""
+    log = get_logger()
+    workdir = Path(workdir if workdir is not None else cfg.data.checkpoint_path)
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    optimizer = make_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
+
+    win = train_corpus.window_frames
+    sample = jnp.zeros(
+        (cfg.train.batch_size, win, cfg.model.n_channels, cfg.model.n_mels),
+        jnp.float32,
+    )
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state = create_train_state(model, optimizer, rng, sample)
+    if mesh is not None:
+        state = shard_variables(state, mesh)
+
+    log.info("Model %s: %s parameters", cfg.model.model_type, f"{param_count(state):,}")
+    log.info(
+        "Optimizer: Adam(lr=%g, L2 wd=%g); plateau factor=%g patience=%d; "
+        "early stop patience=%d min_delta=%g",
+        cfg.train.learning_rate, cfg.train.weight_decay,
+        cfg.train.lr_decay_factor, cfg.train.lr_decay_patience,
+        cfg.train.patience, cfg.train.min_delta,
+    )
+
+    ckpt = CheckpointManager(workdir, cfg)
+    start_epoch = 1
+    if resume:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state, meta = restored
+            start_epoch = meta["epoch"] + 1
+            log.info("Resumed from rolling checkpoint at epoch %d", meta["epoch"])
+
+    train_step = make_train_step(model, loss_fn, optimizer, cfg.grid.num_classes)
+    eval_step = make_eval_step(model, loss_fn, cfg.grid.num_classes)
+
+    plateau = ReduceLROnPlateau(
+        lr=cfg.train.learning_rate,
+        factor=cfg.train.lr_decay_factor,
+        patience=cfg.train.lr_decay_patience,
+    )
+    stopper = EarlyStopping(patience=cfg.train.patience, min_delta=cfg.train.min_delta)
+
+    train_iter = BatchIterator(
+        train_corpus, cfg.train.batch_size, shuffle=True,
+        seed=cfg.data.shuffle_seed, prefetch=cfg.data.prefetch_depth,
+    )
+    test_iter = BatchIterator(
+        test_corpus, cfg.train.batch_size, shuffle=False,
+        prefetch=cfg.data.prefetch_depth,
+    )
+
+    history = {"train_losses": [], "test_losses": [], "lr": []}
+    best_test = float("inf")
+    epoch = start_epoch - 1
+
+    for epoch in range(start_epoch, cfg.train.num_epochs + 1):
+        t0 = time.time()
+        step_rng = jax.random.fold_in(rng, epoch)
+
+        train_metrics = []
+        for batch in train_iter:
+            mel, mask, em = _device_batch(batch, mesh)
+            state, metrics = train_step(state, mel, mask, em, step_rng)
+            train_metrics.append(metrics)
+        train_avg = _epoch_mean(train_metrics)
+
+        eval_metrics = []
+        for batch in test_iter:
+            mel, mask, em = _device_batch(batch, mesh)
+            eval_metrics.append(eval_step(state, mel, mask, em))
+        test_avg = _epoch_mean(eval_metrics)
+
+        new_lr = plateau.step(test_avg["loss"])
+        old_lr = current_learning_rate(state.opt_state)
+        if new_lr != old_lr:
+            state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+            log.info("  Learning rate reduced: %.6f -> %.6f", old_lr, new_lr)
+
+        history["train_losses"].append(train_avg["loss"])
+        history["test_losses"].append(test_avg["loss"])
+        history["lr"].append(new_lr)
+
+        log.info(
+            "Epoch %d/%d - %.1fs | train %.6f | test %.6f | lr %.6f",
+            epoch, cfg.train.num_epochs, time.time() - t0,
+            train_avg["loss"], test_avg["loss"], new_lr,
+        )
+        for k in train_avg:
+            if k != "loss":
+                log.info("    %s: train %.6f test %.6f", k, train_avg[k], test_avg[k])
+
+        if test_avg["loss"] < best_test - cfg.train.min_delta:
+            best_test = test_avg["loss"]
+            ckpt.save_best(epoch, state, train_avg["loss"], test_avg["loss"])
+            log.info("  New best model saved (test loss %.6f)", best_test)
+
+        if epoch % cfg.train.save_every_n_epochs == 0:
+            ckpt.save_rolling(epoch, state, train_avg["loss"], test_avg["loss"])
+            log.info("  Rolling checkpoint saved (epoch %d)", epoch)
+
+        if stopper.step(train_avg["loss"], epoch):
+            log.info(
+                "EARLY STOPPING at epoch %d (no train improvement for %d epochs; "
+                "best train %.6f @ epoch %d)",
+                epoch, stopper.patience, stopper.best, stopper.best_epoch,
+            )
+            break
+
+    ckpt.wait()
+
+    history.update(
+        best_train_loss=stopper.best,
+        best_test_loss=best_test,
+        best_epoch=stopper.best_epoch,
+        total_epochs=epoch,
+    )
+
+    # Loss-curve artifact (ref trainer.py:359-361).
+    try:
+        from seld_tpu.viz import plot_loss_curves
+
+        out_dir = Path(cfg.data.output_path)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        plot_loss_curves(
+            history["train_losses"], history["test_losses"],
+            save_path=out_dir / "loss_curves.png",
+        )
+    except Exception as e:  # viz is best-effort, never kills training
+        log.warning("loss-curve plot failed: %s", e)
+
+    # Reload best weights (ref trainer.py:363-366).
+    restored = ckpt.restore_best(state)
+    if restored is not None:
+        state, meta = restored
+        log.info("Best model loaded from epoch %d", meta["epoch"])
+
+    hist_path = workdir / "training_history.json"
+    hist_path.write_text(json.dumps(history, indent=2))
+    log.info("Training history saved to %s", hist_path)
+    ckpt.close()
+    return state, history

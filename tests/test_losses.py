@@ -164,6 +164,21 @@ def test_loss_is_differentiable(rng):
     assert float(jnp.abs(g).sum()) > 0.0
 
 
+def test_example_masking_equals_unpadded(rng):
+    # A padded batch with a validity mask must produce the exact loss of
+    # the unpadded batch (static-shape tail batches, data.sampler).
+    logits, labels = random_batch(rng)
+    fn = SELDLossFn(
+        LossConfig(loss_type="ce", use_aiur=True, use_cl=True), GridConfig()
+    )
+    want, _ = fn(logits[:1], labels[:1])
+    padded_logits = np.concatenate([logits[:1], logits[1:]], axis=0)
+    padded_labels = np.concatenate([labels[:1], labels[1:]], axis=0)
+    mask = np.array([1.0, 0.0], np.float32)
+    got, _ = fn(padded_logits, padded_labels, example_mask=mask)
+    assert float(got) == pytest.approx(float(want), rel=1e-6)
+
+
 def test_ce_mode_uses_background_downweight(rng):
     logits, labels = random_batch(rng)
     fn = SELDLossFn(LossConfig(loss_type="ce"), GridConfig())

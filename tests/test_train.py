@@ -1,0 +1,116 @@
+"""Training runtime tests: schedules, one jitted step, an end-to-end smoke
+train with checkpoints + resume (the pytest upgrade of the reference's
+notebook 2-epoch quick test, ref SMR_SELD_2.ipynb cell 37)."""
+
+import numpy as np
+import pytest
+
+from seld_tpu.config import Config, parse_overrides
+from seld_tpu.data import synthetic_corpus
+from seld_tpu.train.schedule import EarlyStopping, ReduceLROnPlateau
+
+
+def tiny_config(tmp_path, **extra):
+    over = [
+        "model.model_type=crnn",
+        "model.crnn_cnn_channels=8,16",
+        "model.crnn_rnn_hidden=16",
+        "model.crnn_rnn_layers=1",
+        "model.compute_dtype=float32",
+        "window.window_seconds=1.0",
+        "window.hop_seconds=0.5",
+        "train.batch_size=2",
+        "train.num_epochs=2",
+        "train.save_every_n_epochs=1",
+        f"data.base_path={tmp_path}",
+    ] + [f"{k}={v}" for k, v in extra.items()]
+    return parse_overrides(Config(), over)
+
+
+def test_plateau_scheduler_torch_semantics():
+    s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2)
+    assert s.step(1.0) == 1.0  # first metric becomes best
+    assert s.step(0.5) == 1.0  # improvement
+    # 3 bad epochs (patience 2) -> reduce on the 3rd
+    assert s.step(0.5) == 1.0
+    assert s.step(0.5) == 1.0
+    assert s.step(0.5) == 0.5
+    # relative threshold: 1e-4 improvement required
+    s2 = ReduceLROnPlateau(lr=1.0, factor=0.1, patience=0)
+    s2.step(100.0)
+    assert s2.step(99.999) == pytest.approx(0.1)  # not enough improvement
+
+
+def test_early_stopping_semantics():
+    e = EarlyStopping(patience=2, min_delta=0.1)
+    assert not e.step(1.0, 1)
+    assert not e.step(0.85, 2)  # improved by 0.15 > 0.1
+    assert not e.step(0.80, 3)  # only 0.05 -> bad epoch 1
+    assert e.step(0.79, 4)  # bad epoch 2 -> stop
+    assert e.best == pytest.approx(0.85)
+    assert e.best_epoch == 2
+
+
+def test_single_train_step_reduces_loss(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.models import build_model
+    from seld_tpu.train import (
+        create_train_state,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = tiny_config(tmp_path)
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    mel, mask = corpus.gather(np.arange(2))
+    mel, mask = jnp.asarray(mel), jnp.asarray(mask)
+    em = jnp.ones((2,), jnp.float32)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
+
+    train_step = make_train_step(model, loss_fn, opt, cfg.grid.num_classes, donate=False)
+    eval_step = make_eval_step(model, loss_fn, cfg.grid.num_classes)
+    before = float(eval_step(state, mel, mask, em)["loss"])
+    for _ in range(5):
+        state, metrics = train_step(state, mel, mask, em, jax.random.PRNGKey(1))
+    after = float(eval_step(state, mel, mask, em)["loss"])
+    assert np.isfinite(before) and np.isfinite(after)
+    assert after < before
+    assert int(state.step) == 5
+
+
+def test_end_to_end_smoke_train_with_resume(tmp_path):
+    from seld_tpu.train import train_model
+    from seld_tpu.train.checkpoint import load_checkpoint_config
+
+    cfg = tiny_config(tmp_path)
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0, train=True)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1, train=False)
+
+    state, history = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    assert len(history["train_losses"]) == 2
+    assert all(np.isfinite(v) for v in history["train_losses"])
+    assert (tmp_path / "ckpt" / "best").exists()
+    assert (tmp_path / "ckpt" / "rolling").exists()
+    assert (tmp_path / "ckpt" / "training_history.json").exists()
+    # loss-curve artifact (ref trainer.py:359-361)
+    assert (tmp_path / "outputs" / "loss_curves.png").exists()
+
+    # checkpoint stores the full config for exact arch rebuild
+    stored = load_checkpoint_config(tmp_path / "ckpt")
+    assert stored is not None
+    assert stored.model.model_type == "crnn"
+    assert stored.model.crnn_cnn_channels == (8, 16)
+
+    # resume continues from the last rolling checkpoint
+    cfg3 = parse_overrides(cfg, ["train.num_epochs=3"])
+    state2, history2 = train_model(
+        cfg3, train_c, test_c, workdir=tmp_path / "ckpt", resume=True
+    )
+    assert len(history2["train_losses"]) == 1  # only epoch 3 ran
