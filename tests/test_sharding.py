@@ -1,0 +1,129 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh:
+mesh construction, partition rules, and a real dp x tp train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from seld_tpu.config import Config, parse_overrides
+from seld_tpu.data import synthetic_corpus
+from seld_tpu.losses import SELDLossFn
+from seld_tpu.models import build_model
+from seld_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_partition_spec,
+    shard_variables,
+)
+from seld_tpu.train import create_train_state, make_optimizer, make_train_step
+
+
+def small_cfg(tmp_path, model="conformer"):
+    return parse_overrides(
+        Config(),
+        [
+            f"model.model_type={model}",
+            "model.crnn_cnn_channels=8,16",
+            "model.conf_d_model=32",
+            "model.conf_n_heads=4",
+            "model.conf_n_layers=1",
+            "model.compute_dtype=float32",
+            "window.window_seconds=1.0",
+            "window.hop_seconds=0.5",
+            "train.batch_size=8",
+            f"data.base_path={tmp_path}",
+        ],
+    )
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.devices.shape == (8, 1)
+    m2 = make_mesh(n_data=4, n_model=2)
+    assert m2.devices.shape == (4, 2)
+    assert m2.axis_names == ("data", "model")
+
+
+def test_partition_rules():
+    assert param_partition_spec("block_0/MultiHeadSelfAttention_0/w_q/kernel", 2) == P(None, "model")
+    assert param_partition_spec("block_0/MultiHeadSelfAttention_0/w_o/kernel", 2) == P("model", None)
+    assert param_partition_spec("block_1/FeedForward_0/Dense_0/kernel", 2) == P(None, "model")
+    assert param_partition_spec("block_1/FeedForward_0/Dense_1/kernel", 2) == P("model", None)
+    assert param_partition_spec("GridHead_0/logits/kernel", 2) == P(None, "model")
+    assert param_partition_spec("stem/kernel", 4) == P()
+    assert param_partition_spec("BatchNorm_0/scale", 1) == P()
+
+
+def run_steps(cfg, mesh, corpus, n_steps=2):
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    mel_np, mask_np = corpus.gather(np.arange(8) % len(corpus))
+    mel, mask = jnp.asarray(mel_np), jnp.asarray(mask_np)
+    em = jnp.ones((8,), jnp.float32)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
+    if mesh is not None:
+        state = shard_variables(state, mesh)
+        mel = jax.device_put(mel, batch_sharding(mesh, mel.ndim))
+        mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
+        em = jax.device_put(em, batch_sharding(mesh, 1))
+    step = make_train_step(model, loss_fn, opt, cfg.grid.num_classes, donate=False)
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = step(state, mel, mask, em, jax.random.PRNGKey(7))
+        losses.append(float(metrics["loss"]))
+    return state, losses
+
+
+def test_dp_tp_step_matches_single_device(tmp_path):
+    """The same batch must produce the same losses on 1 device, a pure-DP
+    8-way mesh, and a 4x2 dp x tp mesh (XLA collectives are exact for
+    these shapes in f32)."""
+    cfg = small_cfg(tmp_path)
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+
+    _, base = run_steps(cfg, None, corpus)
+    _, dp = run_steps(cfg, make_mesh(n_data=8, n_model=1), corpus)
+    _, dptp = run_steps(cfg, make_mesh(n_data=4, n_model=2), corpus)
+
+    np.testing.assert_allclose(dp, base, rtol=2e-4)
+    np.testing.assert_allclose(dptp, base, rtol=2e-4)
+
+
+def test_tp_params_actually_sharded(tmp_path):
+    cfg = small_cfg(tmp_path)
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = build_model(cfg.model, cfg.grid)
+    mel = jnp.zeros((8, 50, 4, 64), jnp.float32)
+    from seld_tpu.models import init_variables
+
+    variables = init_variables(model, jax.random.PRNGKey(0), mel)
+    sharded = shard_variables(variables["params"], mesh)
+    flat = jax.tree_util.tree_flatten_with_path(sharded)[0]
+    tp_shards = 0
+    for key_path, leaf in flat:
+        path = "/".join(getattr(k, "key", str(k)) for k in key_path)
+        spec = leaf.sharding.spec
+        if "w_q/kernel" in path or "logits/kernel" in path:
+            assert spec == P(None, "model"), path
+            tp_shards += 1
+        if "w_o/kernel" in path:
+            assert spec == P("model", None), path
+            tp_shards += 1
+    assert tp_shards >= 3
+
+
+def test_trainer_runs_under_mesh(tmp_path):
+    from seld_tpu.train import train_model
+
+    cfg = parse_overrides(
+        small_cfg(tmp_path), ["train.num_epochs=1", "train.batch_size=8"]
+    )
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    mesh = make_mesh(n_data=4, n_model=2)
+    state, history = train_model(
+        cfg, train_c, test_c, mesh=mesh, workdir=tmp_path / "ckpt"
+    )
+    assert np.isfinite(history["train_losses"][0])
