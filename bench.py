@@ -1,0 +1,199 @@
+"""Benchmark: audio-seconds/sec/chip for features + inference (flagship).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_s/s/chip", "vs_baseline": N}
+
+Pipeline measured (the BASELINE.json north-star workload): 5 s windows of
+4-channel 24 kHz audio -> on-device log-mel front-end -> ResNet50-Conformer
+forward (the reference's default model, ref config.py:39), end to end in
+one jitted program.
+
+Baseline: the reference's own CPU throughput on identical shapes — its
+torch ResNet50-Conformer forward (imported from /root/reference, CPU) plus
+an equivalent numpy mel front-end (torchaudio is unavailable in this
+image; the numpy oracle implements the same STFT+mel semantics). The
+measured number is cached in BASELINE_CPU.json because the single-core
+CPU pass is ~minutes; delete the file to re-measure.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent
+CACHE = REPO / "BASELINE_CPU.json"
+
+BATCH = 16
+WINDOW_S = 5.0
+SR = 24_000
+N_SAMPLES = int(WINDOW_S * SR)
+WIN_FRAMES = 250
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_tpu() -> float:
+    """Timing methodology: the tunneled TPU backend's block_until_ready
+    returns before remote execution finishes, so each measurement chains N
+    pipeline iterations inside ONE jitted fori_loop (iteration-dependent
+    inputs, output folded into a scalar carry so nothing can be elided)
+    and syncs via a scalar host read-back. Throughput comes from the delta
+    between a long and a short chain, cancelling the ~30 ms tunnel
+    round-trip and dispatch overhead."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.config import Config
+    from seld_tpu.features import log_mel_spectrogram
+    from seld_tpu.models import build_model, init_variables
+
+    cfg = Config()
+    model = build_model(cfg.model, cfg.grid)
+
+    @jax.jit
+    def chained(variables, wave, n):  # n: traced scalar -> single compile
+        def body(i, acc):
+            w = wave + i.astype(jnp.float32) * 1e-6  # defeat CSE across iters
+            mel = log_mel_spectrogram(w)  # (B, 4, 64, T)
+            mel = jnp.transpose(mel, (0, 3, 1, 2))[:, :WIN_FRAMES]
+            out = model.apply(variables, mel, train=False)
+            return acc + out.mean()
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    rng = jax.random.PRNGKey(0)
+    wave = jax.random.normal(rng, (BATCH, 4, N_SAMPLES), jnp.float32)
+    mel0 = jnp.zeros((BATCH, WIN_FRAMES, 4, 64), jnp.float32)
+    variables = init_variables(model, rng, mel0)
+
+    n_short, n_delta = 2, 20
+    t0 = time.time()
+    float(chained(variables, wave, n_short))
+    log(f"tpu compile+first: {time.time() - t0:.2f}s")
+
+    def timed(n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            float(chained(variables, wave, n))  # scalar read-back = true sync
+            best = min(best, time.time() - t0)
+        return best
+
+    t_short = timed(n_short)
+    t_long = timed(n_short + n_delta)
+    per_iter = (t_long - t_short) / n_delta
+    thr = BATCH * WINDOW_S / per_iter
+    log(
+        f"tpu: short({n_short})={t_short * 1e3:.1f}ms "
+        f"long({n_short + n_delta})={t_long * 1e3:.1f}ms -> "
+        f"{per_iter * 1e3:.2f} ms/iter ({BATCH} windows) -> "
+        f"{thr:.1f} audio_s/s/chip"
+    )
+    return thr
+
+
+def measure_cpu_reference() -> float:
+    """Reference pipeline on CPU: torch ResNet50-Conformer forward +
+    numpy mel front-end at the same per-window shapes."""
+    if CACHE.exists():
+        cached = json.loads(CACHE.read_text())
+        log(f"cpu baseline (cached): {cached['audio_s_per_s']:.3f} audio_s/s")
+        return cached["audio_s_per_s"]
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from resnet50_model import SELD_ResNet50_Conformer
+    finally:
+        sys.path.remove("/root/reference")
+
+    torch.set_num_threads(max(1, (torch.get_num_threads() or 1)))
+    model = SELD_ResNet50_Conformer().eval()
+
+    # features: numpy STFT+mel with identical semantics (1 window, 4 ch)
+    from seld_tpu.features import hann_window, mel_filterbank
+
+    wave = np.random.default_rng(0).standard_normal((4, N_SAMPLES)).astype(np.float32)
+    win = hann_window(960)
+    fb = mel_filterbank(481, 64, SR)
+
+    def numpy_mel(w):
+        pad = 480
+        x = np.pad(w, ((0, 0), (pad, pad)), mode="reflect")
+        t_frames = 1 + w.shape[1] // 480
+        idx = np.arange(960)[None, :] + 480 * np.arange(t_frames)[:, None]
+        frames = x[:, idx] * win  # (4, T, 960)
+        spec = np.fft.rfft(frames, axis=-1)
+        power = np.abs(spec) ** 2
+        return 10.0 * np.log10(np.maximum(power @ fb, 1e-10))
+
+    t0 = time.time()
+    mel = numpy_mel(wave)
+    feat_time = time.time() - t0
+    log(f"cpu features: {feat_time:.3f}s / window")
+
+    x = torch.from_numpy(
+        mel[:, :WIN_FRAMES].transpose(1, 0, 2)[None].astype(np.float32)
+    )  # (1, 250, 4, 64)
+    with torch.no_grad():
+        t0 = time.time()
+        model(x)
+        first = time.time() - t0
+        iters = 2
+        t0 = time.time()
+        for _ in range(iters):
+            model(x)
+        fwd_time = (time.time() - t0) / iters
+    log(f"cpu forward: first {first:.2f}s, steady {fwd_time:.3f}s / window")
+
+    thr = WINDOW_S / (fwd_time + feat_time)
+    CACHE.write_text(
+        json.dumps(
+            {
+                "audio_s_per_s": thr,
+                "forward_s_per_window": fwd_time,
+                "features_s_per_window": feat_time,
+                "window_s": WINDOW_S,
+                "note": "reference torch ResNet50-Conformer fwd + numpy mel, "
+                "single CPU core, shapes (1,250,4,64)",
+            },
+            indent=2,
+        )
+    )
+    log(f"cpu baseline: {thr:.3f} audio_s/s (cached to {CACHE.name})")
+    return thr
+
+
+def main():
+    tpu = measure_tpu()
+    try:
+        cpu = measure_cpu_reference()
+        ratio = tpu / cpu if cpu > 0 else float("nan")
+    except Exception as e:  # baseline is best-effort; the TPU number stands
+        log(f"cpu baseline failed: {e}")
+        ratio = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "audio-sec/sec/chip, features+inference, "
+                "ResNet50-Conformer bf16, batch 16 x 5s windows",
+                "value": round(tpu, 2),
+                "unit": "audio_s/s/chip",
+                "vs_baseline": round(ratio, 2) if np.isfinite(ratio) else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
