@@ -1,0 +1,90 @@
+"""Evaluation tests: accuracy parity semantics, SELD metric behavior on
+constructed cases, end-to-end evaluate_model over a trained checkpoint."""
+
+import numpy as np
+import pytest
+
+from seld_tpu.eval.metrics import accuracy_metrics, seld_metrics
+
+I, J, M = 18, 36, 14
+G = I * J
+BG = M - 1
+
+
+def grids(*events, frames=1):
+    """Build (1, frames, G) class grids; events are (frame, cell, cls)."""
+    g = np.full((1, frames, G), BG, np.int8)
+    for f, cell, cls in events:
+        g[0, f, cell] = cls
+    return g
+
+
+def test_accuracy_metrics_basic():
+    true = grids((0, 10, 3), (0, 20, 5))
+    pred = grids((0, 10, 3))  # one right, one missed
+    m = accuracy_metrics(pred, true, BG)
+    assert m["active_events"] == 2
+    assert m["non_bg_accuracy"] == pytest.approx(50.0)
+    assert m["overall_accuracy"] == pytest.approx((G - 1) / G * 100)
+
+
+def test_seld_perfect_prediction():
+    true = grids((0, 100, 3), (0, 200, 7))
+    m = seld_metrics(true, true, I, J, M)
+    assert m["ER"] == 0.0 and m["F"] == 1.0 and m["LR"] == 1.0
+    assert m["LE"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_seld_missed_and_spurious():
+    true = grids((0, 100, 3))
+    pred = grids((0, 200, 7))  # wrong class elsewhere
+    m = seld_metrics(pred, true, I, J, M)
+    assert m["tp"] == 0 and m["fn"] == 1 and m["fp"] == 1
+    assert m["ER"] == pytest.approx(1.0)  # 1 substitution / 1 GT event
+    assert m["F"] == 0.0 and m["LR"] == 0.0
+
+
+def test_seld_within_threshold_neighbor_cell():
+    # GT at cell (i=9, j=18); prediction one azimuth cell over (10 deg at
+    # equator < 20 deg threshold) -> TP with LE ~ 10 deg * cos(el).
+    c_true = 9 * J + 18
+    c_pred = 9 * J + 19
+    true = grids((0, c_true, 4))
+    pred = grids((0, c_pred, 4))
+    m = seld_metrics(pred, true, I, J, M)
+    assert m["tp"] == 1 and m["fn"] == 0 and m["fp"] == 0
+    assert 8.0 < m["LE"] < 11.0
+
+
+def test_seld_out_of_threshold_same_class():
+    # Same class detected but localized 90 deg away -> FN + FP, LE large.
+    c_true = 9 * J + 0
+    c_pred = 9 * J + 9  # 90 deg away in azimuth
+    true = grids((0, c_true, 4))
+    pred = grids((0, c_pred, 4))
+    m = seld_metrics(pred, true, I, J, M)
+    assert m["tp"] == 0 and m["fn"] == 1 and m["fp"] == 1
+    assert m["LE"] > 80.0
+
+
+def test_evaluate_model_end_to_end(tmp_path):
+    from tests.test_train import tiny_config
+
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path)
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0, train=True)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1, train=False)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+
+    results = evaluate_model(cfg, test_c, tmp_path / "ckpt", num_visualizations=2)
+    assert np.isfinite(results["test_loss"])
+    assert 0 <= results["overall_accuracy"] <= 100
+    assert {"ER", "F", "LE", "LR"} <= set(results["dcase"])
+    assert results["num_frames_with_events"] > 0
+    for viz in results["visualizations"]:
+        import os
+
+        assert os.path.exists(viz["save_path"])
