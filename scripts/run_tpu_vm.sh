@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# TPU-VM launch script — the reference's HPC deployment equivalent
+# (ref run_job.slurm: 1 node / 1 GPU / 4 h SLURM batch; deploy.ps1: scp of
+# the source files). On Cloud TPU the unit is a TPU VM: code syncs with
+# gcloud scp/rsync and runs directly on the VM, which owns all local chips.
+#
+# Usage:
+#   ./scripts/run_tpu_vm.sh <tpu-name> <zone> [extra config overrides...]
+# Example:
+#   ./scripts/run_tpu_vm.sh seld-v5e-8 us-west4-a train model.model_type=crnn
+set -euo pipefail
+
+TPU_NAME="${1:?tpu name}"
+ZONE="${2:?zone}"
+COMMAND="${3:-train}"
+shift 3 || true
+
+REPO_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+
+# 1) Sync the framework to the TPU VM (all workers).
+gcloud compute tpus tpu-vm scp --recurse "${REPO_DIR}/seld_tpu" \
+  "${TPU_NAME}:~/seld_tpu_run/" --zone "${ZONE}" --worker=all
+gcloud compute tpus tpu-vm scp "${REPO_DIR}/bench.py" \
+  "${TPU_NAME}:~/seld_tpu_run/" --zone "${ZONE}" --worker=all
+
+# 2) Launch training. Logs stream back; checkpoints land on the VM disk
+#    (point data.checkpoint_path at a GCS fuse mount for durability).
+gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all \
+  --command "cd ~/seld_tpu_run && python -m seld_tpu.cli ${COMMAND} $*"

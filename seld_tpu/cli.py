@@ -1,0 +1,174 @@
+"""Command-line entry point.
+
+The reference's entry is `python main.py` with NO flags — behavior changes
+require editing config.py (ref main.py:20-141, SURVEY §5). seld_tpu gives
+the same pipeline a real CLI:
+
+  python -m seld_tpu.cli train  [--synthetic] [--resume] [k.e.y=value ...]
+  python -m seld_tpu.cli eval   [--synthetic] [k.e.y=value ...]
+  python -m seld_tpu.cli verify                       # shape contracts
+  python -m seld_tpu.cli info                         # devices/config
+
+Every config knob is overridable as dotted key=value (e.g.
+model.model_type=crnn loss.loss_type=ce train.batch_size=8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from seld_tpu.config import Config, parse_overrides
+from seld_tpu.utils import describe_devices, setup_logging
+
+
+def _build_corpora(cfg: Config, synthetic: bool, logger):
+    if synthetic:
+        logger.info("Using synthetic data (no STARSS22 corpus required)")
+        from seld_tpu.data import synthetic_corpus
+
+        train_c = synthetic_corpus(cfg, n_files=2, seconds=30.0, seed=0, train=True)
+        test_c = synthetic_corpus(cfg, n_files=1, seconds=20.0, seed=1, train=False)
+        return train_c, test_c
+
+    from seld_tpu.data import build_corpus, discover_files
+
+    tr_a, tr_m, te_a, te_m = discover_files(cfg.data)
+    logger.info("Discovered %d train / %d test files", len(tr_a), len(te_a))
+    train_c = build_corpus(
+        tr_a, tr_m, cfg.features, cfg.grid, cfg.window, cfg.targets, train=True
+    )
+    test_c = build_corpus(
+        te_a, te_m, cfg.features, cfg.grid, cfg.window, cfg.targets, train=False
+    )
+    return train_c, test_c
+
+
+def _make_mesh_if_multidevice(cfg: Config, logger):
+    import jax
+
+    if cfg.mesh.enable == "off" or jax.device_count() <= 1:
+        return None
+    if cfg.mesh.enable == "auto" and jax.default_backend() == "cpu":
+        # Virtual CPU devices emulate sharding for tests/dryruns; the
+        # single-host thread pool can starve long-program collective
+        # rendezvous, so auto mode stays single-device on CPU.
+        logger.info("mesh.enable=auto on CPU backend: staying single-device")
+        return None
+    from seld_tpu.parallel import make_mesh
+
+    n_model = max(1, cfg.mesh.model_axis)
+    mesh = make_mesh(n_data=cfg.mesh.data_axis, n_model=n_model)
+    logger.info("Mesh: %s over axes %s", mesh.devices.shape, mesh.axis_names)
+    return mesh
+
+
+def cmd_train(cfg: Config, args, logger):
+    from seld_tpu.train import train_model
+
+    train_c, test_c = _build_corpora(cfg, args.synthetic, logger)
+    mesh = _make_mesh_if_multidevice(cfg, logger)
+    state, history = train_model(
+        cfg, train_c, test_c, mesh=mesh,
+        workdir=cfg.data.checkpoint_path, resume=args.resume,
+    )
+    logger.info(
+        "Done: best train %.6f (epoch %d), best test %.6f",
+        history["best_train_loss"], history["best_epoch"],
+        history["best_test_loss"],
+    )
+    if args.eval_after:
+        return cmd_eval(cfg, args, logger)
+    return 0
+
+
+def cmd_eval(cfg: Config, args, logger):
+    from seld_tpu.eval import evaluate_model
+
+    _, test_c = _build_corpora(cfg, args.synthetic, logger)
+    results = evaluate_model(
+        cfg, test_c, cfg.data.checkpoint_path,
+        num_visualizations=args.num_visualizations,
+    )
+    printable = {k: v for k, v in results.items() if k != "visualizations"}
+    print(json.dumps(printable, indent=2, default=str))
+    return 0
+
+
+def cmd_verify(cfg: Config, args, logger):
+    """Shape-contract verifier (the reference's verify_dims.py:10-114)."""
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.config import ModelConfig
+    from seld_tpu.models import build_model, init_variables
+
+    b, t = 2, args.frames
+    x = jnp.zeros((b, t, cfg.model.n_channels, cfg.model.n_mels), jnp.float32)
+    expect = (b, t, cfg.grid.n_cells, cfg.grid.num_classes)
+    failures = 0
+    for model_type in ("cnn", "crnn", "conformer", "resnet_conformer"):
+        mcfg = ModelConfig(model_type=model_type, compute_dtype="float32")
+        model = build_model(mcfg, cfg.grid)
+        variables = init_variables(model, jax.random.PRNGKey(0), x)
+        out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+        n_params = sum(
+            int(p.size) for p in jax.tree_util.tree_leaves(variables["params"])
+        )
+        ok = out.shape == expect and bool(jnp.isfinite(out).all())
+        failures += not ok
+        print(
+            f"{model_type:>18}: {x.shape} -> {out.shape} "
+            f"{'OK' if ok else 'FAIL'} | {n_params:,} params"
+        )
+    return 1 if failures else 0
+
+
+def cmd_info(cfg: Config, args, logger):
+    from seld_tpu.config import config_to_dict
+
+    info = describe_devices(logger)
+    print(json.dumps({"devices": info, "config": config_to_dict(cfg)}, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="seld_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("overrides", nargs="*", help="config overrides k.e.y=value")
+    common.add_argument("--synthetic", action="store_true",
+                        help="use synthetic data instead of STARSS22 on disk")
+
+    p_train = sub.add_parser("train", parents=[common])
+    p_train.add_argument("--resume", action="store_true")
+    p_train.add_argument("--eval-after", action="store_true")
+    p_train.add_argument("--num-visualizations", type=int, default=5)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser("eval", parents=[common])
+    p_eval.add_argument("--num-visualizations", type=int, default=5)
+    p_eval.set_defaults(fn=cmd_eval)
+
+    p_verify = sub.add_parser("verify", parents=[common])
+    p_verify.add_argument("--frames", type=int, default=250)
+    p_verify.set_defaults(fn=cmd_verify)
+
+    p_info = sub.add_parser("info", parents=[common])
+    p_info.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    logger, log_file = setup_logging(experiment_name=f"seld_tpu_{args.command}")
+    logger.info("Log file: %s", log_file)
+    cfg = parse_overrides(Config(), args.overrides)
+    try:
+        return args.fn(cfg, args, logger)
+    except Exception:
+        logger.exception("%s failed", args.command)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -257,6 +257,10 @@ class TrainConfig:
     keep_last_n_checkpoints: int = 3
     seed: int = 0
     log_every_steps: int = 10
+    # jax.profiler trace of the first N steps of the first epoch into
+    # <output>/profile (TPU addition; the reference has no profiling,
+    # SURVEY §5).
+    profile_steps: int = 0
 
 
 @dataclass(frozen=True)
@@ -265,8 +269,14 @@ class MeshConfig:
 
     axes: data (batch sharding), model (tensor-parallel sharding of wide
     layers). Defaults to all devices on the data axis.
+
+    enable: "auto" builds a mesh when >1 device is visible on a real
+    accelerator backend; "on" forces one (incl. virtual CPU devices —
+    note single-core CPU emulation can starve 8-way collective
+    rendezvous on long programs); "off" stays single-device.
     """
 
+    enable: str = "auto"
     data_axis: int = -1  # -1 => all remaining devices
     model_axis: int = 1
 

@@ -131,15 +131,26 @@ def train_model(
     best_test = float("inf")
     epoch = start_epoch - 1
 
+    profiling = cfg.train.profile_steps > 0
+
     for epoch in range(start_epoch, cfg.train.num_epochs + 1):
         t0 = time.time()
         step_rng = jax.random.fold_in(rng, epoch)
 
         train_metrics = []
-        for batch in train_iter:
+        for i, batch in enumerate(train_iter):
+            if profiling and epoch == start_epoch and i == 1:
+                profile_dir = str(Path(cfg.data.output_path) / "profile")
+                jax.profiler.start_trace(profile_dir)
+                log.info("profiler trace started -> %s", profile_dir)
             mel, mask, em = _device_batch(batch, mesh)
             state, metrics = train_step(state, mel, mask, em, step_rng)
             train_metrics.append(metrics)
+            if profiling and epoch == start_epoch and i == cfg.train.profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info("profiler trace captured (%d steps)", cfg.train.profile_steps)
         train_avg = _epoch_mean(train_metrics)
 
         eval_metrics = []
