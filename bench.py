@@ -53,19 +53,30 @@ def measure_tpu() -> float:
     import jax.numpy as jnp
 
     from seld_tpu.config import Config
-    from seld_tpu.features import log_mel_spectrogram
+    from seld_tpu.features import frame_signal, log_mel_spectrogram
     from seld_tpu.models import build_model, init_variables
 
     cfg = Config()
     model = build_model(cfg.model, cfg.grid)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from seld_tpu.ops.mel_pallas import log_mel_frames_pallas
+
+    def features(wave):  # (B, 4, N) -> (B, T, 4, 64)
+        if on_tpu:
+            frames = frame_signal(wave, 960, 480)  # (B, 4, T, 960)
+            b, c, t, nf = frames.shape
+            mel = log_mel_frames_pallas(frames.reshape(-1, nf))
+            mel = mel.reshape(b, c, t, 64)
+            return jnp.transpose(mel, (0, 2, 1, 3))[:, :WIN_FRAMES]
+        mel = log_mel_spectrogram(wave)  # (B, 4, 64, T)
+        return jnp.transpose(mel, (0, 3, 1, 2))[:, :WIN_FRAMES]
 
     @jax.jit
     def chained(variables, wave, n):  # n: traced scalar -> single compile
         def body(i, acc):
             w = wave + i.astype(jnp.float32) * 1e-6  # defeat CSE across iters
-            mel = log_mel_spectrogram(w)  # (B, 4, 64, T)
-            mel = jnp.transpose(mel, (0, 3, 1, 2))[:, :WIN_FRAMES]
-            out = model.apply(variables, mel, train=False)
+            out = model.apply(variables, features(w), train=False)
             return acc + out.mean()
 
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
