@@ -261,6 +261,11 @@ class TrainConfig:
     # <output>/profile (TPU addition; the reference has no profiling,
     # SURVEY §5).
     profile_steps: int = 0
+    # Render the loss-component dashboard from one test batch every N
+    # epochs (0 = off). The gaussian monolith renders every 5
+    # (ref smrl_seld_gaussian.py:1629-1650); the modular path has it
+    # disabled (ref trainer.py:317-339).
+    viz_loss_components_every: int = 0
 
 
 @dataclass(frozen=True)

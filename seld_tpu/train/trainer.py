@@ -187,6 +187,35 @@ def train_model(
             ckpt.save_rolling(epoch, state, train_avg["loss"], test_avg["loss"])
             log.info("  Rolling checkpoint saved (epoch %d)", epoch)
 
+        viz_every = cfg.train.viz_loss_components_every
+        if viz_every > 0 and epoch % viz_every == 0:
+            try:
+                from seld_tpu.targets.rasterize import decode_class_bitmask
+                from seld_tpu.viz import visualize_loss_components
+
+                batch = next(iter(
+                    BatchIterator(test_corpus, cfg.train.batch_size,
+                                  shuffle=False, prefetch=0)
+                ))
+                mel = jnp.asarray(batch.mel)
+                logits = jax.jit(
+                    lambda s, x: model.apply(s.variables(), x, train=False)
+                )(state, mel)
+                targets = decode_class_bitmask(
+                    jnp.asarray(batch.label_mask), cfg.grid.num_classes
+                )
+                # frame with the most activity in the first window
+                frame = int(np.argmax((batch.label_mask[0] != 0).sum(-1)))
+                visualize_loss_components(
+                    logits, targets,
+                    n_el=cfg.grid.n_el, n_az=cfg.grid.n_az,
+                    frame_idx=frame, epoch=epoch,
+                    save_dir=Path(cfg.data.output_path) / "train_visualizations",
+                )
+                log.info("  Loss-component dashboard rendered (epoch %d)", epoch)
+            except Exception as e:
+                log.warning("  loss-component viz failed: %s", e)
+
         if stopper.step(train_avg["loss"], epoch):
             log.info(
                 "EARLY STOPPING at epoch %d (no train improvement for %d epochs; "

@@ -85,6 +85,21 @@ def test_single_train_step_reduces_loss(tmp_path):
     assert int(state.step) == 5
 
 
+def test_loss_component_viz_hook(tmp_path):
+    # gaussian-monolith behavior: dashboard every N epochs
+    # (ref smrl_seld_gaussian.py:1629-1650)
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path)
+    cfg = cfg.replace_path("train.viz_loss_components_every", 1)
+    cfg = cfg.replace_path("train.num_epochs", 1)
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    viz_dir = tmp_path / "outputs" / "train_visualizations"
+    assert any(viz_dir.glob("loss_components_*.png"))
+
+
 def test_end_to_end_smoke_train_with_resume(tmp_path):
     from seld_tpu.train import train_model
     from seld_tpu.train.checkpoint import load_checkpoint_config
