@@ -1,0 +1,50 @@
+"""Tool tests: augmentation comparison (notebook C24 parity) and the
+gaussian-monolith-mode full pipeline."""
+
+import numpy as np
+
+from seld_tpu.config import Config, parse_overrides
+from seld_tpu.data import synthetic_corpus
+from seld_tpu.tools.augment_compare import compare_augmentation
+
+
+def test_compare_augmentation(tmp_path):
+    rows = np.array(
+        [[0, 3, 0, 10, 20], [1, 3, 0, 12, 22], [2, 7, 1, -170, -50]], np.int64
+    )
+    meta = tmp_path / "m.csv"
+    np.savetxt(meta, rows, fmt="%d", delimiter=",")
+    stats = compare_augmentation(meta, total_frames=20, save_dir=tmp_path)
+    assert stats["gaussian_active_cells"] >= stats["point_active_cells"]
+    assert stats["inflation_ratio"] >= 1.0
+    assert stats["frames_with_events"] == 15  # 3 metadata frames x fanout 5
+    import os
+
+    assert os.path.exists(stats["figure"])
+
+
+def test_gaussian_monolith_mode_pipeline(tmp_path):
+    """The reference's gaussian-monolith configuration end to end:
+    CSPDarkNet + Gaussian-region train targets + full 3-term loss
+    (ref smrl_seld_gaussian.py:2080-2127, 1059-1070)."""
+    from seld_tpu.train import train_model
+
+    cfg = parse_overrides(
+        Config(),
+        [
+            "model.model_type=cnn",
+            "model.compute_dtype=float32",
+            "targets.use_gaussian_augmentation=true",
+            "loss.use_aiur=true",
+            "loss.use_cl=true",
+            "window.window_seconds=0.5",
+            "window.hop_seconds=0.5",
+            "train.batch_size=2",
+            "train.num_epochs=1",
+            f"data.base_path={tmp_path}",
+        ],
+    )
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=0, train=True)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1, train=False)
+    state, history = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    assert np.isfinite(history["train_losses"][0])
