@@ -1,0 +1,168 @@
+"""Inference / serving: WAV in -> per-frame grid predictions + event rows.
+
+The reference has no standalone inference path — prediction exists only
+inside test_model's evaluation loop (ref trainer.py:394-711). This module
+provides the serving story: load a checkpoint once (architecture rebuilt
+from the config stored inside it), then stream audio files through a
+single jitted program (fused mel front-end -> backbone -> argmax grid)
+with fixed-shape window batches, and decode the grid back into
+STARSS22-style metadata rows (100 ms frames, class, azimuth, elevation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seld_tpu.config import Config
+from seld_tpu.data.audio import load_wav
+from seld_tpu.data.corpus import compute_mel_features
+from seld_tpu.grid import cell_centers
+from seld_tpu.models import build_model
+from seld_tpu.train.checkpoint import CheckpointManager, load_checkpoint_config
+from seld_tpu.train.optimizer import make_optimizer
+from seld_tpu.train.state import create_train_state
+from seld_tpu.utils.logging import get_logger
+
+
+@dataclass
+class Prediction:
+    """Per-frame grid predictions for one clip."""
+
+    classes: np.ndarray  # (T, G) int8 argmax class per cell
+    n_el: int
+    n_az: int
+    num_classes: int
+
+    @property
+    def background_class(self) -> int:
+        return self.num_classes - 1
+
+    def events(self) -> list[tuple[int, int, int, int]]:
+        """Active cells as (frame_20ms, class, azimuth_deg, elevation_deg)
+        at grid-cell-center resolution."""
+        el, az = cell_centers(self.n_el, self.n_az)
+        t_idx, cell_idx = np.nonzero(self.classes != self.background_class)
+        out = []
+        for t, c in zip(t_idx, cell_idx):
+            i, j = divmod(int(c), self.n_az)
+            out.append(
+                (int(t), int(self.classes[t, c]), int(round(az[j])), int(round(el[i])))
+            )
+        return out
+
+    def to_metadata_rows(self, min_votes: int = 3) -> np.ndarray:
+        """Collapse 20 ms frames back to 100 ms STARSS22 metadata rows
+        (frame, class, source=0, azimuth, elevation): a (class, cell) is
+        emitted for a metadata frame when active in >= min_votes of its 5
+        label frames (the inverse of the rasterizer's 5x fanout,
+        ref dataset.py:67-70)."""
+        t, g = self.classes.shape
+        fanout = 5
+        n_meta = t // fanout
+        el, az = cell_centers(self.n_el, self.n_az)
+        rows = []
+        cls = self.classes[: n_meta * fanout].reshape(n_meta, fanout, g)
+        for mf in range(n_meta):
+            block = cls[mf]  # (5, G)
+            for c in range(g):
+                vals, counts = np.unique(block[:, c], return_counts=True)
+                for v, n in zip(vals, counts):
+                    if v != self.background_class and n >= min_votes:
+                        i, j = divmod(c, self.n_az)
+                        rows.append(
+                            (mf, int(v), 0, int(round(az[j])), int(round(el[i])))
+                        )
+        return np.asarray(rows, np.int64).reshape(-1, 5)
+
+
+class SELDPredictor:
+    """Checkpoint-backed predictor with a single compiled forward."""
+
+    def __init__(self, checkpoint_dir, cfg: Config | None = None,
+                 batch_windows: int = 8):
+        stored = load_checkpoint_config(checkpoint_dir)
+        if stored is None and cfg is None:
+            raise FileNotFoundError(f"no checkpoint config under {checkpoint_dir}")
+        self.cfg = stored if stored is not None else cfg
+        self.batch_windows = batch_windows
+        self.win = self.cfg.window.window_frames(self.cfg.features)
+
+        self.model = build_model(self.cfg.model, self.cfg.grid)
+        optimizer = make_optimizer(self.cfg.train.learning_rate)
+        sample = jnp.zeros(
+            (batch_windows, self.win, self.cfg.model.n_channels,
+             self.cfg.model.n_mels),
+            jnp.float32,
+        )
+        template = create_train_state(
+            self.model, optimizer, jax.random.PRNGKey(0), sample
+        )
+        mgr = CheckpointManager(checkpoint_dir, self.cfg)
+        restored = mgr.restore_best(template) or mgr.restore_latest(template)
+        mgr.close()
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint found under {checkpoint_dir}")
+        self.state, self.meta = restored
+        get_logger().info(
+            "Predictor: %s from epoch %d",
+            self.cfg.model.model_type, self.meta["epoch"],
+        )
+
+        @jax.jit
+        def forward(state, mel):  # (B, win, C, F) -> (B, win, G) int8
+            logits = self.model.apply(state.variables(), mel, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int8)
+
+        self._forward = forward
+
+    def predict_waveform(self, wave: np.ndarray) -> Prediction:
+        """wave: float32 (C, N) at the configured sample rate."""
+        cfg = self.cfg
+        mel = compute_mel_features(wave, cfg.features)  # (T, C, F)
+        t_total = mel.shape[0]
+        win, bw = self.win, self.batch_windows
+
+        n_windows = -(-t_total // win)  # non-overlapping tiling
+        pad_t = n_windows * win - t_total
+        if pad_t:
+            mel = np.concatenate(
+                [mel, np.zeros((pad_t, *mel.shape[1:]), mel.dtype)], axis=0
+            )
+        windows = mel.reshape(n_windows, win, *mel.shape[1:])
+
+        outs = []
+        for start in range(0, n_windows, bw):
+            chunk = windows[start : start + bw]
+            n_valid = chunk.shape[0]
+            if n_valid < bw:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bw - n_valid, *chunk.shape[1:]), chunk.dtype)]
+                )
+            out = np.asarray(self._forward(self.state, jnp.asarray(chunk)))
+            outs.append(out[:n_valid])
+        classes = np.concatenate(outs, axis=0).reshape(n_windows * win, -1)
+        return Prediction(
+            classes=classes[:t_total],
+            n_el=cfg.grid.n_el,
+            n_az=cfg.grid.n_az,
+            num_classes=cfg.grid.num_classes,
+        )
+
+    def predict_file(self, wav_path, csv_out=None) -> Prediction:
+        """Decode a WAV, predict, optionally write STARSS22-style CSV."""
+        wave, sr = load_wav(wav_path)
+        assert sr == self.cfg.features.sample_rate, (
+            f"{wav_path}: sample rate {sr} != configured "
+            f"{self.cfg.features.sample_rate}"
+        )
+        pred = self.predict_waveform(wave)
+        if csv_out is not None:
+            rows = pred.to_metadata_rows()
+            Path(csv_out).parent.mkdir(parents=True, exist_ok=True)
+            np.savetxt(csv_out, rows, fmt="%d", delimiter=",")
+        return pred
