@@ -125,6 +125,23 @@ def cmd_verify(cfg: Config, args, logger):
     return 1 if failures else 0
 
 
+def cmd_predict(cfg: Config, args, logger):
+    """Serve: WAV file(s) -> STARSS22-style event CSV per clip."""
+    from pathlib import Path
+
+    from seld_tpu.infer import SELDPredictor
+
+    predictor = SELDPredictor(cfg.data.checkpoint_path, cfg)
+    out_dir = Path(args.out or cfg.data.output_path) / "predictions"
+    for wav in args.wavs:
+        csv_out = out_dir / f"{Path(wav).stem}.csv"
+        pred = predictor.predict_file(wav, csv_out=csv_out)
+        n_events = len(pred.events())
+        logger.info("%s: %d frames, %d active cells -> %s",
+                    wav, pred.classes.shape[0], n_events, csv_out)
+    return 0
+
+
 def cmd_info(cfg: Config, args, logger):
     from seld_tpu.config import config_to_dict
 
@@ -155,6 +172,11 @@ def main(argv=None) -> int:
     p_verify = sub.add_parser("verify", parents=[common])
     p_verify.add_argument("--frames", type=int, default=250)
     p_verify.set_defaults(fn=cmd_verify)
+
+    p_pred = sub.add_parser("predict", parents=[common])
+    p_pred.add_argument("--wavs", nargs="+", required=True)
+    p_pred.add_argument("--out", default=None)
+    p_pred.set_defaults(fn=cmd_predict)
 
     p_info = sub.add_parser("info", parents=[common])
     p_info.set_defaults(fn=cmd_info)
