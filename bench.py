@@ -28,6 +28,12 @@ import numpy as np
 REPO = Path(__file__).parent
 CACHE = REPO / "BASELINE_CPU.json"
 
+# Persistent XLA compile cache: repeat bench runs skip the ~4 min compile.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BATCH = 16
 WINDOW_S = 5.0
 SR = 24_000
@@ -185,7 +191,38 @@ def measure_cpu_reference() -> float:
     return thr
 
 
+def wait_for_accelerator(max_wait_s: float = 900.0) -> None:
+    """The tunneled TPU grant can be briefly unavailable (e.g. right after
+    a killed client; the stale lease must time out). Probe with short
+    subprocess attempts — a hung in-process backend init can't be
+    interrupted — until a trivial op succeeds."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"
+    )
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=90, check=True, capture_output=True,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"accelerator unavailable after {max_wait_s}s"
+                ) from e
+            log(f"accelerator probe {attempt} failed; retrying...")
+            time.sleep(20)
+
+
 def main():
+    wait_for_accelerator()
     tpu = measure_tpu()
     try:
         cpu = measure_cpu_reference()
