@@ -51,6 +51,32 @@ def test_early_stopping_semantics():
     assert e.best_epoch == 2
 
 
+def test_injected_learning_rate_rewrite():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seld_tpu.train import (
+        current_learning_rate,
+        make_optimizer,
+        set_learning_rate,
+    )
+
+    params = {"w": jnp.ones((4, 4))}
+    opt = make_optimizer(1e-3, weight_decay=0.0)
+    opt_state = opt.init(params)
+    assert current_learning_rate(opt_state) == pytest.approx(1e-3)
+
+    grads = {"w": jnp.ones((4, 4))}
+    opt_state0 = set_learning_rate(opt_state, 0.0)
+    updates, _ = opt.update(grads, opt_state0, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), 0.0)
+
+    opt_state2 = set_learning_rate(opt_state, 0.5)
+    updates2, _ = opt.update(grads, opt_state2, params)
+    assert float(jnp.abs(updates2["w"]).max()) > 0.0
+    assert current_learning_rate(opt_state2) == pytest.approx(0.5)
+
+
 def test_single_train_step_reduces_loss(tmp_path):
     import jax
     import jax.numpy as jnp
