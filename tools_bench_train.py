@@ -1,0 +1,117 @@
+"""Train-step performance decomposition on the real TPU (diagnostic).
+
+Brackets where the 36 ms flagship train step goes: forward-only vs
+forward+backward vs full step (optimizer included), plus batch scaling.
+Single process, runs to completion (killing TPU clients wedges the
+tunneled grant).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seld_tpu.config import Config
+from seld_tpu.losses import SELDLossFn
+from seld_tpu.models import build_model
+from seld_tpu.targets.rasterize import decode_class_bitmask
+from seld_tpu.train import create_train_state, make_optimizer, make_train_step
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed_chain(make_body, init_carry, n_delta=10):
+    @jax.jit
+    def chained(carry, n):
+        return jax.lax.fori_loop(0, n, make_body, carry)
+
+    c = chained(init_carry, 1)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), c)
+
+    def t(n):
+        t0 = time.time()
+        out = chained(init_carry, n)
+        # scalar read-back forces real completion on the tunneled backend
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf)) if leaf.ndim else float(leaf)
+        return time.time() - t0
+
+    t1 = t(1)
+    t11 = t(1 + n_delta)
+    return (t11 - t1) / n_delta
+
+
+def main():
+    cfg = Config()
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+
+    for batch in (16, 32):
+        T = 250
+        mel = jax.random.normal(jax.random.PRNGKey(0), (batch, T, 4, 64), jnp.float32)
+        mask = jnp.zeros((batch, T, 648), jnp.int32).at[:, :, 100].set(8)
+        em = jnp.ones((batch,), jnp.float32)
+        state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
+        rng = jax.random.PRNGKey(1)
+
+        # (a) forward only
+        def fwd_body(i, acc):
+            out = model.apply(
+                state.variables(), mel + i.astype(jnp.float32) * 1e-6, train=False
+            )
+            return acc + out.mean()
+
+        t_fwd = timed_chain(fwd_body, jnp.zeros(()))
+        log(f"B={batch} fwd-only: {t_fwd * 1e3:.2f} ms")
+
+        # (b) forward + backward (no optimizer)
+        targets = decode_class_bitmask(mask, 14)
+
+        grad_fn = jax.grad(
+            lambda p, x: loss_fn(
+                model.apply(
+                    {"params": p, "batch_stats": state.batch_stats},
+                    x, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )[0],
+                targets, em,
+            ).total
+        )
+
+        def bwd_body(i, acc):
+            g = grad_fn(state.params, mel + i.astype(jnp.float32) * 1e-6)
+            return acc + jax.tree_util.tree_leaves(g)[0].mean()
+
+        t_bwd = timed_chain(bwd_body, jnp.zeros(()))
+        log(f"B={batch} fwd+bwd:  {t_bwd * 1e3:.2f} ms")
+
+        # (c) full train step
+        step = make_train_step(model, loss_fn, opt, 14, donate=False)
+
+        def step_body(i, carry):
+            s, _ = carry
+            s, met = step.__wrapped__(
+                s, mel + i.astype(jnp.float32) * 1e-6, mask, em, rng
+            )
+            return (s, met["loss"])
+
+        t_step = timed_chain(step_body, (state, jnp.zeros(())))
+        thr = batch * 5.0 / t_step
+        log(
+            f"B={batch} full step: {t_step * 1e3:.2f} ms "
+            f"(optimizer {1e3 * (t_step - t_bwd):.2f} ms) -> {thr:.0f} audio-s/s"
+        )
+
+
+if __name__ == "__main__":
+    main()
