@@ -153,6 +153,19 @@ def train_model(
                 log.info("profiler trace captured (%d steps)", cfg.train.profile_steps)
         train_avg = _epoch_mean(train_metrics)
 
+        # Failure detection (SURVEY §5: the reference has none — its only
+        # recovery is manual restart from epoch 1): a non-finite training
+        # loss aborts with an emergency checkpoint for post-mortem/resume.
+        if not np.isfinite(train_avg["loss"]):
+            log.error(
+                "Non-finite train loss %.6f at epoch %d — saving emergency "
+                "checkpoint and aborting", train_avg["loss"], epoch,
+            )
+            ckpt.save_rolling(epoch, state, train_avg["loss"], float("inf"))
+            ckpt.wait()
+            history["aborted_epoch"] = epoch
+            break
+
         eval_metrics = []
         for batch in test_iter:
             mel, mask, em = _device_batch(batch, mesh)

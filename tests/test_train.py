@@ -126,6 +126,20 @@ def test_loss_component_viz_hook(tmp_path):
     assert any(viz_dir.glob("loss_components_*.png"))
 
 
+def test_nan_loss_failure_detection(tmp_path):
+    # exploding LR -> non-finite loss -> emergency checkpoint + abort
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path)
+    cfg = cfg.replace_path("train.learning_rate", 1e30)
+    cfg = cfg.replace_path("train.num_epochs", 5)
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    state, history = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    assert "aborted_epoch" in history
+    assert (tmp_path / "ckpt" / "rolling").exists()
+
+
 def test_end_to_end_smoke_train_with_resume(tmp_path):
     from seld_tpu.train import train_model
     from seld_tpu.train.checkpoint import load_checkpoint_config
