@@ -126,6 +126,19 @@ def test_loss_component_viz_hook(tmp_path):
     assert any(viz_dir.glob("loss_components_*.png"))
 
 
+def test_profiler_trace_hook(tmp_path):
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path)
+    cfg = cfg.replace_path("train.profile_steps", 1)
+    cfg = cfg.replace_path("train.num_epochs", 1)
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    prof = tmp_path / "outputs" / "profile"
+    assert prof.exists() and any(prof.rglob("*"))
+
+
 def test_nan_loss_failure_detection(tmp_path):
     # exploding LR -> non-finite loss -> emergency checkpoint + abort
     from seld_tpu.train import train_model
