@@ -98,45 +98,55 @@ def seld_metrics(
     frame_fn = np.zeros(n_frames, np.int64)
     frame_n = np.zeros(n_frames, np.int64)  # GT event count per frame
 
-    # Sparse pass: only frames with any event or prediction cost work.
-    interesting = np.nonzero(
-        (true != bg).any(axis=1) | (pred != bg).any(axis=1)
-    )[0]
-    for f in interesting:
-        t_cells = np.nonzero(true[f] != bg)[0]
-        p_cells = np.nonzero(pred[f] != bg)[0]
-        t_by_class = {}
-        for c in t_cells:
-            t_by_class.setdefault(true[f, c], []).append(c)
-        p_by_class = {}
-        for c in p_cells:
-            p_by_class.setdefault(pred[f, c], []).append(c)
+    # Sparse vectorized pass: work on (frame, class) keys of active cells.
+    def keyed(arr):
+        f_idx, c_idx = np.nonzero(arr != bg)  # (K,) frames / cells
+        keys = f_idx.astype(np.int64) * num_classes + arr[f_idx, c_idx]
+        order = np.argsort(keys, kind="stable")
+        return keys[order], c_idx[order]
 
-        frame_n[f] = len(t_by_class)
-        for cls, t_cl in t_by_class.items():
-            p_cl = p_by_class.pop(cls, None)
-            if p_cl is None:
-                fn += 1
-                frame_fn[f] += 1
-                continue
-            d = _angular_distance_deg(
-                el_r[p_cl][:, None], az_r[p_cl][:, None],
-                el_r[t_cl][None, :], az_r[t_cl][None, :],
-            )
-            dmin = float(d.min())
-            le_sum += dmin
-            le_count += 1
-            if dmin <= doa_threshold_deg:
-                tp += 1
-            else:
-                # detected the class but localized it out of threshold:
-                # counts as both a missed GT and a false prediction
-                fn += 1
-                fp += 1
-                frame_fn[f] += 1
-                frame_fp[f] += 1
-        fp += len(p_by_class)  # predicted classes with no GT counterpart
-        frame_fp[f] += len(p_by_class)
+    t_keys, t_cells = keyed(true)
+    p_keys, p_cells = keyed(pred)
+    t_uniq, t_starts = np.unique(t_keys, return_index=True)
+    p_uniq, p_starts = np.unique(p_keys, return_index=True)
+    t_ends = np.append(t_starts[1:], len(t_keys))
+    p_ends = np.append(p_starts[1:], len(p_keys))
+
+    np.add.at(frame_n, (t_uniq // num_classes).astype(np.int64), 1)
+
+    # Unmatched (frame, class) keys are pure FN / FP — fully vectorized.
+    matched_mask_t = np.isin(t_uniq, p_uniq)
+    matched_mask_p = np.isin(p_uniq, t_uniq)
+    fn_keys = t_uniq[~matched_mask_t]
+    fp_keys = p_uniq[~matched_mask_p]
+    fn += len(fn_keys)
+    fp += len(fp_keys)
+    np.add.at(frame_fn, (fn_keys // num_classes).astype(np.int64), 1)
+    np.add.at(frame_fp, (fp_keys // num_classes).astype(np.int64), 1)
+
+    # Matched keys need the min angular distance between cell sets.
+    t_pos = np.nonzero(matched_mask_t)[0]
+    p_pos = np.searchsorted(p_uniq, t_uniq[t_pos])
+    for ti, pi in zip(t_pos, p_pos):
+        t_cl = t_cells[t_starts[ti] : t_ends[ti]]
+        p_cl = p_cells[p_starts[pi] : p_ends[pi]]
+        d = _angular_distance_deg(
+            el_r[p_cl][:, None], az_r[p_cl][:, None],
+            el_r[t_cl][None, :], az_r[t_cl][None, :],
+        )
+        dmin = float(d.min())
+        le_sum += dmin
+        le_count += 1
+        f = int(t_uniq[ti]) // num_classes
+        if dmin <= doa_threshold_deg:
+            tp += 1
+        else:
+            # detected the class but localized it out of threshold:
+            # counts as both a missed GT and a false prediction
+            fn += 1
+            fp += 1
+            frame_fn[f] += 1
+            frame_fp[f] += 1
 
     # Segment-based ER
     n_segments = -(-n_frames // frames_per_segment)

@@ -29,24 +29,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed_chain(make_body, init_carry, n_delta=10):
-    @jax.jit
-    def chained(carry, n):
-        return jax.lax.fori_loop(0, n, make_body, carry)
+def timed_python_chain(step_once, n_delta=10):
+    """Time a jitted callable via python-loop dispatch + final scalar
+    read-back. Valid on one in-order device: the last program's completion
+    implies all prior programs completed (the tunneled backend's
+    block_until_ready returns early, so we sync by fetching a scalar).
+    Avoids giant fori-loop HLOs that the remote-compile endpoint rejects
+    (HTTP 413)."""
 
-    c = chained(init_carry, 1)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), c)
-
-    def t(n):
+    def run(n):
+        out = None
         t0 = time.time()
-        out = chained(init_carry, n)
-        # scalar read-back forces real completion on the tunneled backend
+        for i in range(n):
+            out = step_once(i, out)
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(jnp.sum(leaf)) if leaf.ndim else float(leaf)
         return time.time() - t0
 
-    t1 = t(1)
-    t11 = t(1 + n_delta)
+    run(1)  # compile
+    t1 = run(1)
+    t11 = run(1 + n_delta)
     return (t11 - t1) / n_delta
 
 
@@ -65,19 +67,22 @@ def main():
         rng = jax.random.PRNGKey(1)
 
         # (a) forward only
-        def fwd_body(i, acc):
-            out = model.apply(
-                state.variables(), mel + i.astype(jnp.float32) * 1e-6, train=False
-            )
-            return acc + out.mean()
+        fwd = jax.jit(
+            lambda v, x: model.apply(v, x, train=False).mean()
+        )
+        variables = state.variables()
 
-        t_fwd = timed_chain(fwd_body, jnp.zeros(()))
+        def fwd_once(i, prev):
+            x = mel + np.float32(i) * 1e-6
+            return fwd(variables, x)
+
+        t_fwd = timed_python_chain(fwd_once)
         log(f"B={batch} fwd-only: {t_fwd * 1e3:.2f} ms")
 
         # (b) forward + backward (no optimizer)
         targets = decode_class_bitmask(mask, 14)
 
-        grad_fn = jax.grad(
+        grad_fn = jax.jit(jax.grad(
             lambda p, x: loss_fn(
                 model.apply(
                     {"params": p, "batch_stats": state.batch_stats},
@@ -86,30 +91,32 @@ def main():
                 )[0],
                 targets, em,
             ).total
-        )
+        ))
 
-        def bwd_body(i, acc):
-            g = grad_fn(state.params, mel + i.astype(jnp.float32) * 1e-6)
-            return acc + jax.tree_util.tree_leaves(g)[0].mean()
+        def bwd_once(i, prev):
+            g = grad_fn(state.params, mel + np.float32(i) * 1e-6)
+            return jax.tree_util.tree_leaves(g)[0]
 
-        t_bwd = timed_chain(bwd_body, jnp.zeros(()))
+        t_bwd = timed_python_chain(bwd_once)
         log(f"B={batch} fwd+bwd:  {t_bwd * 1e3:.2f} ms")
 
-        # (c) full train step
+        # (c) full train step (state chains through the loop)
         step = make_train_step(model, loss_fn, opt, 14, donate=False)
 
-        def step_body(i, carry):
-            s, _ = carry
-            s, met = step.__wrapped__(
-                s, mel + i.astype(jnp.float32) * 1e-6, mask, em, rng
-            )
-            return (s, met["loss"])
+        class Carrier:
+            s = state
 
-        t_step = timed_chain(step_body, (state, jnp.zeros(())))
+        def step_once(i, prev):
+            Carrier.s, met = step(
+                Carrier.s, mel + np.float32(i) * 1e-6, mask, em, rng
+            )
+            return met["loss"]
+
+        t_step = timed_python_chain(step_once)
         thr = batch * 5.0 / t_step
         log(
             f"B={batch} full step: {t_step * 1e3:.2f} ms "
-            f"(optimizer {1e3 * (t_step - t_bwd):.2f} ms) -> {thr:.0f} audio-s/s"
+            f"(optimizer+loss {1e3 * (t_step - t_bwd):.2f} ms) -> {thr:.0f} audio-s/s"
         )
 
 
