@@ -184,8 +184,8 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     logger, log_file = setup_logging(experiment_name=f"seld_tpu_{args.command}")
     logger.info("Log file: %s", log_file)
-    cfg = parse_overrides(Config(), args.overrides)
     try:
+        cfg = parse_overrides(Config(), args.overrides)
         return args.fn(cfg, args, logger)
     except Exception:
         logger.exception("%s failed", args.command)

@@ -83,18 +83,18 @@ def main():
         targets = decode_class_bitmask(mask, 14)
 
         grad_fn = jax.jit(jax.grad(
-            lambda p, x: loss_fn(
+            lambda p, x, tgt, m: loss_fn(
                 model.apply(
                     {"params": p, "batch_stats": state.batch_stats},
                     x, train=True, mutable=["batch_stats"],
                     rngs={"dropout": rng},
                 )[0],
-                targets, em,
+                tgt, m,
             ).total
         ))
 
         def bwd_once(i, prev):
-            g = grad_fn(state.params, mel + np.float32(i) * 1e-6)
+            g = grad_fn(state.params, mel + np.float32(i) * 1e-6, targets, em)
             return jax.tree_util.tree_leaves(g)[0]
 
         t_bwd = timed_python_chain(bwd_once)
