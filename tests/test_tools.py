@@ -23,6 +23,25 @@ def test_compare_augmentation(tmp_path):
     assert os.path.exists(stats["figure"])
 
 
+def test_profile_summary_tool(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.tools.profile_summary import summarize
+
+    trace_dir = tmp_path / "trace"
+    jax.profiler.start_trace(str(trace_dir))
+    x = jnp.ones((256, 256))
+    for _ in range(3):
+        x = (x @ x) * 1e-3
+    float(x.sum())
+    jax.profiler.stop_trace()
+
+    rows, plane = summarize(trace_dir, top=10)
+    assert len(rows) > 0
+    assert all(ms >= 0 for ms, _, _ in rows)
+
+
 def test_gaussian_monolith_mode_pipeline(tmp_path):
     """The reference's gaussian-monolith configuration end to end:
     CSPDarkNet + Gaussian-region train targets + full 3-term loss
