@@ -284,6 +284,9 @@ class MeshConfig:
     enable: str = "auto"
     data_axis: int = -1  # -1 => all remaining devices
     model_axis: int = 1
+    # ZeRO-1: shard Adam moments over the data axis (saves ~2/3 of
+    # optimizer memory per chip at the cost of an update all-gather).
+    shard_opt_state: bool = False
 
 
 @dataclass(frozen=True)

@@ -47,20 +47,48 @@ def param_partition_spec(path: str, ndim: int) -> P:
     return _REP(ndim)
 
 
-def _tree_paths_specs(tree):
+def _zero_spec(shape, n_data: int) -> P:
+    """ZeRO-style spec: shard the first dim divisible by the data-axis
+    size; fully replicated when none divides."""
+    for axis, s in enumerate(shape):
+        if s >= n_data and s % n_data == 0:
+            return P(*(DATA_AXIS if i == axis else None for i in range(len(shape))))
+    return P()
+
+
+def path_of(key_path) -> str:
+    """Render a tree_flatten_with_path key path as 'a/b/c'."""
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "name", k))) for k in key_path
+    )
+
+
+def _tree_paths_specs(tree, n_data_zero: int = 0):
+    """(treedef, specs). With n_data_zero > 0, optimizer-moment leaves
+    (paths containing /mu/ or /nu/) that the TP rules leave replicated are
+    sharded over the data axis instead (ZeRO-1 for Adam state: saves 2/3
+    of optimizer memory per chip; XLA inserts the all-gather when moments
+    meet replicated params in the update)."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     specs = []
     for key_path, leaf in flat:
-        path = "/".join(
-            getattr(k, "key", getattr(k, "name", str(k))) for k in key_path
-        )
-        specs.append(param_partition_spec(path, getattr(leaf, "ndim", 0)))
+        path = path_of(key_path)
+        spec = param_partition_spec(path, getattr(leaf, "ndim", 0))
+        if (
+            n_data_zero > 1
+            and spec == P()
+            and ("/mu/" in path or "/nu/" in path)
+            and getattr(leaf, "ndim", 0) >= 1
+        ):
+            spec = _zero_spec(leaf.shape, n_data_zero)
+        specs.append(spec)
     return treedef, specs
 
 
-def shard_variables(tree, mesh):
-    """Place a variables/params pytree onto the mesh per the rules."""
-    treedef, specs = _tree_paths_specs(tree)
+def shard_variables(tree, mesh, zero_opt_state: bool = False):
+    """Place a variables/params/state pytree onto the mesh per the rules."""
+    n_zero = mesh.shape[DATA_AXIS] if zero_opt_state else 0
+    treedef, specs = _tree_paths_specs(tree, n_zero)
     leaves = treedef.flatten_up_to(tree)
     placed = [
         jax.device_put(leaf, NamedSharding(mesh, spec))
@@ -69,9 +97,10 @@ def shard_variables(tree, mesh):
     return jax.tree_util.tree_unflatten(treedef, placed)
 
 
-def state_shardings(tree, mesh):
+def state_shardings(tree, mesh, zero_opt_state: bool = False):
     """NamedSharding pytree mirroring `tree` (for jit in/out_shardings)."""
-    treedef, specs = _tree_paths_specs(tree)
+    n_zero = mesh.shape[DATA_AXIS] if zero_opt_state else 0
+    treedef, specs = _tree_paths_specs(tree, n_zero)
     return jax.tree_util.tree_unflatten(
         treedef, [NamedSharding(mesh, s) for s in specs]
     )

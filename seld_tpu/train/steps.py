@@ -38,9 +38,11 @@ def _apply(model, state: TrainState, mel, train: bool, dropout_rng=None):
 
 
 def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
-                    donate: bool = True):
+                    donate: bool = True, out_state_shardings=None):
     """Returns step(state, mel, label_mask, example_mask, rng) ->
-    (state, metrics)."""
+    (state, metrics). `out_state_shardings` pins the output TrainState's
+    shardings (e.g. ZeRO-sharded optimizer moments) so GSPMD keeps them
+    stable across steps."""
 
     def step(state: TrainState, mel, label_mask, example_mask, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -75,7 +77,10 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
         metrics = {"loss": total, **breakdown}
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    kwargs = {}
+    if out_state_shardings is not None:
+        kwargs["out_shardings"] = (out_state_shardings, None)
+    return jax.jit(step, donate_argnums=(0,) if donate else (), **kwargs)
 
 
 def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,

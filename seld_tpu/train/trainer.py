@@ -32,7 +32,11 @@ from seld_tpu.data.corpus import WindowedCorpus
 from seld_tpu.data.sampler import BatchIterator
 from seld_tpu.losses import SELDLossFn
 from seld_tpu.models import build_model
-from seld_tpu.parallel.sharding import batch_sharding, shard_variables
+from seld_tpu.parallel.sharding import (
+    batch_sharding,
+    shard_variables,
+    state_shardings,
+)
 from seld_tpu.train.checkpoint import CheckpointManager
 from seld_tpu.train.optimizer import (
     current_learning_rate,
@@ -87,8 +91,11 @@ def train_model(
     )
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = create_train_state(model, optimizer, rng, sample)
+    out_state_shardings = None
     if mesh is not None:
-        state = shard_variables(state, mesh)
+        zero = cfg.mesh.shard_opt_state
+        state = shard_variables(state, mesh, zero_opt_state=zero)
+        out_state_shardings = state_shardings(state, mesh, zero_opt_state=zero)
 
     log.info("Model %s: %s parameters", cfg.model.model_type, f"{param_count(state):,}")
     log.info(
@@ -108,7 +115,10 @@ def train_model(
             start_epoch = meta["epoch"] + 1
             log.info("Resumed from rolling checkpoint at epoch %d", meta["epoch"])
 
-    train_step = make_train_step(model, loss_fn, optimizer, cfg.grid.num_classes)
+    train_step = make_train_step(
+        model, loss_fn, optimizer, cfg.grid.num_classes,
+        out_state_shardings=out_state_shardings,
+    )
     eval_step = make_eval_step(model, loss_fn, cfg.grid.num_classes)
 
     plateau = ReduceLROnPlateau(

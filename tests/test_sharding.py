@@ -114,6 +114,61 @@ def test_tp_params_actually_sharded(tmp_path):
     assert tp_shards >= 3
 
 
+def test_zero_opt_state_sharding(tmp_path):
+    """ZeRO-1: Adam moments shard over the data axis; one step matches
+    the unsharded step's loss and keeps the moment shardings."""
+    cfg = small_cfg(tmp_path)
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    mel_np, mask_np = corpus.gather(np.arange(8) % len(corpus))
+    mel, mask = jnp.asarray(mel_np), jnp.asarray(mask_np)
+    em = jnp.ones((8,), jnp.float32)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
+
+    from seld_tpu.parallel import state_shardings
+    from seld_tpu.parallel.sharding import path_of
+
+    state_z = shard_variables(state, mesh, zero_opt_state=True)
+    shardings = state_shardings(state_z, mesh, zero_opt_state=True)
+
+    # moments must actually be sharded over data
+    flat = jax.tree_util.tree_flatten_with_path(state_z.opt_state)[0]
+    n_sharded = 0
+    for kp, leaf in flat:
+        path = path_of(kp)
+        if ("/mu/" in path or "/nu/" in path) and hasattr(leaf, "sharding"):
+            if "data" in str(leaf.sharding.spec):
+                n_sharded += 1
+    assert n_sharded > 0
+
+    step = make_train_step(
+        model, loss_fn, opt, cfg.grid.num_classes, donate=False,
+        out_state_shardings=shardings,
+    )
+    melz = jax.device_put(mel, batch_sharding(mesh, mel.ndim))
+    maskz = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
+    emz = jax.device_put(em, batch_sharding(mesh, 1))
+    new_state, metrics = step(state_z, melz, maskz, emz, jax.random.PRNGKey(7))
+
+    # loss parity vs unsharded
+    step_ref = make_train_step(model, loss_fn, opt, cfg.grid.num_classes, donate=False)
+    _, metrics_ref = step_ref(state, mel, mask, em, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics_ref["loss"]), rtol=2e-4
+    )
+    # output moments keep the ZeRO sharding
+    flat_new = jax.tree_util.tree_flatten_with_path(new_state.opt_state)[0]
+    for kp, leaf in flat_new:
+        path = path_of(kp)
+        if "/mu/" in path and leaf.ndim >= 1 and leaf.shape[0] % 4 == 0:
+            assert "data" in str(leaf.sharding.spec), path
+            break
+
+
 def test_trainer_runs_under_mesh(tmp_path):
     from seld_tpu.train import train_model
 
