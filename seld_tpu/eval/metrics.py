@@ -93,6 +93,13 @@ def seld_metrics(
 
     tp = fp = fn = 0
     le_sum, le_count = 0.0, 0
+    # per-class tallies for macro aggregation (DCASE2022 reports
+    # macro-averaged F/LE/LR over classes)
+    c_tp = np.zeros(num_classes, np.int64)
+    c_fp = np.zeros(num_classes, np.int64)
+    c_fn = np.zeros(num_classes, np.int64)
+    c_le_sum = np.zeros(num_classes, np.float64)
+    c_le_cnt = np.zeros(num_classes, np.int64)
     # per-frame FP/FN counts for segment ER
     frame_fp = np.zeros(n_frames, np.int64)
     frame_fn = np.zeros(n_frames, np.int64)
@@ -123,6 +130,8 @@ def seld_metrics(
     fp += len(fp_keys)
     np.add.at(frame_fn, (fn_keys // num_classes).astype(np.int64), 1)
     np.add.at(frame_fp, (fp_keys // num_classes).astype(np.int64), 1)
+    np.add.at(c_fn, (fn_keys % num_classes).astype(np.int64), 1)
+    np.add.at(c_fp, (fp_keys % num_classes).astype(np.int64), 1)
 
     # Matched keys need the min angular distance between cell sets.
     t_pos = np.nonzero(matched_mask_t)[0]
@@ -138,13 +147,19 @@ def seld_metrics(
         le_sum += dmin
         le_count += 1
         f = int(t_uniq[ti]) // num_classes
+        cls = int(t_uniq[ti]) % num_classes
+        c_le_sum[cls] += dmin
+        c_le_cnt[cls] += 1
         if dmin <= doa_threshold_deg:
             tp += 1
+            c_tp[cls] += 1
         else:
             # detected the class but localized it out of threshold:
             # counts as both a missed GT and a false prediction
             fn += 1
             fp += 1
+            c_fn[cls] += 1
+            c_fp[cls] += 1
             frame_fn[f] += 1
             frame_fp[f] += 1
 
@@ -166,11 +181,28 @@ def seld_metrics(
     f_score = 2 * tp / max(2 * tp + fp + fn, 1)
     le = le_sum / le_count if le_count else float("nan")
     lr = tp / max(tp + fn, 1)
+
+    # Macro (class-averaged) aggregation over classes that occur in the
+    # ground truth or predictions — DCASE2022 convention.
+    active = (c_tp + c_fp + c_fn) > 0
+    active[num_classes - 1] = False  # background never scored
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cf = 2 * c_tp / np.maximum(2 * c_tp + c_fp + c_fn, 1)
+        clr = c_tp / np.maximum(c_tp + c_fn, 1)
+        cle = np.where(c_le_cnt > 0, c_le_sum / np.maximum(c_le_cnt, 1), np.nan)
+    f_macro = float(cf[active].mean()) if active.any() else 0.0
+    lr_macro = float(clr[active].mean()) if active.any() else 0.0
+    le_vals = cle[active & (c_le_cnt > 0)]
+    le_macro = float(le_vals.mean()) if le_vals.size else float("nan")
+
     return {
         "ER": float(er),
         "F": float(f_score),
         "LE": float(le),
         "LR": float(lr),
+        "F_macro": f_macro,
+        "LE_macro": le_macro,
+        "LR_macro": lr_macro,
         "tp": int(tp),
         "fp": int(fp),
         "fn": int(fn),

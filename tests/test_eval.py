@@ -67,6 +67,18 @@ def test_seld_out_of_threshold_same_class():
     assert m["LE"] > 80.0
 
 
+def test_seld_macro_aggregation():
+    # class 3 perfect (TP), class 7 missed (FN): micro F = 2/3,
+    # macro F = mean(1.0, 0.0) = 0.5
+    true = grids((0, 100, 3), (0, 300, 7))
+    pred = grids((0, 100, 3))
+    m = seld_metrics(pred, true, I, J, M)
+    assert m["F"] == pytest.approx(2 / 3)
+    assert m["F_macro"] == pytest.approx(0.5)
+    assert m["LR_macro"] == pytest.approx(0.5)
+    assert m["LE_macro"] == pytest.approx(0.0, abs=1e-3)  # only class 3 has LE
+
+
 def test_evaluate_model_end_to_end(tmp_path):
     from tests.test_train import tiny_config
 
