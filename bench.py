@@ -134,7 +134,6 @@ def measure_cpu_reference() -> float:
     finally:
         sys.path.remove("/root/reference")
 
-    torch.set_num_threads(max(1, (torch.get_num_threads() or 1)))
     model = SELD_ResNet50_Conformer().eval()
 
     # features: numpy STFT+mel with identical semantics (1 window, 4 ch)

@@ -25,3 +25,27 @@ Package layout (maps to SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Public API surface (lazy where heavy):
+from seld_tpu.config import Config, parse_overrides  # noqa: E402,F401
+
+
+def __getattr__(name):
+    """Lazy top-level exports so `import seld_tpu` stays light."""
+    if name == "build_model":
+        from seld_tpu.models import build_model
+
+        return build_model
+    if name == "train_model":
+        from seld_tpu.train import train_model
+
+        return train_model
+    if name == "evaluate_model":
+        from seld_tpu.eval import evaluate_model
+
+        return evaluate_model
+    if name == "SELDPredictor":
+        from seld_tpu.infer import SELDPredictor
+
+        return SELDPredictor
+    raise AttributeError(name)
