@@ -192,6 +192,17 @@ def train_model(
         history["test_losses"].append(test_avg["loss"])
         history["lr"].append(new_lr)
 
+        # Machine-readable epoch record (observability beyond the
+        # reference's text logs, SURVEY §5).
+        with (workdir / "metrics.jsonl").open("a") as fh:
+            fh.write(json.dumps({
+                "epoch": epoch,
+                "seconds": round(time.time() - t0, 2),
+                "lr": new_lr,
+                "train": train_avg,
+                "test": test_avg,
+            }) + "\n")
+
         log.info(
             "Epoch %d/%d - %.1fs | train %.6f | test %.6f | lr %.6f",
             epoch, cfg.train.num_epochs, time.time() - t0,

@@ -167,6 +167,13 @@ def test_end_to_end_smoke_train_with_resume(tmp_path):
     assert (tmp_path / "ckpt" / "best").exists()
     assert (tmp_path / "ckpt" / "rolling").exists()
     assert (tmp_path / "ckpt" / "training_history.json").exists()
+    # machine-readable per-epoch metrics
+    import json as _json
+
+    lines = (tmp_path / "ckpt" / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 2
+    rec = _json.loads(lines[0])
+    assert rec["epoch"] == 1 and "train" in rec and "test" in rec
     # loss-curve artifact (ref trainer.py:359-361)
     assert (tmp_path / "outputs" / "loss_curves.png").exists()
 
