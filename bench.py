@@ -53,7 +53,6 @@ def measure_tpu() -> float:
     and syncs via a scalar host read-back. Throughput comes from the delta
     between a long and a short chain, cancelling the ~30 ms tunnel
     round-trip and dispatch overhead."""
-    import functools
 
     import jax
     import jax.numpy as jnp

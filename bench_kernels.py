@@ -33,7 +33,7 @@ def timed_chain(fn_body, n_short=2, n_delta=30, reps=3):
 
 
 def main():
-    from seld_tpu.features import frame_signal, log_mel_spectrogram
+    from seld_tpu.features import frame_signal
     from seld_tpu.features.mel import hann_window, mel_filterbank
     from seld_tpu.ops.mel_pallas import log_mel_frames_pallas
 

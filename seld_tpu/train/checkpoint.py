@@ -17,9 +17,7 @@ Designed-out reference hazards (SURVEY §5):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 from seld_tpu.config import Config, config_from_dict, config_to_dict

@@ -15,7 +15,6 @@ derives the gradient all-reduce and TP collectives from the shardings.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from seld_tpu.losses import SELDLossFn
 from seld_tpu.targets.rasterize import decode_class_bitmask

@@ -44,7 +44,7 @@ from seld_tpu.train.optimizer import (
     set_learning_rate,
 )
 from seld_tpu.train.schedule import EarlyStopping, ReduceLROnPlateau
-from seld_tpu.train.state import TrainState, create_train_state, param_count
+from seld_tpu.train.state import create_train_state, param_count
 from seld_tpu.train.steps import make_eval_step, make_train_step
 from seld_tpu.utils.logging import get_logger
 
