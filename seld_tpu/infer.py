@@ -156,11 +156,18 @@ class SELDPredictor:
     def predict_file(self, wav_path, csv_out=None) -> Prediction:
         """Decode a WAV, predict, optionally write STARSS22-style CSV."""
         wave, sr = load_wav(wav_path)
-        assert sr == self.cfg.features.sample_rate, (
-            f"{wav_path}: sample rate {sr} != configured "
-            f"{self.cfg.features.sample_rate}"
-        )
+        if sr != self.cfg.features.sample_rate:
+            raise ValueError(
+                f"{wav_path}: sample rate {sr} != configured "
+                f"{self.cfg.features.sample_rate}"
+            )
         pred = self.predict_waveform(wave)
+        if not (pred.classes != pred.background_class).any():
+            get_logger().warning(
+                "%s: no events detected (all cells background) — an "
+                "undertrained model predicts background everywhere",
+                wav_path,
+            )
         if csv_out is not None:
             rows = pred.to_metadata_rows()
             Path(csv_out).parent.mkdir(parents=True, exist_ok=True)

@@ -29,6 +29,7 @@ def setup_logging(log_dir: str = "logs", experiment_name: str = "seld_tpu"):
     logger = logging.getLogger(LOGGER_NAME)
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
+    logger.propagate = False  # avoid duplicate lines via the root logger
 
     formatter = logging.Formatter(
         "%(asctime)s - %(name)s - %(levelname)s - %(message)s",
