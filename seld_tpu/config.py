@@ -107,6 +107,11 @@ class FeatureConfig:
     amin: float = 1e-10
     top_db: float | None = None
     use_pallas: bool = True  # fused Pallas mel kernel on TPU; jnp path is the oracle
+    # Feature stack (seld_tpu.features.spatial): "mel" (4ch, reference
+    # parity), "mel_iv" (+3 FOA intensity-vector channels), "mel_gcc"
+    # (+6 GCC-PHAT channels). The reference supports only "mel"; the
+    # spatial sets are the BASELINE.json north-star features.
+    feature_set: str = "mel"
 
     @property
     def frames_per_second(self) -> int:

@@ -93,10 +93,47 @@ def _frame_view(wave: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
     )
 
 
+_SPATIAL_CHUNK = 2048  # time frames per device batch for spatial feature sets
+
+
+@functools.lru_cache(maxsize=4)
+def _spatial_chunk_fn(feature_set: str, n_fft: int, n_mels: int,
+                      sample_rate: int, amin: float):
+    from seld_tpu.features.spatial import extract_feature_frames
+
+    @jax.jit
+    def run(frames):  # (C, CHUNK_T, n_fft)
+        return extract_feature_frames(
+            frames, feature_set, n_fft, n_mels, sample_rate, amin
+        )  # (CHUNK_T, C_out, n_mels)
+
+    return run
+
+
 def compute_mel_features(wave: np.ndarray, feat: FeatureConfig) -> np.ndarray:
-    """(C, N) waveform -> (T, C, n_mels) float32 log-mel, device-computed."""
+    """(C, N) waveform -> (T, C_out, n_mels) float32 features.
+
+    feature_set "mel" keeps the reference's 4 log-mel channels (with the
+    fused Pallas kernel on TPU); "mel_iv"/"mel_gcc" append FOA
+    intensity-vector / GCC-PHAT channels (seld_tpu.features.spatial).
+    """
     frames = _frame_view(wave.astype(np.float32), feat.n_fft, feat.hop_length)
     c, t, nf = frames.shape
+
+    if feat.feature_set != "mel":
+        run = _spatial_chunk_fn(
+            feat.feature_set, feat.n_fft, feat.n_mels, feat.sample_rate, feat.amin
+        )
+        outs = []
+        for start in range(0, t, _SPATIAL_CHUNK):
+            chunk = frames[:, start : start + _SPATIAL_CHUNK]
+            n_valid = chunk.shape[1]
+            if n_valid < _SPATIAL_CHUNK:
+                chunk = np.pad(chunk, ((0, 0), (0, _SPATIAL_CHUNK - n_valid), (0, 0)))
+            res = np.asarray(run(jnp.asarray(np.ascontiguousarray(chunk))))
+            outs.append(res[:n_valid])
+        return np.concatenate(outs, axis=0)  # (T, C_out, n_mels)
+
     flat = np.ascontiguousarray(frames.reshape(c * t, nf))
     run = _mel_chunk_fn(
         feat.n_fft, feat.n_mels, feat.sample_rate, feat.f_min, feat.f_max,

@@ -59,7 +59,7 @@ def evaluate_model(
 
     win = test_corpus.window_frames
     sample = jnp.zeros(
-        (cfg.train.batch_size, win, cfg.model.n_channels, cfg.model.n_mels),
+        (cfg.train.batch_size, win, test_corpus.mel.shape[1], cfg.model.n_mels),
         jnp.float32,
     )
     template = create_train_state(model, optimizer, jax.random.PRNGKey(0), sample)

@@ -92,11 +92,15 @@ class SELDPredictor:
         self.batch_windows = batch_windows
         self.win = self.cfg.window.window_frames(self.cfg.features)
 
+        from seld_tpu.features.spatial import feature_channels
+
         self.model = build_model(self.cfg.model, self.cfg.grid)
         optimizer = make_optimizer(self.cfg.train.learning_rate)
+        n_feat_ch = feature_channels(
+            self.cfg.features.feature_set, self.cfg.model.n_channels
+        )
         sample = jnp.zeros(
-            (batch_windows, self.win, self.cfg.model.n_channels,
-             self.cfg.model.n_mels),
+            (batch_windows, self.win, n_feat_ch, self.cfg.model.n_mels),
             jnp.float32,
         )
         template = create_train_state(

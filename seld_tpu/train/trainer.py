@@ -85,9 +85,11 @@ def train_model(
     optimizer = make_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
 
     win = train_corpus.window_frames
+    # feature channels come from the corpus (4 for "mel", 7/10 for the
+    # spatial feature sets)
+    n_feat_ch = train_corpus.mel.shape[1]
     sample = jnp.zeros(
-        (cfg.train.batch_size, win, cfg.model.n_channels, cfg.model.n_mels),
-        jnp.float32,
+        (cfg.train.batch_size, win, n_feat_ch, cfg.model.n_mels), jnp.float32
     )
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = create_train_state(model, optimizer, rng, sample)
