@@ -98,7 +98,18 @@ _SPATIAL_CHUNK = 2048  # time frames per device batch for spatial feature sets
 
 @functools.lru_cache(maxsize=4)
 def _spatial_chunk_fn(feature_set: str, n_fft: int, n_mels: int,
-                      sample_rate: int, amin: float):
+                      sample_rate: int, amin: float, use_pallas: bool):
+    if use_pallas and jax.default_backend() == "tpu":
+        from seld_tpu.ops.spatial_pallas import spatial_features_pallas
+
+        @jax.jit
+        def run(frames):  # (C, CHUNK_T, n_fft)
+            return spatial_features_pallas(
+                frames, feature_set, n_mels, sample_rate, amin
+            )
+
+        return run
+
     from seld_tpu.features.spatial import extract_feature_frames
 
     @jax.jit
@@ -122,7 +133,8 @@ def compute_mel_features(wave: np.ndarray, feat: FeatureConfig) -> np.ndarray:
 
     if feat.feature_set != "mel":
         run = _spatial_chunk_fn(
-            feat.feature_set, feat.n_fft, feat.n_mels, feat.sample_rate, feat.amin
+            feat.feature_set, feat.n_fft, feat.n_mels, feat.sample_rate,
+            feat.amin, feat.use_pallas,
         )
         outs = []
         for start in range(0, t, _SPATIAL_CHUNK):

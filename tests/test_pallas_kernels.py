@@ -39,6 +39,49 @@ def test_fused_mel_silence_hits_amin():
 
 
 # ---------------------------------------------------------------------------
+# Fused spatial front-end
+
+
+@pytest.mark.parametrize("feature_set", ["mel", "mel_iv", "mel_gcc"])
+def test_fused_spatial_matches_jnp_oracle(rng, feature_set):
+    from seld_tpu.features.spatial import extract_feature_frames
+    from seld_tpu.ops.spatial_pallas import spatial_features_pallas
+
+    frames = jnp.asarray(
+        rng.standard_normal((4, 37, NFFT)).astype(np.float32)
+    )
+    got = np.asarray(
+        spatial_features_pallas(frames, feature_set, interpret=True)
+    )
+    want = np.asarray(extract_feature_frames(frames, feature_set, NFFT, 64, SR))
+    assert got.shape == want.shape
+    # mel channels are in dB (tolerance as mel kernel); iv in [-1,1];
+    # gcc correlations are small — use scale-aware tolerances
+    np.testing.assert_allclose(got[:, :4], want[:, :4], atol=5e-3)
+    if got.shape[1] > 4:
+        np.testing.assert_allclose(got[:, 4:], want[:, 4:], atol=1e-4)
+
+
+def test_fused_spatial_gcc_lag_peak(rng):
+    # same delayed-channel construction as the jnp test: peak at +7
+    from seld_tpu.data.corpus import _frame_view
+    from seld_tpu.ops.spatial_pallas import spatial_features_pallas
+
+    n = SR // 2
+    base = rng.standard_normal(n + 64).astype(np.float32)
+    delay = 7
+    wave = np.stack(
+        [base[64 : 64 + n], base[64 - delay : 64 - delay + n],
+         rng.standard_normal(n).astype(np.float32),
+         rng.standard_normal(n).astype(np.float32)]
+    )
+    frames = jnp.asarray(np.ascontiguousarray(_frame_view(wave, NFFT, HOP)))
+    out = np.asarray(spatial_features_pallas(frames, "mel_gcc", interpret=True))
+    pair01 = out[:, 4]  # first gcc channel = pair (0, 1)
+    assert pair01.mean(axis=0).argmax() == 32 + delay
+
+
+# ---------------------------------------------------------------------------
 # Flash attention
 
 
