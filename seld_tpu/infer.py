@@ -122,39 +122,86 @@ class SELDPredictor:
             logits = self.model.apply(state.variables(), mel, train=False)
             return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
+        @jax.jit
+        def forward_probs(state, mel):  # (B, win, C, F) -> (B, win, G, M) f16
+            logits = self.model.apply(state.variables(), mel, train=False)
+            return jax.nn.softmax(logits, axis=-1).astype(jnp.float16)
+
         self._forward = forward
+        self._forward_probs = forward_probs
 
-    def predict_waveform(self, wave: np.ndarray) -> Prediction:
-        """wave: float32 (C, N) at the configured sample rate."""
-        cfg = self.cfg
-        mel = compute_mel_features(wave, cfg.features)  # (T, C, F)
-        t_total = mel.shape[0]
-        win, bw = self.win, self.batch_windows
-
-        n_windows = -(-t_total // win)  # non-overlapping tiling
-        pad_t = n_windows * win - t_total
-        if pad_t:
-            mel = np.concatenate(
-                [mel, np.zeros((pad_t, *mel.shape[1:]), mel.dtype)], axis=0
-            )
-        windows = mel.reshape(n_windows, win, *mel.shape[1:])
-
-        outs = []
-        for start in range(0, n_windows, bw):
+    def _batched(self, windows, fn):
+        """Run fn over fixed-size window batches, yielding valid rows."""
+        bw = self.batch_windows
+        for start in range(0, windows.shape[0], bw):
             chunk = windows[start : start + bw]
             n_valid = chunk.shape[0]
             if n_valid < bw:
                 chunk = np.concatenate(
                     [chunk, np.zeros((bw - n_valid, *chunk.shape[1:]), chunk.dtype)]
                 )
-            out = np.asarray(self._forward(self.state, jnp.asarray(chunk)))
-            outs.append(out[:n_valid])
-        classes = np.concatenate(outs, axis=0).reshape(n_windows * win, -1)
+            yield np.asarray(fn(self.state, jnp.asarray(chunk)))[:n_valid]
+
+    def predict_waveform(self, wave: np.ndarray, overlap: float = 0.0) -> Prediction:
+        """wave: float32 (C, N) at the configured sample rate.
+
+        overlap=0 tiles non-overlapping windows (one argmax pass).
+        overlap in (0, 1) strides windows at hop = win*(1-overlap) and
+        AVERAGES the class probabilities over overlapping coverage before
+        the argmax — smoother decisions at window boundaries, at the cost
+        of 1/(1-overlap) more compute and a host-side (T, G, M) float32
+        probability accumulator (~110 MB per audio minute).
+        """
+        cfg = self.cfg
+        mel = compute_mel_features(wave, cfg.features)  # (T, C, F)
+        t_total = mel.shape[0]
+        win = self.win
+
+        if overlap <= 0.0:
+            n_windows = -(-t_total // win)  # non-overlapping tiling
+            pad_t = n_windows * win - t_total
+            if pad_t:
+                mel = np.concatenate(
+                    [mel, np.zeros((pad_t, *mel.shape[1:]), mel.dtype)], axis=0
+                )
+            windows = mel.reshape(n_windows, win, *mel.shape[1:])
+            outs = list(self._batched(windows, self._forward))
+            classes = np.concatenate(outs, axis=0).reshape(n_windows * win, -1)
+            return Prediction(
+                classes=classes[:t_total],
+                n_el=cfg.grid.n_el,
+                n_az=cfg.grid.n_az,
+                num_classes=cfg.grid.num_classes,
+            )
+
+        assert overlap < 1.0, "overlap must be in [0, 1)"
+        hop = max(int(win * (1.0 - overlap)), 1)
+        starts = list(range(0, max(t_total - win, 0) + 1, hop))
+        if starts[-1] + win < t_total:  # tail coverage
+            starts.append(max(t_total - win, 0))
+        pad_t = starts[-1] + win - t_total
+        if pad_t > 0:
+            mel = np.concatenate(
+                [mel, np.zeros((pad_t, *mel.shape[1:]), mel.dtype)], axis=0
+            )
+        windows = np.stack([mel[s : s + win] for s in starts])
+
+        g, m = cfg.grid.n_cells, cfg.grid.num_classes
+        prob_sum = np.zeros((t_total + max(pad_t, 0), g, m), np.float32)
+        count = np.zeros((t_total + max(pad_t, 0), 1, 1), np.float32)
+        row = 0
+        for probs in self._batched(windows, self._forward_probs):
+            for p in probs:  # (win, G, M)
+                s = starts[row]
+                prob_sum[s : s + win] += p.astype(np.float32)
+                count[s : s + win] += 1.0
+                row += 1
+        avg = prob_sum[:t_total] / np.maximum(count[:t_total], 1.0)
         return Prediction(
-            classes=classes[:t_total],
+            classes=np.argmax(avg, axis=-1).astype(np.int8),
             n_el=cfg.grid.n_el,
             n_az=cfg.grid.n_az,
-            num_classes=cfg.grid.num_classes,
+            num_classes=m,
         )
 
     def predict_file(self, wav_path, csv_out=None) -> Prediction:

@@ -33,6 +33,38 @@ def test_metadata_rows_majority_vote():
     assert rows[0][0] == 0 and rows[0][1] == 4
 
 
+def test_predictor_overlapped_windows(tmp_path):
+    cfg = tiny_config(tmp_path)
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    predictor = SELDPredictor(tmp_path / "ckpt", batch_windows=2)
+    audio_files, _ = synthetic_raw_files(tmp_path / "wav", cfg, n_files=1, seconds=2.3)
+    from seld_tpu.data.audio import load_wav
+
+    wave, _ = load_wav(audio_files[0])
+    p0 = predictor.predict_waveform(wave, overlap=0.0)
+    p1 = predictor.predict_waveform(wave, overlap=0.5)
+    assert p0.classes.shape == p1.classes.shape
+    # averaged predictions should agree with tiled ones on most frames
+    agreement = (p0.classes == p1.classes).mean()
+    assert agreement > 0.8
+
+
+def test_predictor_with_spatial_features(tmp_path):
+    # checkpoint trained on mel_iv features -> predictor derives 7 input
+    # channels from the stored config
+    cfg = tiny_config(tmp_path).replace_path("features.feature_set", "mel_iv")
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    predictor = SELDPredictor(tmp_path / "ckpt", batch_windows=2)
+    assert predictor.cfg.features.feature_set == "mel_iv"
+    audio_files, _ = synthetic_raw_files(tmp_path / "wav", cfg, n_files=1, seconds=2.0)
+    pred = predictor.predict_file(audio_files[0])
+    assert pred.classes.shape[1] == 648
+
+
 def test_predictor_end_to_end(tmp_path):
     cfg = tiny_config(tmp_path)
     train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
