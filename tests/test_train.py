@@ -126,6 +126,21 @@ def test_loss_component_viz_hook(tmp_path):
     assert any(viz_dir.glob("loss_components_*.png"))
 
 
+def test_training_is_deterministic(tmp_path):
+    # same seed -> bitwise-identical epoch losses; different seed differs
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path).replace_path("train.num_epochs", 1)
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    _, h1 = train_model(cfg, train_c, test_c, workdir=tmp_path / "a")
+    _, h2 = train_model(cfg, train_c, test_c, workdir=tmp_path / "b")
+    assert h1["train_losses"] == h2["train_losses"]
+    cfg3 = cfg.replace_path("train.seed", 99)
+    _, h3 = train_model(cfg3, train_c, test_c, workdir=tmp_path / "c")
+    assert h3["train_losses"] != h1["train_losses"]
+
+
 def test_profiler_trace_hook(tmp_path):
     from seld_tpu.train import train_model
 
