@@ -74,10 +74,47 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, t_actual: int,
 
 
 def flash_attention(q, k, v, *, scale: float | None = None, interpret: bool = False):
-    """q, k, v: (B, H, T, Dh) -> (B, H, T, Dh); exact softmax attention."""
-    b, h, t, d = q.shape
+    """q, k, v: (B, H, T, Dh) -> (B, H, T, Dh); exact softmax attention.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    recomputes the (T x T) probabilities with plain einsums (flash-style
+    rematerialization) and applies the exact softmax-attention gradients —
+    Pallas kernels have no automatic VJP.
+    """
     if scale is None:
-        scale = d**-0.5
+        scale = q.shape[-1] ** -0.5
+    return _flash_attention(float(scale), bool(interpret), q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash_attention(scale, interpret, q, k, v):
+    return _flash_attention_fwd_impl(scale, interpret, q, k, v)
+
+
+def _flash_attention_fwd(scale, interpret, q, k, v):
+    return _flash_attention_fwd_impl(scale, interpret, q, k, v), (q, k, v)
+
+
+def _flash_attention_bwd(scale, interpret, residuals, g):
+    q, k, v = residuals
+    f32 = jnp.float32
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=f32)
+    probs = jax.nn.softmax(scores.astype(f32) * scale, axis=-1)
+    dv = jnp.einsum("bhts,bhtd->bhsd", probs.astype(q.dtype), g,
+                    preferred_element_type=f32).astype(v.dtype)
+    dp = jnp.einsum("bhtd,bhsd->bhts", g, v, preferred_element_type=f32)
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    ds = (ds * scale).astype(q.dtype)
+    dq = jnp.einsum("bhts,bhsd->bhtd", ds, k, preferred_element_type=f32)
+    dk = jnp.einsum("bhts,bhtd->bhsd", ds, q, preferred_element_type=f32)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def _flash_attention_fwd_impl(scale, interpret, q, k, v):
+    b, h, t, d = q.shape
 
     # Adaptive blocks: one block when T is small, 512 tiles when long.
     block = min(BLOCK_Q, -(-t // 128) * 128)

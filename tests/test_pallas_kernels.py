@@ -100,6 +100,29 @@ def test_flash_attention_matches_einsum(rng, t):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_flash_attention_gradients_match_einsum(rng):
+    import jax
+
+    from seld_tpu.ops.attention import multi_head_attention
+    from seld_tpu.ops.flash_attention import flash_attention
+
+    b, h, t, d = 1, 2, 130, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (multi_head_attention(q, k, v, use_flash=False) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
 def test_flash_attention_padded_keys_have_no_weight(rng):
     # T=130 pads to 256: padded key positions must not leak probability.
     from seld_tpu.ops.attention import multi_head_attention
