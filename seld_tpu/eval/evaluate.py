@@ -41,6 +41,7 @@ def evaluate_model(
     num_visualizations: int = 5,
     save_visualizations: bool = True,
     seed: int = 0,
+    mesh=None,
 ) -> dict:
     log = get_logger()
     stored_cfg = load_checkpoint_config(checkpoint_dir)
@@ -76,6 +77,10 @@ def evaluate_model(
         "Loaded checkpoint epoch %d (test loss %.6f)",
         meta["epoch"], meta["test_loss"],
     )
+    if mesh is not None:
+        from seld_tpu.parallel import shard_variables
+
+        state = shard_variables(state, mesh)
 
     num_classes = cfg.grid.num_classes
 
@@ -91,10 +96,16 @@ def evaluate_model(
     it = BatchIterator(test_corpus, cfg.train.batch_size, shuffle=False, prefetch=2)
     losses, preds, trues = [], [], []
     for batch in it:
+        mel = jnp.asarray(batch.mel)
+        mask = jnp.asarray(batch.label_mask)
         em = (jnp.arange(batch.mel.shape[0]) < batch.n_valid).astype(jnp.float32)
-        metrics, p, t = infer_step(
-            state, jnp.asarray(batch.mel), jnp.asarray(batch.label_mask), em
-        )
+        if mesh is not None:
+            from seld_tpu.parallel import batch_sharding
+
+            mel = jax.device_put(mel, batch_sharding(mesh, mel.ndim))
+            mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
+            em = jax.device_put(em, batch_sharding(mesh, 1))
+        metrics, p, t = infer_step(state, mel, mask, em)
         losses.append(metrics)
         preds.append(np.asarray(p)[: batch.n_valid])
         trues.append(np.asarray(t)[: batch.n_valid])

@@ -4,6 +4,7 @@ mesh construction, partition rules, and a real dp x tp train step."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from seld_tpu.config import Config, parse_overrides
@@ -170,6 +171,7 @@ def test_zero_opt_state_sharding(tmp_path):
 
 
 def test_trainer_runs_under_mesh(tmp_path):
+    from seld_tpu.eval import evaluate_model
     from seld_tpu.train import train_model
 
     cfg = parse_overrides(
@@ -182,3 +184,15 @@ def test_trainer_runs_under_mesh(tmp_path):
         cfg, train_c, test_c, mesh=mesh, workdir=tmp_path / "ckpt"
     )
     assert np.isfinite(history["train_losses"][0])
+
+    # distributed eval over the same mesh matches single-device eval
+    r_mesh = evaluate_model(
+        cfg, test_c, tmp_path / "ckpt", num_visualizations=0, mesh=mesh
+    )
+    r_single = evaluate_model(
+        cfg, test_c, tmp_path / "ckpt", num_visualizations=0
+    )
+    assert r_mesh["test_loss"] == pytest.approx(r_single["test_loss"], rel=2e-4)
+    assert r_mesh["overall_accuracy"] == pytest.approx(
+        r_single["overall_accuracy"], abs=1e-6
+    )
