@@ -64,6 +64,35 @@ def test_compute_mel_matches_frontend_oracle(rng):
     np.testing.assert_allclose(got, want.transpose(2, 0, 1), atol=1e-3)
 
 
+def test_compute_mel_long_file_chunk_boundaries(rng):
+    # 4ch x 70 s = 14,004 frames: crosses the 8192-frame device chunk;
+    # values at and around the boundary must match the unchunked oracle.
+    import jax.numpy as jnp
+
+    cfg = Config()
+    wave = rng.standard_normal((4, 70 * 24000)).astype(np.float32)
+    got = compute_mel_features(wave, cfg.features)  # (T, C, F)
+    want = np.asarray(log_mel_spectrogram(jnp.asarray(wave))).transpose(2, 0, 1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_spatial_features_long_file_chunk_boundaries(rng):
+    # crosses the 2048-frame spatial chunk (50 s -> 2501 frames)
+    import jax.numpy as jnp
+
+    from seld_tpu.data.corpus import _frame_view
+    from seld_tpu.features.spatial import extract_feature_frames
+
+    cfg = Config().replace_path("features.feature_set", "mel_iv")
+    wave = rng.standard_normal((4, 50 * 24000)).astype(np.float32)
+    got = compute_mel_features(wave, cfg.features)  # (T, 7, F)
+    frames = jnp.asarray(np.ascontiguousarray(_frame_view(wave, 960, 480)))
+    want = np.asarray(extract_feature_frames(frames, "mel_iv", 960, 64, 24000))
+    assert got.shape == want.shape == (2501, 7, 64)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_corpus_window_arithmetic():
     cfg = Config()
     corpus = synthetic_corpus(cfg, n_files=2, seconds=6.0, seed=0)
