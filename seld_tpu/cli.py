@@ -142,6 +142,73 @@ def cmd_predict(cfg: Config, args, logger):
     return 0
 
 
+def cmd_import_torch(cfg: Config, args, logger):
+    """Migrate a reference PyTorch checkpoint (trainer.py:278-285 format,
+    or a bare state_dict .pth) into a seld_tpu checkpoint usable by
+    eval/predict."""
+    import sys as _sys
+    import types
+
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    def _load(path):
+        try:
+            return torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # Reference checkpoints pickle their Config instance; satisfy
+            # the unpickler with a permissive stand-in module.
+            shim = types.ModuleType("config")
+
+            class _AnyConfig:  # noqa: D401
+                def __setstate__(self, state):
+                    self.__dict__.update(state if isinstance(state, dict) else {})
+
+            shim.Config = _AnyConfig
+            _sys.modules.setdefault("config", shim)
+            return torch.load(path, map_location="cpu", weights_only=False)
+
+    ckpt = _load(args.torch_checkpoint)
+    sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in sd.items() if hasattr(v, "shape") or hasattr(v, "numpy")}
+
+    from seld_tpu.features.spatial import feature_channels
+    from seld_tpu.models import build_model
+    from seld_tpu.tools.torch_import import convert_torch_state_dict
+    from seld_tpu.train.checkpoint import CheckpointManager
+    from seld_tpu.train.optimizer import make_optimizer
+    from seld_tpu.train.state import TrainState
+
+    variables = convert_torch_state_dict(sd, cfg.model.model_type)
+    model = build_model(cfg.model, cfg.grid)
+    # sanity forward at the production shape
+    n_ch = feature_channels(cfg.features.feature_set, cfg.model.n_channels)
+    x = jnp.zeros((1, 8, n_ch, cfg.model.n_mels), jnp.float32)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 8, cfg.grid.n_cells, cfg.grid.num_classes)
+
+    optimizer = make_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(variables["params"]),
+    )
+    mgr = CheckpointManager(cfg.data.checkpoint_path, cfg)
+    epoch = int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0
+    test_loss = float(ckpt.get("test_loss", float("inf"))) if isinstance(ckpt, dict) else float("inf")
+    mgr.save_best(max(epoch, 1), state, float("nan"), test_loss)
+    mgr.wait()
+    mgr.close()
+    logger.info(
+        "Imported %s (%s) -> %s", args.torch_checkpoint,
+        cfg.model.model_type, cfg.data.checkpoint_path,
+    )
+    return 0
+
+
 def cmd_info(cfg: Config, args, logger):
     from seld_tpu.config import config_to_dict
 
@@ -177,6 +244,11 @@ def main(argv=None) -> int:
     p_pred.add_argument("--wavs", nargs="+", required=True)
     p_pred.add_argument("--out", default=None)
     p_pred.set_defaults(fn=cmd_predict)
+
+    p_imp = sub.add_parser("import-torch", parents=[common])
+    p_imp.add_argument("--torch-checkpoint", required=True,
+                       help=".pth from the reference pipeline")
+    p_imp.set_defaults(fn=cmd_import_torch)
 
     p_info = sub.add_parser("info", parents=[common])
     p_info.set_defaults(fn=cmd_info)

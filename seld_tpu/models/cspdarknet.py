@@ -208,7 +208,7 @@ class SELDCSPDarkNet(nn.Module):
 
         # Shared per-cell classifier 256 -> 128 -> M (ref model.py:164-170)
         y = nn.Dense(128, name="cls1", **kw)(grid)
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(y)
         y = nn.relu(y).astype(self.dtype)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.num_classes, name="cls2", **kw)(y)

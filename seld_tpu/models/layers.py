@@ -108,7 +108,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         res = x
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(x)
         y = y.astype(self.dtype)
         y = nn.Dense(self.d_ff, dtype=self.dtype, param_dtype=self.param_dtype)(y)
         y = swish(y)
@@ -139,7 +139,7 @@ class MultiHeadSelfAttention(nn.Module):
         assert self.d_model % self.n_heads == 0
         head_dim = self.d_model // self.n_heads
         res = x
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(x)
         y = y.astype(self.dtype)
         b, t, _ = y.shape
 
@@ -171,7 +171,7 @@ class ConformerConvModule(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         res = x
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(x)
         y = y.astype(self.dtype)
         y = nn.Dense(2 * self.d_model, dtype=self.dtype, param_dtype=self.param_dtype)(y)
         a, b = jnp.split(y, 2, axis=-1)
@@ -222,7 +222,7 @@ class ConformerBlock(nn.Module):
             self.d_model, self.kernel_size, self.dropout, **kw
         )(x, train=train)
         x = FeedForward(self.d_model, d_ff, self.dropout, **kw)(x, train=train)
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(x)
         return x.astype(self.dtype)
 
 
@@ -243,7 +243,7 @@ class GridHead(nn.Module):
     def __call__(self, x, train: bool = False):
         b, t, _ = x.shape
         y = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype)(x)
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(y)
         y = nn.relu(y).astype(self.dtype)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(

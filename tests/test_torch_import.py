@@ -1,0 +1,116 @@
+"""The strongest architecture-parity proof: random torch reference models
+converted into seld_tpu Flax models produce the SAME outputs on the same
+inputs (eval mode, running BN stats, no dropout)."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seld_tpu.config import GridConfig, ModelConfig
+from seld_tpu.models import build_model
+from seld_tpu.tools.torch_import import convert_torch_state_dict
+
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference repo not mounted"
+)
+
+
+def load_reference_model(model_type):
+    import torch  # noqa: F401
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        if model_type == "crnn":
+            from model_crnn import SELD_CRNN
+
+            return SELD_CRNN()
+        if model_type == "conformer":
+            from model_conformer import SELD_Conformer
+
+            return SELD_Conformer()
+        if model_type == "resnet_conformer":
+            from resnet50_model import SELD_ResNet50_Conformer
+
+            return SELD_ResNet50_Conformer()
+        from model import SMRSELDWithCSPDarkNet
+
+        return SMRSELDWithCSPDarkNet(use_small=True)
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+
+@pytest.mark.parametrize(
+    "model_type,tol",
+    [
+        ("crnn", 2e-4),
+        ("conformer", 2e-4),
+        ("resnet_conformer", 5e-4),  # deeper: more f32 accumulation drift
+        ("cnn", 5e-4),
+    ],
+)
+def test_converted_weights_match_torch_outputs(model_type, tol):
+    import torch
+
+    torch.manual_seed(0)
+    ref = load_reference_model(model_type).eval()
+    # randomize BN running stats so the test cannot pass with default
+    # stats; keep variances positive
+    with torch.no_grad():
+        for m in ref.modules():
+            if hasattr(m, "running_mean") and m.running_mean is not None:
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_torch_state_dict(sd, model_type)
+
+    model = build_model(
+        ModelConfig(model_type=model_type, compute_dtype="float32"), GridConfig()
+    )
+    x = np.random.default_rng(0).standard_normal((2, 6, 4, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape == (2, 6, 648, 14)
+    np.testing.assert_allclose(got, want, atol=tol, rtol=1e-3)
+
+
+def test_cli_import_torch_then_predict(tmp_path):
+    """Full migration flow: reference-format .pth -> import-torch CLI ->
+    predict serves with the imported weights."""
+    import torch
+
+    from seld_tpu.cli import main
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data.synthetic import synthetic_raw_files
+
+    ref = load_reference_model("crnn").eval()
+    pth = tmp_path / "best_model.pth"
+    torch.save(
+        {"model_state_dict": ref.state_dict(), "epoch": 7, "test_loss": 0.42},
+        pth,
+    )
+    overrides = [f"data.base_path={tmp_path}", "model.model_type=crnn"]
+    assert main(["import-torch", *overrides, "--torch-checkpoint", str(pth)]) == 0
+    assert (tmp_path / "checkpoints" / "best").exists()
+
+    cfg = parse_overrides(Config(), overrides)
+    wavs, _ = synthetic_raw_files(tmp_path / "wav", cfg, n_files=1, seconds=1.5)
+    assert main(["predict", *overrides, "--wavs", wavs[0]]) == 0
+
+
+def test_converter_rejects_wrong_architecture():
+    ref = load_reference_model("crnn")
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    with pytest.raises((KeyError, ValueError)):
+        convert_torch_state_dict(sd, "conformer")
