@@ -109,6 +109,44 @@ def test_cli_import_torch_then_predict(tmp_path):
     assert main(["predict", *overrides, "--wavs", wavs[0]]) == 0
 
 
+def test_import_reference_format_with_pickled_config(tmp_path, monkeypatch):
+    """The reference's checkpoints embed a pickled Config instance
+    (ref trainer.py:278-285); import must work without the reference
+    package importable (shim unpickling)."""
+    import sys as _sys
+
+    import torch
+
+    from seld_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)  # reference Config() mkdirs in cwd
+    _sys.path.insert(0, str(REFERENCE))
+    try:
+        import importlib
+
+        import config as ref_config_mod
+
+        importlib.reload(ref_config_mod)
+        ref = load_reference_model("crnn")
+        cfg_obj = ref_config_mod.Config()
+        torch.save(
+            {"model_state_dict": ref.state_dict(), "epoch": 5,
+             "test_loss": 0.2, "config": cfg_obj},
+            tmp_path / "ref_ckpt.pth",
+        )
+    finally:
+        _sys.path.remove(str(REFERENCE))
+        _sys.modules.pop("config", None)
+
+    rc = main([
+        "import-torch", f"data.base_path={tmp_path}", "model.model_type=crnn",
+        "--torch-checkpoint", str(tmp_path / "ref_ckpt.pth"),
+    ])
+    _sys.modules.pop("config", None)  # drop the shim for later tests
+    assert rc == 0
+    assert (tmp_path / "checkpoints" / "best").exists()
+
+
 def test_converter_rejects_wrong_architecture():
     ref = load_reference_model("crnn")
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
