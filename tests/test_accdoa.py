@@ -1,0 +1,115 @@
+"""ACCDOA representation tests: target rasterization, vector<->grid
+round-trip, model contract, and a learning smoke test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seld_tpu.accdoa import (
+    SELDConformerACCDOA,
+    accdoa_loss,
+    decode_accdoa_to_grid,
+    doa_unit_vector,
+    rasterize_accdoa_targets,
+)
+from seld_tpu.grid import cell_index, polar_to_grid
+
+
+def test_doa_unit_vectors():
+    v = doa_unit_vector([0, 90, 0], [0, 0, 90])
+    np.testing.assert_allclose(v[0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(v[1], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(v[2], [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-6)
+
+
+def test_rasterize_accdoa_targets():
+    frames = np.array([0, 0, 2])
+    classes = np.array([3, 7, 3])
+    az = np.array([0, 90, -90])
+    el = np.array([0, 0, 45])
+    out = rasterize_accdoa_targets(frames, classes, az, el, total_frames=12)
+    assert out.shape == (12, 13, 3)
+    # frame 0 fanout covers frames 0..4 for classes 3 and 7
+    np.testing.assert_allclose(out[4, 3], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[0, 7], [0, 1, 0], atol=1e-6)
+    # metadata frame 2 -> label frames 10,11 (clipped)
+    assert np.linalg.norm(out[10, 3]) == pytest.approx(1.0)
+    # inactive pairs are zero
+    assert np.linalg.norm(out[5, 3]) == 0.0
+    assert np.linalg.norm(out[0, 0]) == 0.0
+
+
+def test_decode_round_trip():
+    # active vectors land in the same grid cell polar_to_grid assigns
+    az, el = np.array([17.0, -120.0]), np.array([33.0, -60.0])
+    vec = np.zeros((1, 13, 3), np.float32)
+    vec[0, 2] = doa_unit_vector(az[0], el[0])
+    vec[0, 9] = 0.9 * doa_unit_vector(az[1], el[1])  # activity 0.9 > 0.5
+    grid = decode_accdoa_to_grid(vec)
+    assert grid.shape == (1, 648)
+    for a, e, cls in ((az[0], el[0], 2), (az[1], el[1], 9)):
+        i, j = polar_to_grid(a, e, 18, 36)
+        assert grid[0, cell_index(int(i), int(j), 36)] == cls
+    # weak vectors decode to background
+    vec[0, 2] *= 0.2
+    grid2 = decode_accdoa_to_grid(vec)
+    i, j = polar_to_grid(az[0], el[0], 18, 36)
+    assert grid2[0, cell_index(int(i), int(j), 36)] == 13
+
+
+def test_model_contract_and_learning():
+    model = SELDConformerACCDOA(
+        cnn_channels=(8, 16), d_model=32, n_heads=4, n_layers=1
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 10, 4, 64)), jnp.float32
+    )
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 10, 13, 3)
+    assert bool(jnp.isfinite(out).all())
+    assert float(jnp.abs(out).max()) <= 1.0  # tanh-bounded
+
+    # a few SGD steps reduce the ACCDOA loss
+    import optax
+
+    targets = jnp.asarray(
+        rasterize_accdoa_targets(
+            np.array([0, 1]), np.array([3, 7]),
+            np.array([10, -90]), np.array([0, 30]), total_frames=10,
+        )
+    )[None].repeat(2, axis=0)
+    opt = optax.adam(1e-3)
+    params = variables["params"]
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            pred, _ = model.apply(
+                {"params": p, **{k: v for k, v in variables.items() if k != "params"}},
+                x, train=True, mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            return accdoa_loss(pred, targets)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_accdoa_loss_masking():
+    pred = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4, 13, 3)),
+                       jnp.float32)
+    tgt = jnp.zeros((2, 4, 13, 3), jnp.float32)
+    full = float(accdoa_loss(pred[:1], tgt[:1]))
+    masked = float(accdoa_loss(pred, tgt, example_mask=jnp.asarray([1.0, 0.0])))
+    assert masked == pytest.approx(full, rel=1e-6)
