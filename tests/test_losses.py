@@ -151,6 +151,24 @@ def test_composite_modes(rng):
     assert float(total3) == pytest.approx(expected, rel=1e-6)
 
 
+def test_loss_weights_scale_terms(rng):
+    # w_class/w_aiur/w_cl weight the composite sum (ref loss.py:163-166)
+    logits, labels = random_batch(rng)
+    base = SELDLossFn(
+        LossConfig(loss_type="mse", use_aiur=True, use_cl=True), GridConfig()
+    )
+    _, bd = base(logits, labels)
+    weighted = SELDLossFn(
+        LossConfig(loss_type="mse", use_aiur=True, use_cl=True,
+                   w_class=2.0, w_aiur=0.5, w_cl=0.25),
+        GridConfig(),
+    )
+    total, _ = weighted(logits, labels)
+    expect = 2.0 * float(bd["class_mse"]) + 0.5 * float(bd["aiur"]) \
+        + 0.25 * float(bd["cl"])
+    assert float(total) == pytest.approx(expect, rel=1e-6)
+
+
 def test_loss_is_differentiable(rng):
     import jax
     import jax.numpy as jnp
