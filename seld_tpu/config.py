@@ -181,6 +181,9 @@ class TargetConfig:
     # padded to (static shape for jit); files with more rows fall back to
     # chunked rasterization.
     max_rows_per_chunk: int = 4096
+    # Also build ACCDOA targets (per-(frame,class) Cartesian DOA vectors,
+    # seld_tpu.accdoa) alongside the grid bitmask.
+    accdoa: bool = False
 
     @property
     def fanout(self) -> int:

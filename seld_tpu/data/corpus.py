@@ -180,14 +180,24 @@ class WindowedCorpus:
     n_el: int
     n_az: int
     num_classes: int
+    accdoa: np.ndarray | None = None  # (T_pad, num_classes-1, 3) float32
 
     def __len__(self) -> int:
         return len(self.starts)
 
+    def _offsets(self, idxs: np.ndarray) -> np.ndarray:
+        return self.starts[np.asarray(idxs)][:, None] + np.arange(self.window_frames)
+
     def gather(self, idxs: np.ndarray):
         """Batch gather -> (B, win, C, F) float32, (B, win, G) uint16."""
-        offs = self.starts[np.asarray(idxs)][:, None] + np.arange(self.window_frames)
+        offs = self._offsets(idxs)
         return self.mel[offs], self.label_mask[offs]
+
+    def gather_accdoa(self, idxs: np.ndarray) -> np.ndarray:
+        """(B, win, num_classes-1, 3) float32 ACCDOA targets
+        (requires targets.accdoa=true at build time)."""
+        assert self.accdoa is not None, "corpus built without ACCDOA targets"
+        return self.accdoa[self._offsets(idxs)]
 
 
 def build_corpus(
@@ -203,7 +213,7 @@ def build_corpus(
     and index windows (the pipeline of ref dataset.py:212-317)."""
     assert len(audio_files) == len(metadata_files)
     log = get_logger()
-    mels, masks = [], []
+    mels, masks, accdoas = [], [], []
     for idx, (apath, mpath) in enumerate(zip(audio_files, metadata_files)):
         try:
             wave, sr = load_wav(apath)
@@ -229,12 +239,22 @@ def build_corpus(
             t_common = min(mel.shape[0], mask.shape[0])
             mels.append(mel[:t_common])
             masks.append(mask[:t_common])
+            if targets.accdoa:
+                from seld_tpu.accdoa import rasterize_accdoa_targets
+
+                acc = rasterize_accdoa_targets(
+                    frames, classes, az, el, t_lab,
+                    num_event_classes=grid.num_classes - 1,
+                    fanout=targets.fanout,
+                )
+                accdoas.append(acc[:t_common])
         except Exception:
             log.error("Error processing file %d (%s)", idx, apath)
             raise
 
     mel = np.concatenate(mels, axis=0)
     mask = np.concatenate(masks, axis=0)
+    accdoa = np.concatenate(accdoas, axis=0) if targets.accdoa else None
     total = mel.shape[0]
 
     win = window.window_frames(feat)
@@ -252,6 +272,12 @@ def build_corpus(
         mask = np.concatenate(
             [mask, np.zeros((pad_to - total, mask.shape[1]), mask.dtype)], axis=0
         )
+        if accdoa is not None:
+            accdoa = np.concatenate(
+                [accdoa,
+                 np.zeros((pad_to - total, *accdoa.shape[1:]), accdoa.dtype)],
+                axis=0,
+            )
 
     log.info(
         "Corpus: %d files, %d frames, %d windows of %d frames (hop %d)",
@@ -266,4 +292,5 @@ def build_corpus(
         n_el=grid.n_el,
         n_az=grid.n_az,
         num_classes=grid.num_classes,
+        accdoa=accdoa,
     )

@@ -106,6 +106,39 @@ def test_model_contract_and_learning():
     assert losses[-1] < losses[0]
 
 
+def test_accdoa_corpus_end_to_end(tmp_path):
+    """File-based ACCDOA training: corpus builds vector targets alongside
+    the grid bitmask; one window's targets decode onto the grid with the
+    same cells the bitmask marks active."""
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.targets.rasterize import bitmask_to_dense
+
+    cfg = parse_overrides(
+        Config(),
+        ["targets.accdoa=true", "window.window_seconds=1.0",
+         f"data.base_path={tmp_path}"],
+    )
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    assert corpus.accdoa is not None
+    assert corpus.accdoa.shape == (corpus.mel.shape[0], 13, 3)
+
+    all_idx = np.arange(len(corpus))
+    acc = corpus.gather_accdoa(all_idx)  # (W, 50, 13, 3)
+    mel, mask = corpus.gather(all_idx)
+    assert acc.shape == (len(corpus), 50, 13, 3)
+    # wherever ACCDOA is active, its decoded grid cell carries that class
+    # in the bitmask labels too (both come from the same metadata rows)
+    grid_from_acc = decode_accdoa_to_grid(acc.reshape(-1, 13, 3))
+    dense = bitmask_to_dense(mask.reshape(-1, 648))
+    hits = total = 0
+    for f in range(grid_from_acc.shape[0]):
+        for cell in np.nonzero(grid_from_acc[f] != 13)[0]:
+            total += 1
+            hits += dense[f, cell, grid_from_acc[f, cell]] == 1.0
+    assert total > 0 and hits == total
+
+
 def test_accdoa_loss_masking():
     pred = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4, 13, 3)),
                        jnp.float32)
