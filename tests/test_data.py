@@ -131,6 +131,23 @@ def test_batch_iterator_shapes_and_padding():
     np.testing.assert_allclose(order1, order1b)
 
 
+def test_batch_iterator_prefetch_modes_agree():
+    cfg = Config()
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=6.0, seed=5)
+    a = [(b.mel.sum(), b.label_mask.sum(), b.n_valid)
+         for b in BatchIterator(corpus, 3, seed=1, prefetch=0)]
+    b = [(x.mel.sum(), x.label_mask.sum(), x.n_valid)
+         for x in BatchIterator(corpus, 3, seed=1, prefetch=3)]
+    assert a == b
+
+
+def test_gather_accdoa_requires_build_flag():
+    cfg = Config()
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    with pytest.raises(AssertionError):
+        corpus.gather_accdoa(np.array([0]))
+
+
 def test_gaussian_corpus_train_only():
     cfg = Config().replace_path("targets.use_gaussian_augmentation", True)
     train = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=2, train=True)

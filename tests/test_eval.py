@@ -79,6 +79,28 @@ def test_seld_macro_aggregation():
     assert m["LE_macro"] == pytest.approx(0.0, abs=1e-3)  # only class 3 has LE
 
 
+def test_evaluate_uses_checkpoint_architecture(tmp_path):
+    """Eval must rebuild the TRAINED architecture from the stored config
+    even when the live config says otherwise (the hazard the reference has,
+    ref trainer.py:430-432)."""
+    from tests.test_train import tiny_config
+
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path)  # crnn
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+
+    lying_cfg = cfg.replace_path("model.model_type", "conformer")
+    results = evaluate_model(
+        lying_cfg, test_c, tmp_path / "ckpt", num_visualizations=0
+    )
+    assert np.isfinite(results["test_loss"])  # crnn weights actually loaded
+
+
 def test_evaluate_model_end_to_end(tmp_path):
     from tests.test_train import tiny_config
 
