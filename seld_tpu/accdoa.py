@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,6 +113,50 @@ def accdoa_loss(pred_vectors, target_vectors, example_mask=None):
         return jnp.mean(per_example)
     em = example_mask.astype(jnp.float32)
     return jnp.sum(per_example * em) / jnp.sum(em)
+
+
+class ACCDOALossFn:
+    """(pred, targets, example_mask) -> (total, breakdown) — the same
+    calling convention as losses.SELDLossFn, so the training runtime is
+    representation-agnostic."""
+
+    def __call__(self, pred_vectors, target_vectors, example_mask=None):
+        loss = accdoa_loss(pred_vectors, target_vectors, example_mask)
+        return loss, {"accdoa": loss}
+
+
+def decode_accdoa_to_grid_jnp(
+    vectors,
+    n_el: int = 18,
+    n_az: int = 36,
+    num_classes: int = 14,
+    activity_threshold: float = 0.5,
+):
+    """Jit-friendly (..., C_events, 3) -> (..., G) int8 class grid.
+
+    Scatter of active classes into their decoded cells; when multiple
+    classes decode into one cell the highest class index wins (the numpy
+    variant keeps iteration order — both are valid argmax-style grids for
+    metric purposes).
+    """
+    vectors = vectors.astype(jnp.float32)
+    c_events = vectors.shape[-2]
+    norm = jnp.linalg.norm(vectors, axis=-1)  # (..., C)
+    active = norm > activity_threshold
+    az = jnp.rad2deg(jnp.arctan2(vectors[..., 1], vectors[..., 0]))
+    el = jnp.rad2deg(
+        jnp.arcsin(jnp.clip(vectors[..., 2] / jnp.maximum(norm, 1e-9), -1, 1))
+    )
+    i, j = polar_to_grid(az, el, n_el, n_az, xp=jnp)
+    cells = cell_index(i, j, n_az)  # (..., C)
+
+    g = n_el * n_az
+    onehot = jax.nn.one_hot(cells, g, dtype=jnp.int32)  # (..., C, G)
+    cls_ids = jnp.arange(c_events, dtype=jnp.int32)
+    cls_ids = cls_ids.reshape((1,) * (vectors.ndim - 2) + (c_events, 1))
+    painted = onehot * active[..., None].astype(jnp.int32) * (cls_ids + 1)
+    best = jnp.max(painted, axis=-2)  # (..., G); 0 = background
+    return jnp.where(best > 0, best - 1, num_classes - 1).astype(jnp.int8)
 
 
 def decode_accdoa_to_grid(

@@ -23,6 +23,7 @@ class Batch:
     mel: np.ndarray  # (B, T, C, F) float32
     label_mask: np.ndarray  # (B, T, G) uint16
     n_valid: int  # rows [0, n_valid) are real; the rest are padding
+    accdoa: np.ndarray | None = None  # (B, T, M-1, 3) when the corpus has it
 
 
 class BatchIterator:
@@ -63,7 +64,12 @@ class BatchIterator:
             pad = np.resize(idxs, self.batch_size)
             idxs = pad
         mel, mask = self.corpus.gather(idxs)
-        return Batch(mel=mel, label_mask=mask, n_valid=n_valid)
+        accdoa = (
+            self.corpus.gather_accdoa(idxs)
+            if self.corpus.accdoa is not None
+            else None
+        )
+        return Batch(mel=mel, label_mask=mask, n_valid=n_valid, accdoa=accdoa)
 
     def __iter__(self):
         order = self._epoch_indices()

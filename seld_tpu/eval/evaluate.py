@@ -83,29 +83,55 @@ def evaluate_model(
         state = shard_variables(state, mesh)
 
     num_classes = cfg.grid.num_classes
+    from seld_tpu.models.registry import ACCDOA_MODELS
 
-    @jax.jit
-    def infer_step(state, mel, label_mask, example_mask):
-        targets = decode_class_bitmask(label_mask, num_classes)
-        logits = model.apply(state.variables(), mel, train=False)
-        total, breakdown = loss_fn(logits, targets, example_mask)
-        pred_cls = jnp.argmax(logits, axis=-1).astype(jnp.int8)
-        true_cls = jnp.argmax(targets, axis=-1).astype(jnp.int8)
-        return {"loss": total, **breakdown}, pred_cls, true_cls
+    accdoa_mode = cfg.model.model_type in ACCDOA_MODELS
+    if accdoa_mode:
+        from seld_tpu.accdoa import ACCDOALossFn, decode_accdoa_to_grid_jnp
+
+        assert test_corpus.accdoa is not None, (
+            "ACCDOA evaluation needs a corpus built with targets.accdoa=true"
+        )
+        acc_loss_fn = ACCDOALossFn()
+
+        @jax.jit
+        def infer_step(state, mel, label_mask, acc_targets, example_mask):
+            vectors = model.apply(state.variables(), mel, train=False)
+            total, breakdown = acc_loss_fn(vectors, acc_targets, example_mask)
+            pred_cls = decode_accdoa_to_grid_jnp(
+                vectors, cfg.grid.n_el, cfg.grid.n_az, num_classes
+            )
+            targets = decode_class_bitmask(label_mask, num_classes)
+            true_cls = jnp.argmax(targets, axis=-1).astype(jnp.int8)
+            return {"loss": total, **breakdown}, pred_cls, true_cls
+
+    else:
+
+        @jax.jit
+        def infer_step(state, mel, label_mask, acc_targets, example_mask):
+            targets = decode_class_bitmask(label_mask, num_classes)
+            logits = model.apply(state.variables(), mel, train=False)
+            total, breakdown = loss_fn(logits, targets, example_mask)
+            pred_cls = jnp.argmax(logits, axis=-1).astype(jnp.int8)
+            true_cls = jnp.argmax(targets, axis=-1).astype(jnp.int8)
+            return {"loss": total, **breakdown}, pred_cls, true_cls
 
     it = BatchIterator(test_corpus, cfg.train.batch_size, shuffle=False, prefetch=2)
     losses, preds, trues = [], [], []
     for batch in it:
         mel = jnp.asarray(batch.mel)
         mask = jnp.asarray(batch.label_mask)
+        acc = jnp.asarray(batch.accdoa) if accdoa_mode else jnp.zeros((), jnp.float32)
         em = (jnp.arange(batch.mel.shape[0]) < batch.n_valid).astype(jnp.float32)
         if mesh is not None:
             from seld_tpu.parallel import batch_sharding
 
             mel = jax.device_put(mel, batch_sharding(mesh, mel.ndim))
             mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
+            if accdoa_mode:
+                acc = jax.device_put(acc, batch_sharding(mesh, acc.ndim))
             em = jax.device_put(em, batch_sharding(mesh, 1))
-        metrics, p, t = infer_step(state, mel, mask, em)
+        metrics, p, t = infer_step(state, mel, mask, acc, em)
         losses.append(metrics)
         preds.append(np.asarray(p)[: batch.n_valid])
         trues.append(np.asarray(t)[: batch.n_valid])
@@ -141,6 +167,10 @@ def evaluate_model(
     log.info("Found %d frames with active events", len(frames_with_events))
 
     viz_records = []
+    if accdoa_mode and save_visualizations and num_visualizations > 0:
+        log.info("visualization pass skipped for ACCDOA models (grid-logit "
+                 "renderer); metrics above use the decoded grid")
+        save_visualizations = False
     if save_visualizations and frames_with_events and num_visualizations > 0:
         from seld_tpu.viz import visualize_grid_predictions
 

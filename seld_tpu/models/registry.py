@@ -70,13 +70,32 @@ def _build_cspdarknet(cfg: ModelConfig, grid: GridConfig):
     )
 
 
+def _build_accdoa_conformer(cfg: ModelConfig, grid: GridConfig):
+    from seld_tpu.accdoa import SELDConformerACCDOA
+
+    return SELDConformerACCDOA(
+        num_event_classes=grid.num_classes - 1,
+        cnn_channels=cfg.crnn_cnn_channels,
+        d_model=cfg.conf_d_model,
+        n_heads=cfg.conf_n_heads,
+        n_layers=cfg.conf_n_layers,
+        kernel_size=cfg.conf_kernel_size,
+        dropout=cfg.conf_dropout,
+        **_dtypes(cfg),
+    )
+
+
 MODEL_REGISTRY = {
     "crnn": _build_crnn,
     "conformer": _build_conformer,
     "resnet_conformer": _build_resnet_conformer,
     "cnn": _build_cspdarknet,  # the reference's name for CSPDarkNet
     "cspdarknet": _build_cspdarknet,
+    # ACCDOA output representation (vectors, not grid logits):
+    "accdoa_conformer": _build_accdoa_conformer,
 }
+
+ACCDOA_MODELS = {"accdoa_conformer"}
 
 
 def build_model(model_cfg: ModelConfig, grid_cfg: GridConfig | None = None):

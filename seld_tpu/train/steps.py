@@ -37,15 +37,20 @@ def _apply(model, state: TrainState, mel, train: bool, dropout_rng=None):
 
 
 def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
-                    donate: bool = True, out_state_shardings=None):
-    """Returns step(state, mel, label_mask, example_mask, rng) ->
+                    donate: bool = True, out_state_shardings=None,
+                    target_decoder=None):
+    """Returns step(state, mel, raw_targets, example_mask, rng) ->
     (state, metrics). `out_state_shardings` pins the output TrainState's
     shardings (e.g. ZeRO-sharded optimizer moments) so GSPMD keeps them
-    stable across steps."""
+    stable across steps. `target_decoder` maps the raw target batch to the
+    loss's format (default: uint16 bitmask -> one-hot grid; ACCDOA passes
+    vectors through)."""
+    if target_decoder is None:
+        target_decoder = lambda m: decode_class_bitmask(m, num_classes)
 
     def step(state: TrainState, mel, label_mask, example_mask, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
-        targets = decode_class_bitmask(label_mask, num_classes)
+        targets = target_decoder(label_mask)
 
         def loss_of(params):
             out, new_stats = _apply(
@@ -83,12 +88,14 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
 
 
 def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
-                   return_logits: bool = False):
-    """Returns step(state, mel, label_mask, example_mask) -> metrics
+                   return_logits: bool = False, target_decoder=None):
+    """Returns step(state, mel, raw_targets, example_mask) -> metrics
     (and logits when return_logits)."""
+    if target_decoder is None:
+        target_decoder = lambda m: decode_class_bitmask(m, num_classes)
 
     def step(state: TrainState, mel, label_mask, example_mask):
-        targets = decode_class_bitmask(label_mask, num_classes)
+        targets = target_decoder(label_mask)
         out, _ = _apply(model, state, mel, train=False)
         total, breakdown = loss_fn(out, targets, example_mask)
         metrics = {"loss": total, **breakdown}

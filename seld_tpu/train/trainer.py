@@ -49,15 +49,15 @@ from seld_tpu.train.steps import make_eval_step, make_train_step
 from seld_tpu.utils.logging import get_logger
 
 
-def _device_batch(batch, mesh):
+def _device_batch(batch, mesh, use_accdoa: bool = False):
     mel = jnp.asarray(batch.mel)
-    mask = jnp.asarray(batch.label_mask)
+    targets = jnp.asarray(batch.accdoa if use_accdoa else batch.label_mask)
     em = (jnp.arange(mel.shape[0]) < batch.n_valid).astype(jnp.float32)
     if mesh is not None:
         mel = jax.device_put(mel, batch_sharding(mesh, mel.ndim))
-        mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
+        targets = jax.device_put(targets, batch_sharding(mesh, targets.ndim))
         em = jax.device_put(em, batch_sharding(mesh, 1))
-    return mel, mask, em
+    return mel, targets, em
 
 
 def _epoch_mean(metric_list):
@@ -80,8 +80,21 @@ def train_model(
     workdir = Path(workdir if workdir is not None else cfg.data.checkpoint_path)
     workdir.mkdir(parents=True, exist_ok=True)
 
+    from seld_tpu.models.registry import ACCDOA_MODELS
+
+    accdoa_mode = cfg.model.model_type in ACCDOA_MODELS
     model = build_model(cfg.model, cfg.grid)
-    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    if accdoa_mode:
+        from seld_tpu.accdoa import ACCDOALossFn
+
+        assert train_corpus.accdoa is not None and test_corpus.accdoa is not None, (
+            "ACCDOA models need corpora built with targets.accdoa=true"
+        )
+        loss_fn = ACCDOALossFn()
+        target_decoder = lambda t: t  # vectors pass straight to the loss
+    else:
+        loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+        target_decoder = None
     optimizer = make_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
 
     win = train_corpus.window_frames
@@ -119,9 +132,11 @@ def train_model(
 
     train_step = make_train_step(
         model, loss_fn, optimizer, cfg.grid.num_classes,
-        out_state_shardings=out_state_shardings,
+        out_state_shardings=out_state_shardings, target_decoder=target_decoder,
     )
-    eval_step = make_eval_step(model, loss_fn, cfg.grid.num_classes)
+    eval_step = make_eval_step(
+        model, loss_fn, cfg.grid.num_classes, target_decoder=target_decoder
+    )
 
     plateau = ReduceLROnPlateau(
         lr=cfg.train.learning_rate,
@@ -155,7 +170,7 @@ def train_model(
                 profile_dir = str(Path(cfg.data.output_path) / "profile")
                 jax.profiler.start_trace(profile_dir)
                 log.info("profiler trace started -> %s", profile_dir)
-            mel, mask, em = _device_batch(batch, mesh)
+            mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
             state, metrics = train_step(state, mel, mask, em, step_rng)
             train_metrics.append(metrics)
             if profiling and epoch == start_epoch and i == cfg.train.profile_steps:
@@ -180,7 +195,7 @@ def train_model(
 
         eval_metrics = []
         for batch in test_iter:
-            mel, mask, em = _device_batch(batch, mesh)
+            mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
             eval_metrics.append(eval_step(state, mel, mask, em))
         test_avg = _epoch_mean(eval_metrics)
 

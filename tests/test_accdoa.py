@@ -139,6 +139,43 @@ def test_accdoa_corpus_end_to_end(tmp_path):
     assert total > 0 and hits == total
 
 
+def test_accdoa_full_pipeline_train_and_eval(tmp_path):
+    """First-class ACCDOA: model_type=accdoa_conformer through the real
+    trainer and evaluator (decoded-grid metrics)."""
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+    from seld_tpu.train import train_model
+
+    cfg = parse_overrides(
+        Config(),
+        [
+            "model.model_type=accdoa_conformer",
+            "model.crnn_cnn_channels=8,16",
+            "model.conf_d_model=32",
+            "model.conf_n_layers=1",
+            "model.compute_dtype=float32",
+            "targets.accdoa=true",
+            "window.window_seconds=1.0",
+            "window.hop_seconds=0.5",
+            "train.batch_size=2",
+            "train.num_epochs=2",
+            "train.save_every_n_epochs=1",
+            f"data.base_path={tmp_path}",
+        ],
+    )
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    state, history = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    assert np.isfinite(history["train_losses"][-1])
+    assert history["train_losses"][-1] < history["train_losses"][0]
+
+    results = evaluate_model(cfg, test_c, tmp_path / "ckpt", num_visualizations=0)
+    assert np.isfinite(results["test_loss"])
+    assert "accdoa" in results
+    assert {"ER", "F", "LE", "LR"} <= set(results["dcase"])
+
+
 def test_accdoa_loss_masking():
     pred = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4, 13, 3)),
                        jnp.float32)
