@@ -106,9 +106,15 @@ def cmd_verify(cfg: Config, args, logger):
 
     b, t = 2, args.frames
     x = jnp.zeros((b, t, cfg.model.n_channels, cfg.model.n_mels), jnp.float32)
-    expect = (b, t, cfg.grid.n_cells, cfg.grid.num_classes)
     failures = 0
-    for model_type in ("cnn", "crnn", "conformer", "resnet_conformer"):
+    for model_type in (
+        "cnn", "crnn", "conformer", "resnet_conformer", "accdoa_conformer"
+    ):
+        expect = (
+            (b, t, cfg.grid.num_classes - 1, 3)
+            if model_type.startswith("accdoa")
+            else (b, t, cfg.grid.n_cells, cfg.grid.num_classes)
+        )
         mcfg = ModelConfig(model_type=model_type, compute_dtype="float32")
         model = build_model(mcfg, cfg.grid)
         variables = init_variables(model, jax.random.PRNGKey(0), x)
