@@ -59,6 +59,21 @@ def test_decode_round_trip():
     assert grid2[0, cell_index(int(i), int(j), 36)] == 13
 
 
+def test_jnp_decoder_matches_numpy(rng):
+    from seld_tpu.accdoa import decode_accdoa_to_grid_jnp
+
+    # random vectors: some strong (active), some weak (background)
+    vec = rng.standard_normal((3, 5, 13, 3)).astype(np.float32)
+    vec *= rng.uniform(0.1, 1.2, (3, 5, 13, 1)).astype(np.float32)
+    a = decode_accdoa_to_grid(vec)
+    b = np.asarray(decode_accdoa_to_grid_jnp(jnp.asarray(vec)))
+    # decoders may tie-break differently when two classes hit one cell;
+    # background/active structure must agree and collisions are rare
+    agree = (a == b).mean()
+    assert agree > 0.999
+    assert ((a == 13) == (b == 13)).mean() > 0.999
+
+
 def test_model_contract_and_learning():
     model = SELDConformerACCDOA(
         cnn_channels=(8, 16), d_model=32, n_heads=4, n_layers=1
