@@ -1,0 +1,56 @@
+"""Small coverage batch: attention dispatch, custom f_max filterbank,
+config forward-compat, standalone viz artifacts."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from seld_tpu.config import Config, config_from_dict, config_to_dict
+
+
+def test_attention_auto_dispatch_on_cpu_uses_einsum(rng):
+    # On the CPU backend auto-dispatch must take the einsum path (Pallas
+    # compiles only on TPU) and match the explicit einsum result exactly.
+    from seld_tpu.ops.attention import multi_head_attention
+
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 2, 600, 64)).astype(np.float32))
+        for _ in range(3)
+    )
+    auto = multi_head_attention(q, k, v)  # T=600 >= flash threshold
+    einsum = multi_head_attention(q, k, v, use_flash=False)
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(einsum))
+
+
+def test_mel_filterbank_custom_fmax():
+    from seld_tpu.features import mel_filterbank
+
+    fb = mel_filterbank(481, 64, 24_000, f_min=50.0, f_max=8000.0)
+    freqs = np.linspace(0, 12_000, 481)
+    # no filter energy above f_max or below f_min
+    assert fb[freqs > 8000.0].sum() == 0.0
+    assert fb[freqs < 50.0].sum() == 0.0
+    assert fb.sum() > 0
+
+
+def test_config_from_dict_tolerates_missing_and_extra_keys():
+    d = config_to_dict(Config())
+    d["train"].pop("seed")  # older checkpoint without the field
+    d["unknown_section"] = {"x": 1}  # newer writer's extra section
+    cfg = config_from_dict(d)
+    assert cfg.train.seed == 0  # default restored
+    assert cfg.train.batch_size == 16
+
+
+def test_plot_loss_curves_artifact(tmp_path):
+    from seld_tpu.viz import plot_loss_curves, visualize_grid_predictions
+
+    plot_loss_curves([1.0, 0.5, 0.4], [1.1, 0.7, 0.8],
+                     save_path=tmp_path / "curves.png")
+    assert (tmp_path / "curves.png").stat().st_size > 0
+
+    gt = np.zeros((648, 14), np.float32)
+    gt[:, 13] = 1.0
+    gt[100, 13], gt[100, 3] = 0.0, 1.0
+    pred = np.random.default_rng(0).standard_normal((648, 14)).astype(np.float32)
+    visualize_grid_predictions(gt, pred, save_path=tmp_path / "grid.png")
+    assert (tmp_path / "grid.png").stat().st_size > 0
