@@ -117,13 +117,28 @@ class SELDPredictor:
             self.cfg.model.model_type, self.meta["epoch"],
         )
 
+        from seld_tpu.models.registry import ACCDOA_MODELS
+
+        self.accdoa_mode = self.cfg.model.model_type in ACCDOA_MODELS
+        grid_cfg = self.cfg.grid
+
         @jax.jit
         def forward(state, mel):  # (B, win, C, F) -> (B, win, G) int8
-            logits = self.model.apply(state.variables(), mel, train=False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int8)
+            out = self.model.apply(state.variables(), mel, train=False)
+            if self.accdoa_mode:
+                from seld_tpu.accdoa import decode_accdoa_to_grid_jnp
+
+                return decode_accdoa_to_grid_jnp(
+                    out, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes
+                )
+            return jnp.argmax(out, axis=-1).astype(jnp.int8)
 
         @jax.jit
         def forward_probs(state, mel):  # (B, win, C, F) -> (B, win, G, M) f16
+            assert not self.accdoa_mode, (
+                "overlapped probability averaging applies to grid models; "
+                "ACCDOA predictions use overlap=0"
+            )
             logits = self.model.apply(state.variables(), mel, train=False)
             return jax.nn.softmax(logits, axis=-1).astype(jnp.float16)
 

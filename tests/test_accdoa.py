@@ -191,6 +191,43 @@ def test_accdoa_full_pipeline_train_and_eval(tmp_path):
     assert {"ER", "F", "LE", "LR"} <= set(results["dcase"])
 
 
+def test_accdoa_predictor_serving(tmp_path):
+    """Predictor serves ACCDOA checkpoints: vectors decode onto the grid."""
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.data.synthetic import synthetic_raw_files
+    from seld_tpu.infer import SELDPredictor
+    from seld_tpu.train import train_model
+
+    cfg = parse_overrides(
+        Config(),
+        [
+            "model.model_type=accdoa_conformer",
+            "model.crnn_cnn_channels=8,16",
+            "model.conf_d_model=32",
+            "model.conf_n_layers=1",
+            "model.compute_dtype=float32",
+            "targets.accdoa=true",
+            "window.window_seconds=1.0",
+            "window.hop_seconds=0.5",
+            "train.batch_size=2",
+            "train.num_epochs=1",
+            "train.save_every_n_epochs=1",
+            f"data.base_path={tmp_path}",
+        ],
+    )
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+
+    predictor = SELDPredictor(tmp_path / "ckpt", batch_windows=2)
+    assert predictor.accdoa_mode
+    wavs, _ = synthetic_raw_files(tmp_path / "wav", cfg, n_files=1, seconds=1.5)
+    pred = predictor.predict_file(wavs[0], csv_out=tmp_path / "out.csv")
+    assert pred.classes.shape[1] == 648  # decoded onto the grid
+    assert (tmp_path / "out.csv").exists()
+
+
 def test_accdoa_loss_masking():
     pred = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4, 13, 3)),
                        jnp.float32)
