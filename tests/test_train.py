@@ -126,6 +126,20 @@ def test_loss_component_viz_hook(tmp_path):
     assert any(viz_dir.glob("loss_components_*.png"))
 
 
+def test_ce_mode_trainer_smoke(tmp_path):
+    # the legacy-monolith CE configuration end to end (ref smrl_seld.py
+    # mode: plain CE with background down-weighting)
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path)
+    cfg = cfg.replace_path("loss.loss_type", "ce")
+    cfg = cfg.replace_path("train.num_epochs", 1)
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    _, history = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    assert np.isfinite(history["train_losses"][0])
+
+
 def test_training_is_deterministic(tmp_path):
     # same seed -> bitwise-identical epoch losses; different seed differs
     from seld_tpu.train import train_model
