@@ -23,6 +23,16 @@ from seld_tpu.config import Config, parse_overrides
 from seld_tpu.utils import describe_devices, setup_logging
 
 
+def _normalize_config(cfg: Config, logger) -> Config:
+    """Cross-field conveniences: ACCDOA models need ACCDOA targets."""
+    from seld_tpu.models.registry import ACCDOA_MODELS
+
+    if cfg.model.model_type in ACCDOA_MODELS and not cfg.targets.accdoa:
+        logger.info("model %s: enabling targets.accdoa", cfg.model.model_type)
+        cfg = cfg.replace_path("targets.accdoa", True)
+    return cfg
+
+
 def _build_corpora(cfg: Config, synthetic: bool, logger):
     if synthetic:
         logger.info("Using synthetic data (no STARSS22 corpus required)")
@@ -67,6 +77,7 @@ def _make_mesh_if_multidevice(cfg: Config, logger):
 def cmd_train(cfg: Config, args, logger):
     from seld_tpu.train import train_model
 
+    cfg = _normalize_config(cfg, logger)
     train_c, test_c = _build_corpora(cfg, args.synthetic, logger)
     mesh = _make_mesh_if_multidevice(cfg, logger)
     state, history = train_model(
@@ -86,6 +97,7 @@ def cmd_train(cfg: Config, args, logger):
 def cmd_eval(cfg: Config, args, logger):
     from seld_tpu.eval import evaluate_model
 
+    cfg = _normalize_config(cfg, logger)
     _, test_c = _build_corpora(cfg, args.synthetic, logger)
     results = evaluate_model(
         cfg, test_c, cfg.data.checkpoint_path,
