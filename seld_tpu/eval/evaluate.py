@@ -24,7 +24,11 @@ import numpy as np
 from seld_tpu.config import Config
 from seld_tpu.data.corpus import WindowedCorpus
 from seld_tpu.data.sampler import BatchIterator
-from seld_tpu.eval.metrics import accuracy_metrics, seld_metrics
+from seld_tpu.eval.metrics import (
+    accuracy_metrics,
+    dcase2022_metrics,
+    seld_metrics,
+)
 from seld_tpu.losses import SELDLossFn
 from seld_tpu.models import build_model
 from seld_tpu.targets.rasterize import decode_class_bitmask
@@ -145,6 +149,9 @@ def evaluate_model(
     dcase = seld_metrics(
         pred_classes, true_classes, cfg.grid.n_el, cfg.grid.n_az, num_classes
     )
+    dcase22 = dcase2022_metrics(
+        pred_classes, true_classes, cfg.grid.n_el, cfg.grid.n_az, num_classes
+    )
     log.info("Test loss %.6f", avg["loss"])
     log.info(
         "Overall acc %.2f%% | non-bg acc %.2f%% | active %d/%d",
@@ -152,8 +159,14 @@ def evaluate_model(
         acc["active_events"], acc["total_cells"],
     )
     log.info(
-        "SELD: ER %.3f F %.3f LE %.1f deg LR %.3f",
+        "SELD (frame variant): ER %.3f F %.3f LE %.1f deg LR %.3f",
         dcase["ER"], dcase["F"], dcase["LE"], dcase["LR"],
+    )
+    log.info(
+        "DCASE2022 (official, 1 s segments): ER %.3f F %.3f LE_CD %.1f deg "
+        "LR_CD %.3f | SELD_error %.3f",
+        dcase22["ER"], dcase22["F_macro"], dcase22["LE_macro"],
+        dcase22["LR_macro"], dcase22["SELD_error"],
     )
 
     # Frames with events (ref trainer.py:615-637, vectorized)
@@ -214,6 +227,7 @@ def evaluate_model(
         **{k: v for k, v in avg.items() if k != "loss"},
         **acc,
         "dcase": dcase,
+        "dcase2022": dcase22,
         "num_frames_with_events": len(frames_with_events),
         "visualizations": viz_records,
         "checkpoint_epoch": meta["epoch"],
