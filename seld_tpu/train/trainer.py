@@ -255,12 +255,11 @@ def train_model(
                 targets = decode_class_bitmask(
                     jnp.asarray(batch.label_mask), cfg.grid.num_classes
                 )
-                # frame with the most activity in the first window
-                frame = int(np.argmax((batch.label_mask[0] != 0).sum(-1)))
                 visualize_loss_components(
                     logits, targets,
                     n_el=cfg.grid.n_el, n_az=cfg.grid.n_az,
-                    frame_idx=frame, epoch=epoch,
+                    frame_idx=None,  # auto-pick busiest frame (ref :44-62)
+                    epoch=epoch,
                     save_dir=Path(cfg.data.output_path) / "train_visualizations",
                 )
                 log.info("  Loss-component dashboard rendered (epoch %d)", epoch)

@@ -102,27 +102,45 @@ def visualize_loss_components(
     labels,
     n_el: int = 18,
     n_az: int = 36,
-    frame_idx: int = 0,
+    frame_idx: int | None = None,
     epoch=None,
     save_dir=None,
 ):
-    """Loss-internals dashboard for one (B, T, G, M) batch's chosen frame:
-    activity maps, event masks, AIUR intersection/union, CL attention map
-    y_at and its contribution (ref visualization.py:12-260)."""
+    """12-panel loss-internals dashboard, panel-for-panel with the
+    reference (ref visualization.py:12-260):
+
+      row 1 — GT activity, GT classes, GT event mask, GT statistics
+      row 2 — pred activity, pred classes, pred event mask, pred statistics
+      row 3 — AIUR intersection, AIUR union, CL attention map y_at,
+              CL contribution (pred_nonbg * y_at)
+
+    plus per-component scalar annotations in the suptitle (AIUR loss with
+    IoU/intersection/union counts, CL loss). `frame_idx=None` picks the
+    (batch, time) frame with the most active GT cells (ref :44-62);
+    an int pins (batch 0, frame_idx).
+    """
     import jax.nn
 
     logits = np.asarray(logits)
     labels = np.asarray(labels)
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))
-    b, t = 0, frame_idx
     m = labels.shape[-1]
+
+    if frame_idx is None:
+        # frame with the most non-background GT cells (ref :49-61)
+        counts = (np.argmax(labels, -1) != m - 1).sum(-1)  # (B, T)
+        b, t = np.unravel_index(int(np.argmax(counts)), counts.shape)
+    else:
+        b, t = 0, frame_idx
 
     true = labels[b, t].reshape(n_el, n_az, m)
     pred = probs[b, t].reshape(n_el, n_az, m)
     true_act = true[..., :-1].sum(-1)
     pred_act = pred[..., :-1].sum(-1)
-    true_mask = (np.argmax(true, -1) != m - 1).astype(float)
-    pred_mask = (np.argmax(pred, -1) != m - 1).astype(float)
+    true_cls = np.argmax(true, -1)
+    pred_cls = np.argmax(pred, -1)
+    true_mask = (true_cls != m - 1).astype(float)
+    pred_mask = (pred_cls != m - 1).astype(float)
     inter = true_mask * pred_mask
     union = np.clip(true_mask + pred_mask, 0, 1)
 
@@ -138,28 +156,65 @@ def visualize_loss_components(
     y_at = y_prime + diff / 8.0
     cl_contrib = pred_act * y_at
 
-    panels = [
-        (true_act, "GT activity"),
-        (pred_act, "pred activity"),
-        (true_mask, "GT event mask"),
-        (pred_mask, "pred event mask"),
-        (inter, "AIUR intersection"),
-        (union, "AIUR union"),
-        (y_prime, "CL y'"),
-        (y_at, "CL attention y_at"),
-        (cl_contrib, "CL contribution"),
-    ]
-    fig, axes = plt.subplots(3, 3, figsize=(16, 10))
-    for ax, (data, title) in zip(axes.ravel(), panels):
-        im = ax.imshow(data, origin="lower", aspect="auto", cmap="viridis")
-        ax.set_title(title)
+    # scalar annotations (ref :236-247)
+    iou = inter.sum() / max(union.sum(), 1e-8) if union.sum() > 0 else 1.0
+    aiur_val = 1.0 - iou
+    cl_val = cl_contrib.sum() / (n_non * n_el * n_az + 1e-8) if n_non > 0 else 0.0
+
+    fig, axes = plt.subplots(3, 4, figsize=(22, 12))
+
+    def show(ax, data, title, cmap="YlOrRd", **imkw):
+        im = ax.imshow(data, origin="lower", aspect="auto", cmap=cmap, **imkw)
+        ax.set_title(title, fontsize=11)
+        ax.set_xlabel("azimuth bins")
+        ax.set_ylabel("elevation bins")
         fig.colorbar(im, ax=ax, shrink=0.8)
-    iou = inter.sum() / max(union.sum(), 1e-8)
-    fig.suptitle(
-        f"loss components — epoch {epoch}, frame {frame_idx}, IoU {iou:.3f}"
+
+    clskw = dict(cmap="tab20", vmin=0, vmax=m - 1)
+    show(axes[0, 0], true_act, "GT activity (non-bg sum)")
+    show(axes[0, 1], true_cls, f"GT classes ({int(true_mask.sum())} active)", **clskw)
+    show(axes[0, 2], true_mask, "GT event mask", cmap="Greys", vmin=0, vmax=1)
+    axes[0, 3].axis("off")
+    axes[0, 3].text(
+        0.05, 0.5,
+        f"Ground truth stats\n\n"
+        f"total cells:      {n_el * n_az}\n"
+        f"active cells:     {int(true_mask.sum())}\n"
+        f"background cells: {int((1 - true_mask).sum())}\n"
+        f"activity range:   [{true_act.min():.3f}, {true_act.max():.3f}]\n"
+        f"N_bac: {n_bac:.0f}\nN_non: {n_non:.0f}",
+        fontsize=10, va="center", family="monospace",
     )
-    fig.tight_layout()
+
+    show(axes[1, 0], pred_act, "pred activity (non-bg sum)")
+    show(axes[1, 1], pred_cls, f"pred classes ({int(pred_mask.sum())} active)", **clskw)
+    show(axes[1, 2], pred_mask, "pred event mask", cmap="Greys", vmin=0, vmax=1)
+    axes[1, 3].axis("off")
+    axes[1, 3].text(
+        0.05, 0.5,
+        f"Prediction stats\n\n"
+        f"total cells:      {n_el * n_az}\n"
+        f"active cells:     {int(pred_mask.sum())}\n"
+        f"background cells: {int((1 - pred_mask).sum())}\n"
+        f"activity range:   [{pred_act.min():.3f}, {pred_act.max():.3f}]\n"
+        f"confidence:       {pred.max(-1).mean():.3f}",
+        fontsize=10, va="center", family="monospace",
+    )
+
+    show(axes[2, 0], inter, "AIUR intersection", cmap="Greens", vmin=0, vmax=1)
+    show(axes[2, 1], union, "AIUR union", cmap="Blues", vmin=0, vmax=1)
+    show(axes[2, 2], y_at, "CL attention map y_at", cmap="RdBu_r")
+    show(axes[2, 3], cl_contrib, "CL contribution (pred_nonbg * y_at)",
+         cmap="RdBu_r")
+
+    fig.suptitle(
+        f"Loss components — epoch {epoch}, batch {b}, frame {t}\n"
+        f"AIUR = {aiur_val:.4f} (IoU {iou:.4f}, I={int(inter.sum())}, "
+        f"U={int(union.sum())}) | CL = {cl_val:.4f}",
+        fontsize=13, fontweight="bold",
+    )
+    fig.tight_layout(rect=(0, 0, 1, 0.94))
     save_path = None
     if save_dir is not None:
-        save_path = Path(save_dir) / f"loss_components_epoch{epoch}_f{frame_idx}.png"
+        save_path = Path(save_dir) / f"loss_components_epoch{epoch}_f{t}.png"
     return _save_or_return(fig, save_path)

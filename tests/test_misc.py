@@ -54,3 +54,43 @@ def test_plot_loss_curves_artifact(tmp_path):
     pred = np.random.default_rng(0).standard_normal((648, 14)).astype(np.float32)
     visualize_grid_predictions(gt, pred, save_path=tmp_path / "grid.png")
     assert (tmp_path / "grid.png").stat().st_size > 0
+
+
+def test_loss_components_dashboard_panels(tmp_path):
+    """12-panel parity with ref visualization.py:12-260: GT/pred
+    activity+classes+masks+stats, AIUR maps, CL y_at + contribution,
+    busiest-frame auto-selection, scalar annotations in the title."""
+    import numpy as np
+
+    from seld_tpu.viz import visualize_loss_components
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 6, 648, 14)).astype("float32")
+    labels = np.zeros((2, 6, 648, 14), "float32")
+    labels[..., -1] = 1.0
+    for cell, cls in [(100, 2), (101, 2), (300, 5)]:
+        labels[1, 4, cell] = 0.0
+        labels[1, 4, cell, cls] = 1.0
+
+    fig = visualize_loss_components(logits, labels, epoch=3)
+    try:
+        axes = fig.get_axes()
+        # 12 panels + colorbars (2 stats panels have no colorbar)
+        panels = [a for a in axes if a.get_title() or not a.axison]
+        assert len(panels) >= 12
+        title = fig._suptitle.get_text()
+        assert "AIUR" in title and "CL" in title and "IoU" in title
+        assert "frame 4" in title and "batch 1" in title  # busiest frame
+    finally:
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+    # pinned frame still works
+    path_fig = visualize_loss_components(
+        logits, labels, frame_idx=0, epoch=3, save_dir=tmp_path
+    )
+    import matplotlib.pyplot as plt
+
+    plt.close(path_fig)
+    assert (tmp_path / "loss_components_epoch3_f0.png").exists()
