@@ -5,10 +5,20 @@
 # gcloud scp/rsync and runs directly on the VM, which owns all local chips.
 #
 # Usage:
-#   ./scripts/run_tpu_vm.sh <tpu-name> <zone> [extra config overrides...]
+#   ./scripts/run_tpu_vm.sh <tpu-name> <zone> [command] [overrides...]
 # Example:
 #   ./scripts/run_tpu_vm.sh seld-v5e-8 us-west4-a train model.model_type=crnn
+#
+# Set DRY_RUN=1 (or pass --print-only as the first argument) to print the
+# exact gcloud commands instead of executing them — used by the test suite
+# and for pre-flight review.
 set -euo pipefail
+
+if [[ "${1:-}" == "--print-only" ]]; then
+  DRY_RUN=1
+  shift
+fi
+DRY_RUN="${DRY_RUN:-0}"
 
 TPU_NAME="${1:?tpu name}"
 ZONE="${2:?zone}"
@@ -17,13 +27,22 @@ shift 3 || true
 
 REPO_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 
+run() {
+  if [[ "${DRY_RUN}" == "1" ]]; then
+    printf '%q ' "$@"
+    printf '\n'
+  else
+    "$@"
+  fi
+}
+
 # 1) Sync the framework to the TPU VM (all workers).
-gcloud compute tpus tpu-vm scp --recurse "${REPO_DIR}/seld_tpu" \
+run gcloud compute tpus tpu-vm scp --recurse "${REPO_DIR}/seld_tpu" \
   "${TPU_NAME}:~/seld_tpu_run/" --zone "${ZONE}" --worker=all
-gcloud compute tpus tpu-vm scp "${REPO_DIR}/bench.py" \
+run gcloud compute tpus tpu-vm scp "${REPO_DIR}/bench.py" \
   "${TPU_NAME}:~/seld_tpu_run/" --zone "${ZONE}" --worker=all
 
 # 2) Launch training. Logs stream back; checkpoints land on the VM disk
 #    (point data.checkpoint_path at a GCS fuse mount for durability).
-gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all \
+run gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all \
   --command "cd ~/seld_tpu_run && python -m seld_tpu.cli ${COMMAND} $*"

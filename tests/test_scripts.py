@@ -1,0 +1,59 @@
+"""Tests for scripts/run_tpu_vm.sh (SURVEY C23 — the reference's
+run_job.slurm / deploy.ps1 equivalent) via its --print-only dry-run mode."""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+SCRIPT = Path(__file__).parent.parent / "scripts" / "run_tpu_vm.sh"
+
+bash = shutil.which("bash")
+pytestmark = pytest.mark.skipif(bash is None, reason="bash unavailable")
+
+
+def run_script(*args, env=None):
+    return subprocess.run(
+        [bash, str(SCRIPT), *args],
+        capture_output=True, text=True, env=env,
+    )
+
+
+def test_dry_run_prints_gcloud_commands():
+    r = run_script("--print-only", "seld-v5e-8", "us-west4-a", "train",
+                   "model.model_type=crnn", "train.num_epochs=2")
+    assert r.returncode == 0, r.stderr
+    # %q-quoting escapes ~ and spaces; strip backslashes for matching
+    lines = [ln.replace("\\", "").strip()
+             for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 3
+    # 1+2: code sync to all workers
+    assert lines[0].startswith("gcloud compute tpus tpu-vm scp --recurse ")
+    assert "seld_tpu" in lines[0] and "--worker=all" in lines[0]
+    assert "seld-v5e-8:~/seld_tpu_run/" in lines[0]
+    assert "bench.py" in lines[1] and "--zone us-west4-a" in lines[1]
+    # 3: remote launch with command + overrides forwarded
+    assert lines[2].startswith("gcloud compute tpus tpu-vm ssh seld-v5e-8 ")
+    assert "python -m seld_tpu.cli train" in lines[2]
+    assert "model.model_type=crnn" in lines[2]
+    assert "train.num_epochs=2" in lines[2]
+
+
+def test_dry_run_env_var():
+    r = run_script("tpu-x", "eu-west4-b", env={"DRY_RUN": "1", "PATH": "/usr/bin:/bin"})
+    assert r.returncode == 0, r.stderr
+    assert "gcloud" in r.stdout
+    # default command is train
+    assert "seld_tpu.cli train" in r.stdout.splitlines()[-1].replace("\\", "")
+
+
+def test_missing_args_fail():
+    r = run_script("--print-only", "only-name")
+    assert r.returncode != 0
+    assert "zone" in r.stderr
+
+
+def test_shell_syntax():
+    r = subprocess.run([bash, "-n", str(SCRIPT)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
