@@ -196,3 +196,29 @@ def test_trainer_runs_under_mesh(tmp_path):
     assert r_mesh["overall_accuracy"] == pytest.approx(
         r_single["overall_accuracy"], abs=1e-6
     )
+
+
+def test_batchnorm_is_sync_bn_under_dp(tmp_path):
+    """BatchNorm-under-DP decision (SURVEY §7(f)), pinned: under GSPMD the
+    batch-stat reductions span the full global batch — i.e. synchronous
+    BatchNorm. The updated running statistics of a mesh-sharded train step
+    must therefore equal the single-device run exactly (up to f32
+    reduction reassociation), unlike per-replica BN which would average
+    different sub-batches. Documented in PARITY.md C16."""
+    cfg = small_cfg(tmp_path)
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+
+    s_base, _ = run_steps(cfg, None, corpus)
+    s_dp, _ = run_steps(cfg, make_mesh(n_data=8, n_model=1), corpus)
+
+    base_leaves = jax.tree_util.tree_leaves_with_path(s_base.batch_stats)
+    dp_stats = s_dp.batch_stats
+    assert base_leaves, "model under test must carry batch_stats"
+    for key_path, leaf in base_leaves:
+        dp_leaf = dp_stats
+        for k in key_path:
+            dp_leaf = dp_leaf[getattr(k, "key", k)]
+        np.testing.assert_allclose(
+            np.asarray(dp_leaf), np.asarray(leaf), rtol=1e-5, atol=1e-6,
+            err_msg="/".join(getattr(k, "key", str(k)) for k in key_path),
+        )
