@@ -82,19 +82,21 @@ class SELDConformerACCDOA(nn.Module):
     dropout: float = 0.3
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        nkw = dict(norm_dtype=self.norm_dtype, **kw)
         x = x.astype(self.dtype)
         x = jnp.swapaxes(x, 2, 3)  # NHWC
-        x = CNNEncoder(tuple(self.cnn_channels), **kw)(x, train=train)
+        x = CNNEncoder(tuple(self.cnn_channels), **nkw)(x, train=train)
         x = nn.Dense(self.d_model, name="proj", **kw)(x)
         for i in range(self.n_layers):
             x = ConformerBlock(
                 d_model=self.d_model, n_heads=self.n_heads,
                 d_ff=4 * self.d_model, kernel_size=self.kernel_size,
-                dropout=self.dropout, name=f"block_{i}", **kw,
+                dropout=self.dropout, name=f"block_{i}", **nkw,
             )(x, train=train)
         b, t, _ = x.shape
         y = nn.Dense(

@@ -224,6 +224,16 @@ class ModelConfig:
     # TPU dtype policy: bf16 activations/compute with f32 params & loss.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # BatchNorm/LayerNorm arithmetic dtype. Statistics (mean/var) are
+    # always reduced in float32 inside flax regardless of this setting;
+    # "bfloat16" makes the normalize/scale elementwise math match the
+    # compute dtype, halving HBM traffic through the ~50 norm layers.
+    norm_dtype: str = "float32"
+    # Activation checkpointing (jax.checkpoint / nn.remat) — recompute
+    # instead of saving activations in the backward pass:
+    #   'none' | 'conformer' (conformer blocks) | 'resnet' (bottlenecks)
+    #   | 'all'
+    remat: str = "none"
 
 
 @dataclass(frozen=True)

@@ -27,28 +27,35 @@ class SELDConformer(nn.Module):
     dropout: float = 0.3
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
+    remat: str = "none"  # 'none' | 'conformer' | 'all'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        nkw = dict(norm_dtype=self.norm_dtype, **kw)
         x = x.astype(self.dtype)
         x = jnp.swapaxes(x, 2, 3)  # (B, T, F, C) NHWC
-        x = CNNEncoder(tuple(self.cnn_channels), **kw)(x, train=train)
+        x = CNNEncoder(tuple(self.cnn_channels), **nkw)(x, train=train)
         x = nn.Dense(self.d_model, name="proj", **kw)(x)
+        block_cls = (
+            nn.remat(ConformerBlock, static_argnums=(2,))
+            if self.remat in ("conformer", "all") else ConformerBlock
+        )
         for i in range(self.n_layers):
-            x = ConformerBlock(
+            x = block_cls(
                 d_model=self.d_model,
                 n_heads=self.n_heads,
                 d_ff=4 * self.d_model,
                 kernel_size=self.kernel_size,
                 dropout=self.dropout,
                 name=f"block_{i}",
-                **kw,
-            )(x, train=train)
+                **nkw,
+            )(x, train)
         return GridHead(
             hidden=512,
             grid_cells=self.grid_size[0] * self.grid_size[1],
             num_classes=self.num_classes,
             dropout=self.dropout,
-            **kw,
+            **nkw,
         )(x, train=train)

@@ -61,19 +61,21 @@ class SELDCRNN(nn.Module):
     dropout: float = 0.3
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        nkw = dict(norm_dtype=self.norm_dtype, **kw)
         x = x.astype(self.dtype)
         # (B, T, C, F) -> NHWC (B, T, F, C)
         x = jnp.swapaxes(x, 2, 3)
-        x = CNNEncoder(tuple(self.cnn_channels), **kw)(x, train=train)
+        x = CNNEncoder(tuple(self.cnn_channels), **nkw)(x, train=train)
         x = BiGRU(self.rnn_hidden, self.rnn_layers, self.dropout, **kw)(x, train=train)
         return GridHead(
             hidden=512,
             grid_cells=self.grid_size[0] * self.grid_size[1],
             num_classes=self.num_classes,
             dropout=self.dropout,
-            **kw,
+            **nkw,
         )(x, train=train)

@@ -36,6 +36,7 @@ class ConvBnSiLU(nn.Module):
     padding: int = 0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -52,7 +53,7 @@ class ConvBnSiLU(nn.Module):
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
-            dtype=jnp.float32,
+            dtype=self.norm_dtype,
             param_dtype=self.param_dtype,
         )(x)
         return nn.silu(x).astype(self.dtype)
@@ -65,10 +66,12 @@ class CSPBottleneck(nn.Module):
     shortcut: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  norm_dtype=self.norm_dtype)
         y = ConvBnSiLU(self.features, 1, 1, 0, **kw)(x, train=train)
         y = ConvBnSiLU(self.features, 3, 1, 1, **kw)(y, train=train)
         if self.shortcut and x.shape[-1] == self.features:
@@ -84,10 +87,12 @@ class C3(nn.Module):
     shortcut: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  norm_dtype=self.norm_dtype)
         hidden = self.features // 2
         a = ConvBnSiLU(hidden, 1, 1, 0, name="cv1", **kw)(x, train=train)
         for i in range(self.n_blocks):
@@ -105,10 +110,12 @@ class SPPF(nn.Module):
     kernel: int = 5
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  norm_dtype=self.norm_dtype)
         hidden = x.shape[-1] // 2
         x = ConvBnSiLU(hidden, 1, 1, 0, name="cv1", **kw)(x, train=train)
         p = self.kernel // 2
@@ -138,10 +145,12 @@ class CSPDarkNet(nn.Module):
     width_multiple: float = 1.0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  norm_dtype=self.norm_dtype)
         w, d = self.width_multiple, self.depth_multiple
         x = ConvBnSiLU(_scaled(64, w), 3, 1, 1, name="stem", **kw)(x, train=train)
         feats = []
@@ -167,10 +176,12 @@ class SELDCSPDarkNet(nn.Module):
     dropout: float = 0.3
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  norm_dtype=self.norm_dtype)
         b, t, c, f = x.shape
         # Fold time into batch; each frame is an (F, 1) 'image' in NHWC
         # (ref model.py:182 uses (B*T, C, F, 1) NCHW).
@@ -207,9 +218,10 @@ class SELDCSPDarkNet(nn.Module):
         grid = (grid.astype(jnp.float32) / jnp.maximum(norm, 1e-12)).astype(self.dtype)
 
         # Shared per-cell classifier 256 -> 128 -> M (ref model.py:164-170)
-        y = nn.Dense(128, name="cls1", **kw)(grid)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(y)
+        dkw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        y = nn.Dense(128, name="cls1", **dkw)(grid)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, param_dtype=self.param_dtype)(y)
         y = nn.relu(y).astype(self.dtype)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.Dense(self.num_classes, name="cls2", **kw)(y)
+        y = nn.Dense(self.num_classes, name="cls2", **dkw)(y)
         return y.reshape(b, t, g, self.num_classes).astype(jnp.float32)

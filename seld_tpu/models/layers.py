@@ -44,6 +44,7 @@ class ConvBlock(nn.Module):
     pool: tuple[int, int] | None = (1, 2)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -60,7 +61,7 @@ class ConvBlock(nn.Module):
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
-            dtype=jnp.float32,
+            dtype=self.norm_dtype,
             param_dtype=self.param_dtype,
         )(x)
         x = nn.relu(x).astype(self.dtype)
@@ -81,13 +82,15 @@ class CNNEncoder(nn.Module):
     channels: Sequence[int] = (64, 128, 256, 512)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, ch in enumerate(self.channels):
             pool = (1, 2) if i < 4 else None
             x = ConvBlock(
-                ch, pool=pool, dtype=self.dtype, param_dtype=self.param_dtype
+                ch, pool=pool, dtype=self.dtype,
+                param_dtype=self.param_dtype, norm_dtype=self.norm_dtype,
             )(x, train=train)
         b, t, f, c = x.shape
         # (B, T, F', C') -> (B, T, C' * F'); match the reference's
@@ -104,11 +107,12 @@ class FeedForward(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         res = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, param_dtype=self.param_dtype)(x)
         y = y.astype(self.dtype)
         y = nn.Dense(self.d_ff, dtype=self.dtype, param_dtype=self.param_dtype)(y)
         y = swish(y)
@@ -133,13 +137,14 @@ class MultiHeadSelfAttention(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.d_model % self.n_heads == 0
         head_dim = self.d_model // self.n_heads
         res = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, param_dtype=self.param_dtype)(x)
         y = y.astype(self.dtype)
         b, t, _ = y.shape
 
@@ -167,11 +172,12 @@ class ConformerConvModule(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         res = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, param_dtype=self.param_dtype)(x)
         y = y.astype(self.dtype)
         y = nn.Dense(2 * self.d_model, dtype=self.dtype, param_dtype=self.param_dtype)(y)
         a, b = jnp.split(y, 2, axis=-1)
@@ -189,7 +195,7 @@ class ConformerConvModule(nn.Module):
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
-            dtype=jnp.float32,
+            dtype=self.norm_dtype,
             param_dtype=self.param_dtype,
         )(y)
         y = swish(y).astype(self.dtype)
@@ -209,11 +215,13 @@ class ConformerBlock(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d_ff = self.d_ff or 4 * self.d_model
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  norm_dtype=self.norm_dtype)
         x = FeedForward(self.d_model, d_ff, self.dropout, **kw)(x, train=train)
         x = MultiHeadSelfAttention(self.d_model, self.n_heads, self.dropout, **kw)(
             x, train=train
@@ -222,7 +230,7 @@ class ConformerBlock(nn.Module):
             self.d_model, self.kernel_size, self.dropout, **kw
         )(x, train=train)
         x = FeedForward(self.d_model, d_ff, self.dropout, **kw)(x, train=train)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, param_dtype=self.param_dtype)(x)
         return x.astype(self.dtype)
 
 
@@ -238,12 +246,13 @@ class GridHead(nn.Module):
     dropout: float = 0.3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, t, _ = x.shape
         y = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype)(x)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, param_dtype=self.param_dtype)(y)
         y = nn.relu(y).astype(self.dtype)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(

@@ -20,6 +20,7 @@ def _dtypes(cfg: ModelConfig):
     return dict(
         dtype=jnp.dtype(cfg.compute_dtype),
         param_dtype=jnp.dtype(cfg.param_dtype),
+        norm_dtype=jnp.dtype(cfg.norm_dtype),
     )
 
 
@@ -45,6 +46,7 @@ def _build_conformer(cfg: ModelConfig, grid: GridConfig):
         n_layers=cfg.conf_n_layers,
         kernel_size=cfg.conf_kernel_size,
         dropout=cfg.conf_dropout,
+        remat=cfg.remat,
         **_dtypes(cfg),
     )
 
@@ -57,6 +59,7 @@ def _build_resnet_conformer(cfg: ModelConfig, grid: GridConfig):
         n_heads=cfg.resnet_conf_n_heads,
         n_layers=cfg.resnet_conf_n_layers,
         dropout=cfg.resnet_dropout,
+        remat=cfg.remat,
         **_dtypes(cfg),
     )
 

@@ -32,6 +32,7 @@ class BottleneckBlock(nn.Module):
     expansion: int = 4
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -42,7 +43,7 @@ class BottleneckBlock(nn.Module):
                 use_running_average=not train,
                 momentum=BN_MOMENTUM,
                 epsilon=BN_EPS,
-                dtype=jnp.float32,
+                dtype=self.norm_dtype,
                 param_dtype=self.param_dtype,
                 name=name,
             )
@@ -75,34 +76,45 @@ class ResNet50Encoder(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  norm_dtype=self.norm_dtype)
         x = nn.Conv(
-            64, (3, 3), strides=(1, 2), padding=1, use_bias=False, name="stem", **kw
+            64, (3, 3), strides=(1, 2), padding=1, use_bias=False, name="stem",
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
-            dtype=jnp.float32,
+            dtype=self.norm_dtype,
             param_dtype=self.param_dtype,
             name="stem_bn",
         )(x)
         x = nn.relu(x).astype(self.dtype)
         x = nn.max_pool(x, (3, 3), strides=(1, 2), padding=((1, 1), (1, 1)))
 
+        # Activation checkpointing: recompute each bottleneck in the
+        # backward pass instead of saving its internals (train is static
+        # arg 2 of __call__).
+        block_cls = (
+            nn.remat(BottleneckBlock, static_argnums=(2,))
+            if self.remat else BottleneckBlock
+        )
         planes = (64, 128, 256, 512)
         strides = ((1, 1), (1, 2), (1, 2), (1, 2))
         for stage, (p, s, n) in enumerate(zip(planes, strides, self.layers)):
             for block in range(n):
-                x = BottleneckBlock(
+                x = block_cls(
                     planes=p,
                     stride=s if block == 0 else (1, 1),
                     name=f"stage{stage + 1}_block{block}",
                     **kw,
-                )(x, train=train)
+                )(x, train)
         return x
 
 
@@ -118,33 +130,43 @@ class SELDResNetConformer(nn.Module):
     dropout: float = 0.3
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
+    # 'none' | 'resnet' | 'conformer' | 'all' (jax.checkpoint granularity)
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        nkw = dict(norm_dtype=self.norm_dtype, **kw)
         x = x.astype(self.dtype)
         x = jnp.swapaxes(x, 2, 3)  # (B, T, F, C) NHWC
-        x = ResNet50Encoder(**kw)(x, train=train)  # (B, T, F/32, 2048)
+        x = ResNet50Encoder(
+            remat=self.remat in ("resnet", "all"), **nkw
+        )(x, train=train)  # (B, T, F/32, 2048)
         b, t, f, c = x.shape
         # Match the reference's channel-major flatten (C_out * F_out,
         # ref resnet50_model.py:186-188).
         x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, c * f)
         x = nn.Dense(self.d_model, name="proj", **kw)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        conformer_cls = (
+            nn.remat(ConformerBlock, static_argnums=(2,))
+            if self.remat in ("conformer", "all") else ConformerBlock
+        )
         for i in range(self.n_layers):
-            x = ConformerBlock(
+            x = conformer_cls(
                 d_model=self.d_model,
                 n_heads=self.n_heads,
                 d_ff=4 * self.d_model,
                 kernel_size=self.kernel_size,
                 dropout=self.dropout,
                 name=f"block_{i}",
-                **kw,
-            )(x, train=train)
+                **nkw,
+            )(x, train)
         return GridHead(
             hidden=1024,
             grid_cells=self.grid_size[0] * self.grid_size[1],
             num_classes=self.num_classes,
             dropout=self.dropout,
-            **kw,
+            **nkw,
         )(x, train=train)
