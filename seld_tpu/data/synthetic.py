@@ -81,3 +81,72 @@ def synthetic_raw_files(
         audio_files.append(str(apath))
         meta_files.append(str(mpath))
     return audio_files, meta_files
+
+
+# STARSS22-realistic fixture events: (start_meta_frame, end_meta_frame,
+# class, source, azimuth, elevation). Deliberately exercises the corners
+# the random generator can miss (ref dataset.py:60-119 semantics):
+#   * dateline azimuths at exactly +-180 and a crossing +175 -> -175
+#   * elevation poles +-90
+#   * two sources of the SAME class in the SAME metadata frame
+#     (>1 CSV row per frame, multi-label cells)
+#   * two different classes overlapping in time
+_FIXTURE_EVENTS = {
+    "train": [
+        (0, 12, 2, 0, 180, 30),       # dateline east edge
+        (0, 12, 2, 1, -180, -30),     # same class, second source, west edge
+        (5, 18, 7, 0, -90, 90),       # pole elevation, overlaps class 2
+        (20, 28, 4, 0, 175, 10),      # crossing pair: ends at +175 ...
+        (28, 36, 4, 0, -175, 10),     # ... continues at -175 (wraps)
+        (30, 38, 11, 1, 0, -90),      # south pole
+    ],
+    "test": [
+        (0, 10, 2, 0, 179, 25),
+        (0, 10, 5, 1, -179, -25),     # overlapping different class
+        (12, 22, 9, 0, 45, 60),
+        (12, 22, 9, 1, -135, -60),    # same class, two sources per frame
+    ],
+}
+
+
+def starss_fixture(root: Path, cfg: Config, seconds: float = 6.0, seed: int = 0):
+    """Write a STARSS22-format directory tree (foa_dev/metadata_dev with
+    dev-{train,test}-{sony,tau} splits, fold-style filenames) containing
+    deterministic multi-source / dateline / pole events, for end-to-end
+    tests over the real discovery -> rasterize -> train -> serve path.
+
+    Returns {split: (audio_files, meta_files)}.
+    """
+    rng = np.random.default_rng(seed)
+    sr = cfg.features.sample_rate
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    out = {}
+    for split, fold in (("train", 3), ("test", 4)):
+        audio_files, meta_files = [], []
+        for site_i, site in enumerate(("sony", "tau")):
+            wave = 0.01 * rng.standard_normal((4, n)).astype(np.float32)
+            rows = []
+            for (f0, f1, cls, src, az, el) in _FIXTURE_EVENTS[split]:
+                s0 = min(int(f0 * 0.1 * sr), n)
+                s1 = min(int(f1 * 0.1 * sr), n)
+                tone = 0.1 * np.sin(
+                    2 * np.pi * (300.0 + 150.0 * cls) * t[s0:s1]
+                ).astype(np.float32)
+                gains = rng.uniform(0.3, 1.0, (4, 1)).astype(np.float32)
+                wave[:, s0:s1] += tone * gains
+                max_meta = int(seconds * 10)
+                for mf in range(f0, min(f1, max_meta)):
+                    rows.append((mf, cls, src, az, el))
+            rows.sort()
+            sub = f"dev-{split}-{site}"
+            name = f"fold{fold}_room{site_i + 1}_mix001"
+            apath = Path(root) / cfg.data.audio_dirname / sub / f"{name}.wav"
+            mpath = Path(root) / cfg.data.metadata_dirname / sub / f"{name}.csv"
+            write_wav(apath, wave, sr)
+            mpath.parent.mkdir(parents=True, exist_ok=True)
+            np.savetxt(mpath, np.asarray(rows, np.int64), fmt="%d", delimiter=",")
+            audio_files.append(str(apath))
+            meta_files.append(str(mpath))
+        out[split] = (audio_files, meta_files)
+    return out
