@@ -132,3 +132,65 @@ def test_param_count_parity_with_reference(model_type, tol):
     assert ours == pytest.approx(ref_count, rel=tol), (
         f"{model_type}: ours={ours:,} ref={ref_count:,}"
     )
+
+
+def test_remat_preserves_params_and_outputs():
+    """model.remat wraps blocks in jax.checkpoint: the parameter tree and
+    the outputs must be identical to the unwrapped model (recompute only
+    changes the backward schedule), and gradients must flow through the
+    wrapper."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.models import build_model, init_variables
+
+    base = parse_overrides(
+        Config(),
+        [
+            "model.model_type=conformer",
+            "model.crnn_cnn_channels=8,16",
+            "model.conf_d_model=32",
+            "model.conf_n_layers=2",
+            "model.compute_dtype=float32",
+        ],
+    )
+    remat = parse_overrides(base, ["model.remat=all"])
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 4, 64)), jnp.float32
+    )
+    m0 = build_model(base.model, base.grid)
+    m1 = build_model(remat.model, remat.grid)
+    v0 = init_variables(m0, jax.random.PRNGKey(0), x)
+    v1 = init_variables(m1, jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    y0 = m0.apply(v0, x, train=False)
+    y1 = m1.apply(v1, x, train=False)  # same init rng -> same params
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+    # gradients flow through the remat wrapper and match the plain model
+    def loss(m, v, p):
+        return m.apply({**v, "params": p}, x, train=False).sum()
+
+    g0 = jax.grad(lambda p: loss(m0, v0, p))(v0["params"])
+    g1 = jax.grad(lambda p: loss(m1, v1, p))(v1["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # the flagship's resnet remat path builds with an identical param tree
+    rc0 = parse_overrides(
+        Config(), ["model.model_type=resnet_conformer", "model.compute_dtype=float32"]
+    )
+    rc1 = parse_overrides(rc0, ["model.remat=resnet"])
+    mm0, mm1 = build_model(rc0.model, rc0.grid), build_model(rc1.model, rc1.grid)
+    # eval_shape: abstract init, no compute — structure comparison only
+    shape0 = jax.eval_shape(
+        lambda r: mm0.init({"params": r, "dropout": r}, x[:1], train=False),
+        jax.random.PRNGKey(0),
+    )
+    shape1 = jax.eval_shape(
+        lambda r: mm1.init({"params": r, "dropout": r}, x[:1], train=False),
+        jax.random.PRNGKey(0),
+    )
+    assert jax.tree_util.tree_structure(shape0) == jax.tree_util.tree_structure(shape1)
