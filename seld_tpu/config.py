@@ -274,6 +274,13 @@ class TrainConfig:
     save_every_n_epochs: int = 5
     keep_last_n_checkpoints: int = 3
     seed: int = 0
+    # PRNG implementation for the training RNG stream (dropout masks).
+    # "rbg" (XLA's hardware bit generator) measured 22% faster per train
+    # step than "threefry" on v5e at batch 16 — XLA rematerializes the
+    # threefry bits in the backward pass, costing ~7 ms/step on the
+    # flagship. Streams differ between impls; both are deterministic
+    # per seed on a given backend.
+    prng_impl: str = "rbg"
     log_every_steps: int = 10
     # jax.profiler trace of the first N steps of the first epoch into
     # <output>/profile (TPU addition; the reference has no profiling,

@@ -84,7 +84,7 @@ def time_fwd_bwd(model, x, extra_loss=None, label=""):
     def fwd_loss(p, x):
         out = nn.Module.apply(
             model, {"params": p, **rest}, x, train=True,
-            mutable=mutable, rngs={"dropout": rng},
+            mutable=mutable if mutable else False, rngs={"dropout": rng},
         )
         out = out[0] if mutable else out
         return loss_of(out)
