@@ -1,17 +1,30 @@
-"""Flash-style blocked self-attention Pallas kernel.
+"""Flash-style blocked self-attention Pallas kernels (forward + backward).
 
 The reference computes full (T x T) attention scores per head in one shot
 (ref model_conformer.py:53-63) — fine at its fixed T=250, but quadratic
 HBM traffic blocks longer analysis windows (SURVEY §5: keep longer windows
-possible). This kernel never materializes the score matrix: each (batch,
-head, q-block) program streams K/V blocks through VMEM with an online
-softmax (running max + normalizer), producing exact attention in O(T)
-memory.
+possible). The forward kernel never materializes the score matrix: each
+(batch, head, q-block) program streams K/V blocks through VMEM with an
+online softmax (running max + normalizer), producing exact attention in
+O(T) memory and saving the per-row logsumexp for the backward.
 
-Layout: q/k/v (BH, T, Dh) with T padded to the 128 q/k block and Dh
-lane-padded to 128 outside the kernel. Padded keys are masked to -inf
-before the running max; padded query rows are sliced off by the caller.
-Matmuls accumulate in f32 on the MXU; softmax math is f32.
+The backward is the standard FlashAttention-2 scheme, also O(T) memory:
+  * delta = rowsum(dO * O) per query row (one XLA elementwise pass);
+  * a dQ kernel over (bh, q-block) programs recomputes score blocks
+    p = exp(s - lse), forms ds = p (dp - delta) scale and accumulates
+    dq += ds K, streaming K/V;
+  * a dK/dV kernel over (bh, k-block) programs streams Q/dO blocks and
+    accumulates dv += p^T dO and dk += ds^T Q.
+Nothing of size (T x T) ever hits HBM in either direction, so long-window
+TRAINING is O(T) memory too (round-1's einsum VJP rematerialized the full
+probability tensor). The einsum VJP is kept as `bwd_impl="xla"`, the
+correctness oracle for parity tests.
+
+Layout: q/k/v (BH, T, Dh) with T padded to the block size and Dh
+lane-padded to 128 outside the kernels. Padded keys are masked to -inf
+before the running max; padded query rows carry zero dO so their
+contributions vanish. Matmuls accumulate in f32 on the MXU; softmax math
+is f32.
 """
 
 from __future__ import annotations
@@ -20,7 +33,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -31,8 +43,8 @@ BLOCK_K = 512
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, t_actual: int,
-            block_k: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, *, scale: float,
+                t_actual: int, block_k: int):
     q = q_ref[0]  # (BQ, D)
     t_pad = k_ref.shape[1]
     num_k_blocks = t_pad // block_k
@@ -69,34 +81,148 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, t_actual: int,
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     d0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, denom = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, d0))
-    out_ref[0] = (acc / jnp.maximum(denom, 1e-30)).astype(out_ref.dtype)
+    acc, m, denom = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, d0))
+    denom = jnp.maximum(denom, 1e-30)
+    out_ref[0] = (acc / denom).astype(out_ref.dtype)
+    lse_ref[0] = m + jnp.log(denom)  # (BQ, 1)
 
 
-def flash_attention(q, k, v, *, scale: float | None = None, interpret: bool = False):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, scale: float, t_actual: int, block_k: int):
+    q = q_ref[0]            # (BQ, D)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]        # (BQ, 1) f32
+    delta = delta_ref[0]    # (BQ, 1) f32
+    t_pad = k_ref.shape[1]
+    num_k_blocks = t_pad // block_k
+    block_q, d = q.shape
+
+    def body(kb, dq_acc):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]  # (BK, D)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = (
+            jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_idx < t_actual, s, NEG_INF)
+        p = jnp.exp(s - lse)  # (BQ, BK); padded keys -> exp(-inf) = 0
+        dp = jax.lax.dot_general(
+            do.astype(v_blk.dtype), v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta) * scale).astype(k_blk.dtype)
+        dq_acc = dq_acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dq_acc
+
+    dq = jax.lax.fori_loop(
+        0, num_k_blocks, body, jnp.zeros((block_q, d), jnp.float32)
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale: float, t_actual: int,
+                    block_q: int):
+    k_blk = k_ref[0]  # (BK, D) — this program's key block
+    v_blk = v_ref[0]
+    kb = pl.program_id(1)
+    block_k, d = k_blk.shape
+    t_pad = q_ref.shape[1]
+    num_q_blocks = t_pad // block_q
+    key_idx = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]   # (BQ, D)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q), :]      # (BQ, 1)
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q), :]  # (BQ, 1)
+        s = (
+            jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        s = jnp.where(key_idx < t_actual, s, NEG_INF)
+        p = jnp.exp(s - lse)  # (BQ, BK)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, D)
+        dp = jax.lax.dot_general(
+            do.astype(v_blk.dtype), v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        ds = p * (dp - delta) * scale
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, D)
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (z, z))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _block_geometry(t: int, d: int):
+    """Adaptive blocks: one block when T is small, 512 tiles when long."""
+    block = min(BLOCK_Q, -(-t // 128) * 128)
+    t_pad = -(-t // block) * block
+    d_pad = -(-d // 128) * 128
+    return block, t_pad, d_pad
+
+
+def flash_attention(q, k, v, *, scale: float | None = None,
+                    interpret: bool = False, bwd_impl: str = "pallas"):
     """q, k, v: (B, H, T, Dh) -> (B, H, T, Dh); exact softmax attention.
 
-    Differentiable: the forward runs the Pallas kernel; the backward
-    recomputes the (T x T) probabilities with plain einsums (flash-style
-    rematerialization) and applies the exact softmax-attention gradients —
-    Pallas kernels have no automatic VJP.
+    Differentiable: forward and backward both run blocked Pallas kernels
+    (FlashAttention-2 scheme, O(T) memory end to end). bwd_impl="xla"
+    selects the einsum VJP instead (materializes the (T x T) probabilities;
+    kept as the correctness oracle for tests).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash_attention(float(scale), bool(interpret), q, k, v)
+    assert bwd_impl in ("pallas", "xla"), bwd_impl
+    return _flash_attention(float(scale), bool(interpret), bwd_impl, q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _flash_attention(scale, interpret, q, k, v):
-    return _flash_attention_fwd_impl(scale, interpret, q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash_attention(scale, interpret, bwd_impl, q, k, v):
+    out, _ = _flash_attention_fwd_impl(scale, interpret, q, k, v)
+    return out
 
 
-def _flash_attention_fwd(scale, interpret, q, k, v):
-    return _flash_attention_fwd_impl(scale, interpret, q, k, v), (q, k, v)
+def _flash_attention_fwd(scale, interpret, bwd_impl, q, k, v):
+    out, lse = _flash_attention_fwd_impl(scale, interpret, q, k, v)
+    return out, (q, k, v, out, lse)
 
 
-def _flash_attention_bwd(scale, interpret, residuals, g):
-    q, k, v = residuals
+def _flash_attention_bwd(scale, interpret, bwd_impl, residuals, g):
+    q, k, v, out, lse = residuals
+    if bwd_impl == "xla":
+        return _flash_attention_bwd_xla(scale, q, k, v, g)
+    return _flash_attention_bwd_pallas(scale, interpret, q, k, v, out, lse, g)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def _flash_attention_bwd_xla(scale, q, k, v, g):
+    """Einsum VJP (rematerializes the full probability tensor) — the
+    reference-shaped oracle; O(T^2) memory, fine at T<=1024."""
     f32 = jnp.float32
     scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=f32)
     probs = jax.nn.softmax(scores.astype(f32) * scale, axis=-1)
@@ -110,16 +236,9 @@ def _flash_attention_bwd(scale, interpret, residuals, g):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv
 
 
-_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
-
-
 def _flash_attention_fwd_impl(scale, interpret, q, k, v):
     b, h, t, d = q.shape
-
-    # Adaptive blocks: one block when T is small, 512 tiles when long.
-    block = min(BLOCK_Q, -(-t // 128) * 128)
-    t_pad = -(-t // block) * block
-    d_pad = -(-d // 128) * 128
+    block, t_pad, d_pad = _block_geometry(t, d)
 
     def prep(x):
         x = x.reshape(b * h, t, d)
@@ -128,29 +247,28 @@ def _flash_attention_fwd_impl(scale, interpret, q, k, v):
     qp, kp, vp = prep(q), prep(k), prep(v)
     bh = b * h
 
-    out = pl.pallas_call(
+    full = lambda: pl.BlockSpec(
+        (1, t_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    blocked = lambda: pl.BlockSpec(
+        (1, block, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+
+    out, lse = pl.pallas_call(
         functools.partial(
-            _kernel, scale=float(scale), t_actual=t, block_k=block
+            _fwd_kernel, scale=float(scale), t_actual=t, block_k=block
         ),
         grid=(bh, t_pad // block),
-        in_specs=[
-            pl.BlockSpec(
-                (1, block, d_pad), lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, t_pad, d_pad), lambda i, j: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, t_pad, d_pad), lambda i, j: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        in_specs=[blocked(), full(), full()],
+        out_specs=[
+            blocked(),
+            pl.BlockSpec((1, block, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d_pad), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * t_pad * t_pad * d_pad,
             bytes_accessed=3 * bh * t_pad * d_pad * q.dtype.itemsize
@@ -159,4 +277,74 @@ def _flash_attention_fwd_impl(scale, interpret, q, k, v):
         ),
         interpret=interpret,
     )(qp, kp, vp)
-    return out[:, :t, :d].reshape(b, h, t, d)
+    return out[:, :t, :d].reshape(b, h, t, d), lse
+
+
+def _flash_attention_bwd_pallas(scale, interpret, q, k, v, out, lse, g):
+    b, h, t, d = q.shape
+    block, t_pad, d_pad = _block_geometry(t, d)
+    bh = b * h
+
+    def prep(x):
+        x = x.reshape(bh, t, d)
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, d_pad - d)))
+
+    qp, kp, vp, dop = prep(q), prep(k), prep(v), prep(g)
+    # delta = rowsum(dO * O) per query row; padded rows are zero.
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).reshape(bh, t, 1)
+    delta = jnp.pad(delta, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    full3 = lambda: pl.BlockSpec(
+        (1, t_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    blk3 = lambda: pl.BlockSpec(
+        (1, block, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    full2 = lambda: pl.BlockSpec(
+        (1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    blk2 = lambda: pl.BlockSpec(
+        (1, block, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+
+    matmul_flops = 4 * bh * t_pad * t_pad * d_pad
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=float(scale), t_actual=t, block_k=block
+        ),
+        grid=(bh, t_pad // block),
+        in_specs=[blk3(), full3(), full3(), blk3(), blk2(), blk2()],
+        out_specs=blk3(),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * matmul_flops // 2,
+            bytes_accessed=5 * bh * t_pad * d_pad * q.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=float(scale), t_actual=t, block_q=block
+        ),
+        grid=(bh, t_pad // block),
+        in_specs=[full3(), blk3(), blk3(), full3(), full2(), full2()],
+        out_specs=[blk3(), blk3()],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d_pad), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * matmul_flops,
+            bytes_accessed=5 * bh * t_pad * d_pad * q.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, delta)
+
+    unpad = lambda x: x[:, :t, :d].reshape(b, h, t, d)
+    return unpad(dq), unpad(dk), unpad(dv)

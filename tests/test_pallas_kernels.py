@@ -135,3 +135,53 @@ def test_flash_attention_padded_keys_have_no_weight(rng):
     want = np.asarray(multi_head_attention(q, k, v))
     got = np.asarray(flash_attention(q, k, v, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+@pytest.mark.parametrize("t", [250, 640, 1024])
+def test_flash_attention_pallas_bwd_matches_xla_bwd(rng, t):
+    """FlashAttention-2 Pallas backward (O(T) memory) vs the einsum VJP
+    oracle: dq/dk/dv must agree, including ragged T with padded blocks."""
+    import jax
+
+    from seld_tpu.ops.flash_attention import flash_attention
+
+    b, h, d = 2, 3, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+        for _ in range(3)
+    )
+    g = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+
+    def run(bwd_impl):
+        def loss(q, k, v):
+            out = flash_attention(q, k, v, interpret=True, bwd_impl=bwd_impl)
+            return jnp.sum(out * g)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    got = run("pallas")
+    want = run("xla")
+    for name, a, b_ in zip(("dq", "dk", "dv"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5,
+            err_msg=name,
+        )
+
+
+def test_flash_attention_lse_is_correct(rng):
+    """The saved logsumexp must equal log(sum(exp(scores*scale))) per row —
+    the quantity the backward recompute hinges on."""
+    from seld_tpu.ops.flash_attention import _flash_attention_fwd_impl
+
+    b, h, t, d = 1, 2, 250, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+        for _ in range(3)
+    )
+    scale = d ** -0.5
+    _, lse = _flash_attention_fwd_impl(scale, True, q, k, v)
+    scores = np.einsum("bhtd,bhsd->bhts", q, k) * scale
+    want = np.log(np.sum(np.exp(scores), axis=-1)).reshape(b * h, t)
+    np.testing.assert_allclose(
+        np.asarray(lse)[:, :t, 0], want, rtol=1e-5, atol=1e-5
+    )
