@@ -25,11 +25,15 @@ from seld_tpu.utils import describe_devices, setup_logging
 
 def _normalize_config(cfg: Config, logger) -> Config:
     """Cross-field conveniences: ACCDOA models need ACCDOA targets."""
-    from seld_tpu.models.registry import ACCDOA_MODELS
+    from seld_tpu.models.registry import ACCDOA_MODELS, MULTI_ACCDOA_MODELS
 
     if cfg.model.model_type in ACCDOA_MODELS and not cfg.targets.accdoa:
         logger.info("model %s: enabling targets.accdoa", cfg.model.model_type)
         cfg = cfg.replace_path("targets.accdoa", True)
+    if cfg.model.model_type in MULTI_ACCDOA_MODELS and cfg.targets.accdoa_tracks == 1:
+        logger.info("model %s: setting targets.accdoa_tracks=3",
+                    cfg.model.model_type)
+        cfg = cfg.replace_path("targets.accdoa_tracks", 3)
     return cfg
 
 
@@ -120,13 +124,15 @@ def cmd_verify(cfg: Config, args, logger):
     x = jnp.zeros((b, t, cfg.model.n_channels, cfg.model.n_mels), jnp.float32)
     failures = 0
     for model_type in (
-        "cnn", "crnn", "conformer", "resnet_conformer", "accdoa_conformer"
+        "cnn", "crnn", "conformer", "resnet_conformer", "accdoa_conformer",
+        "multi_accdoa_conformer",
     ):
-        expect = (
-            (b, t, cfg.grid.num_classes - 1, 3)
-            if model_type.startswith("accdoa")
-            else (b, t, cfg.grid.n_cells, cfg.grid.num_classes)
-        )
+        if model_type == "multi_accdoa_conformer":
+            expect = (b, t, 3, cfg.grid.num_classes - 1, 3)
+        elif "accdoa" in model_type:
+            expect = (b, t, cfg.grid.num_classes - 1, 3)
+        else:
+            expect = (b, t, cfg.grid.n_cells, cfg.grid.num_classes)
         mcfg = ModelConfig(model_type=model_type, compute_dtype="float32")
         model = build_model(mcfg, cfg.grid)
         variables = init_variables(model, jax.random.PRNGKey(0), x)

@@ -184,6 +184,9 @@ class TargetConfig:
     # Also build ACCDOA targets (per-(frame,class) Cartesian DOA vectors,
     # seld_tpu.accdoa) alongside the grid bitmask.
     accdoa: bool = False
+    # 1 = single-ACCDOA (T, C, 3) targets; >1 = multi-ACCDOA: ADPIT
+    # (T, 6, 4, C) targets supporting same-class overlapping sources.
+    accdoa_tracks: int = 1
 
     @property
     def fanout(self) -> int:

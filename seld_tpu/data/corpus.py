@@ -180,7 +180,9 @@ class WindowedCorpus:
     n_el: int
     n_az: int
     num_classes: int
-    accdoa: np.ndarray | None = None  # (T_pad, num_classes-1, 3) float32
+    # (T_pad, num_classes-1, 3) single-ACCDOA or (T_pad, 6, 4, num_classes-1)
+    # ADPIT multi-ACCDOA targets, per targets.accdoa_tracks
+    accdoa: np.ndarray | None = None
 
     def __len__(self) -> int:
         return len(self.starts)
@@ -240,13 +242,22 @@ def build_corpus(
             mels.append(mel[:t_common])
             masks.append(mask[:t_common])
             if targets.accdoa:
-                from seld_tpu.accdoa import rasterize_accdoa_targets
+                if targets.accdoa_tracks > 1:
+                    from seld_tpu.accdoa import rasterize_adpit_targets
 
-                acc = rasterize_accdoa_targets(
-                    frames, classes, az, el, t_lab,
-                    num_event_classes=grid.num_classes - 1,
-                    fanout=targets.fanout,
-                )
+                    acc = rasterize_adpit_targets(
+                        frames, classes, az, el, t_lab,
+                        num_event_classes=grid.num_classes - 1,
+                        fanout=targets.fanout,
+                    )
+                else:
+                    from seld_tpu.accdoa import rasterize_accdoa_targets
+
+                    acc = rasterize_accdoa_targets(
+                        frames, classes, az, el, t_lab,
+                        num_event_classes=grid.num_classes - 1,
+                        fanout=targets.fanout,
+                    )
                 accdoas.append(acc[:t_common])
         except Exception:
             log.error("Error processing file %d (%s)", idx, apath)

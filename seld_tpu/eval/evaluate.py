@@ -91,18 +91,28 @@ def evaluate_model(
 
     accdoa_mode = cfg.model.model_type in ACCDOA_MODELS
     if accdoa_mode:
-        from seld_tpu.accdoa import ACCDOALossFn, decode_accdoa_to_grid_jnp
+        from seld_tpu.accdoa import (
+            ACCDOALossFn,
+            ADPITLossFn,
+            decode_accdoa_to_grid_jnp,
+            decode_multi_accdoa_to_grid_jnp,
+        )
+        from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
 
         assert test_corpus.accdoa is not None, (
             "ACCDOA evaluation needs a corpus built with targets.accdoa=true"
         )
-        acc_loss_fn = ACCDOALossFn()
+        multi = cfg.model.model_type in MULTI_ACCDOA_MODELS
+        acc_loss_fn = ADPITLossFn() if multi else ACCDOALossFn()
+        decode = (
+            decode_multi_accdoa_to_grid_jnp if multi else decode_accdoa_to_grid_jnp
+        )
 
         @jax.jit
         def infer_step(state, mel, label_mask, acc_targets, example_mask):
             vectors = model.apply(state.variables(), mel, train=False)
             total, breakdown = acc_loss_fn(vectors, acc_targets, example_mask)
-            pred_cls = decode_accdoa_to_grid_jnp(
+            pred_cls = decode(
                 vectors, cfg.grid.n_el, cfg.grid.n_az, num_classes
             )
             targets = decode_class_bitmask(label_mask, num_classes)

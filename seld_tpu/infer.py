@@ -126,7 +126,14 @@ class SELDPredictor:
         def forward(state, mel):  # (B, win, C, F) -> (B, win, G) int8
             out = self.model.apply(state.variables(), mel, train=False)
             if self.accdoa_mode:
-                from seld_tpu.accdoa import decode_accdoa_to_grid_jnp
+                from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
+
+                if self.cfg.model.model_type in MULTI_ACCDOA_MODELS:
+                    from seld_tpu.accdoa import (
+                        decode_multi_accdoa_to_grid_jnp as decode_accdoa_to_grid_jnp,
+                    )
+                else:
+                    from seld_tpu.accdoa import decode_accdoa_to_grid_jnp
 
                 return decode_accdoa_to_grid_jnp(
                     out, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes

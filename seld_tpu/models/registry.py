@@ -73,10 +73,11 @@ def _build_cspdarknet(cfg: ModelConfig, grid: GridConfig):
     )
 
 
-def _build_accdoa_conformer(cfg: ModelConfig, grid: GridConfig):
+def _build_accdoa_conformer(cfg: ModelConfig, grid: GridConfig, tracks: int = 1):
     from seld_tpu.accdoa import SELDConformerACCDOA
 
     return SELDConformerACCDOA(
+        num_tracks=tracks,
         num_event_classes=grid.num_classes - 1,
         cnn_channels=cfg.crnn_cnn_channels,
         d_model=cfg.conf_d_model,
@@ -96,9 +97,15 @@ MODEL_REGISTRY = {
     "cspdarknet": _build_cspdarknet,
     # ACCDOA output representation (vectors, not grid logits):
     "accdoa_conformer": _build_accdoa_conformer,
+    # multi-ACCDOA: 3 track slots per class (ADPIT training) — supports
+    # same-class overlapping sources (Shimada et al. 2022)
+    "multi_accdoa_conformer": lambda cfg, grid: _build_accdoa_conformer(
+        cfg, grid, tracks=3
+    ),
 }
 
-ACCDOA_MODELS = {"accdoa_conformer"}
+ACCDOA_MODELS = {"accdoa_conformer", "multi_accdoa_conformer"}
+MULTI_ACCDOA_MODELS = {"multi_accdoa_conformer"}
 
 
 def build_model(model_cfg: ModelConfig, grid_cfg: GridConfig | None = None):

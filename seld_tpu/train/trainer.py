@@ -85,12 +85,16 @@ def train_model(
     accdoa_mode = cfg.model.model_type in ACCDOA_MODELS
     model = build_model(cfg.model, cfg.grid)
     if accdoa_mode:
-        from seld_tpu.accdoa import ACCDOALossFn
+        from seld_tpu.accdoa import ACCDOALossFn, ADPITLossFn
+        from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
 
         assert train_corpus.accdoa is not None and test_corpus.accdoa is not None, (
             "ACCDOA models need corpora built with targets.accdoa=true"
         )
-        loss_fn = ACCDOALossFn()
+        loss_fn = (
+            ADPITLossFn()
+            if cfg.model.model_type in MULTI_ACCDOA_MODELS else ACCDOALossFn()
+        )
         target_decoder = lambda t: t  # vectors pass straight to the loss
     else:
         loss_fn = SELDLossFn(cfg.loss, cfg.grid)
