@@ -190,10 +190,6 @@ def evaluate_model(
     log.info("Found %d frames with active events", len(frames_with_events))
 
     viz_records = []
-    if accdoa_mode and save_visualizations and num_visualizations > 0:
-        log.info("visualization pass skipped for ACCDOA models (grid-logit "
-                 "renderer); metrics above use the decoded grid")
-        save_visualizations = False
     if save_visualizations and frames_with_events and num_visualizations > 0:
         from seld_tpu.viz import visualize_grid_predictions
 
@@ -205,14 +201,23 @@ def evaluate_model(
         viz_dir = Path(cfg.data.output_path) / "test_visualizations"
         viz_dir.mkdir(parents=True, exist_ok=True)
 
-        # second pass: recompute logits for just the selected windows
+        # second pass: recompute outputs for just the selected windows;
+        # ACCDOA outputs decode to class grids first and render as one-hot
         sel_windows = sorted({d["window_idx"] for d in chosen})
         mel_sel, mask_sel = test_corpus.gather(np.asarray(sel_windows))
-        logits_sel = np.asarray(
+        out_sel = np.asarray(
             jax.jit(lambda s, x: model.apply(s.variables(), x, train=False))(
                 state, jnp.asarray(mel_sel)
             )
         )
+        if accdoa_mode:
+            cls_sel = np.asarray(
+                decode(jnp.asarray(out_sel), cfg.grid.n_el, cfg.grid.n_az,
+                       num_classes)
+            )  # (N, T, G) int8
+            logits_sel = np.eye(num_classes, dtype=np.float32)[cls_sel]
+        else:
+            logits_sel = out_sel
         dense_sel = np.asarray(
             decode_class_bitmask(jnp.asarray(mask_sel), num_classes)
         )
