@@ -1,8 +1,13 @@
-"""Multi-channel WAV decoding with the stdlib — no torchaudio dependency.
+"""Multi-channel WAV decoding — native C++ fast path + stdlib fallback.
 
 Behavior parity with ref dataset.py:18-25 (torchaudio.load): returns
 (waveform float32 (channels, samples) scaled to [-1, 1], sample_rate) and
 warns when the channel count differs from 4-channel FOA.
+
+The preferred decoder is the native RIFF parser (seld_tpu/native/seldio.cpp
+— the analogue of torchaudio's C++ backend), which also handles
+IEEE-float and EXTENSIBLE WAVs that the stdlib ``wave`` module rejects.
+Any native failure falls back to the pure-Python path below.
 """
 
 from __future__ import annotations
@@ -17,6 +22,27 @@ from seld_tpu.utils.logging import get_logger
 
 def load_wav(path, expected_channels: int | None = 4):
     """Decode a PCM/float WAV file -> (float32 (C, N) in [-1, 1], sr)."""
+    from seld_tpu import native
+
+    if native.native_available():
+        try:
+            wave_cn, sr = native.decode_wav(path)
+            if (
+                expected_channels is not None
+                and wave_cn.shape[0] != expected_channels
+            ):
+                get_logger().warning(
+                    "Expected %d channels but got %d channels in %s",
+                    expected_channels, wave_cn.shape[0], path,
+                )
+            return wave_cn, sr
+        except RuntimeError as e:
+            get_logger().warning("native decode failed (%s); python fallback", e)
+    return load_wav_python(path, expected_channels)
+
+
+def load_wav_python(path, expected_channels: int | None = 4):
+    """Pure-Python decoder (stdlib ``wave``): PCM 8/16/24/32 only."""
     with wave.open(str(path), "rb") as w:
         n_channels = w.getnchannels()
         sampwidth = w.getsampwidth()

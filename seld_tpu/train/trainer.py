@@ -49,14 +49,49 @@ from seld_tpu.train.steps import make_eval_step, make_train_step
 from seld_tpu.utils.logging import get_logger
 
 
+class PreemptionGuard:
+    """SIGTERM-aware graceful shutdown (TPU-VM/GCE preemption sends
+    SIGTERM with a ~30 s grace window; the reference's only recovery is a
+    manual restart from epoch 1, ref trainer.py:151). While installed,
+    SIGTERM sets a flag that the epoch loop polls; training checkpoints
+    and exits cleanly instead of dying mid-step, and a later run with
+    resume=True continues from that checkpoint."""
+
+    def __init__(self):
+        self.requested = False
+        self._prev = None
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        import signal
+
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._handler)
+        except ValueError:  # not the main thread — poll-only, never fires
+            self._prev = None
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        if self._prev is not None:
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
+
+
 def _device_batch(batch, mesh, use_accdoa: bool = False):
     mel = jnp.asarray(batch.mel)
     targets = jnp.asarray(batch.accdoa if use_accdoa else batch.label_mask)
     em = (jnp.arange(mel.shape[0]) < batch.n_valid).astype(jnp.float32)
     if mesh is not None:
-        mel = jax.device_put(mel, batch_sharding(mesh, mel.ndim))
-        targets = jax.device_put(targets, batch_sharding(mesh, targets.ndim))
-        em = jax.device_put(em, batch_sharding(mesh, 1))
+        # Multi-host aware: each process contributes its local rows and the
+        # global data-axis-sharded array is assembled without cross-host
+        # traffic (single-process this is a plain sharded device_put).
+        from seld_tpu.parallel.multihost import device_batch
+
+        mel, targets, em = device_batch(mesh, mel, targets, em)
     return mel, targets, em
 
 
@@ -166,119 +201,137 @@ def train_model(
 
     profiling = cfg.train.profile_steps > 0
 
-    for epoch in range(start_epoch, cfg.train.num_epochs + 1):
-        t0 = time.time()
-        step_rng = jax.random.fold_in(rng, epoch)
+    preempt = PreemptionGuard()
+    with preempt:
+        for epoch in range(start_epoch, cfg.train.num_epochs + 1):
+            t0 = time.time()
+            step_rng = jax.random.fold_in(rng, epoch)
 
-        train_metrics = []
-        for i, batch in enumerate(train_iter):
-            if profiling and epoch == start_epoch and i == 1:
-                profile_dir = str(Path(cfg.data.output_path) / "profile")
-                jax.profiler.start_trace(profile_dir)
-                log.info("profiler trace started -> %s", profile_dir)
-            mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
-            state, metrics = train_step(state, mel, mask, em, step_rng)
-            train_metrics.append(metrics)
-            if profiling and epoch == start_epoch and i == cfg.train.profile_steps:
-                jax.block_until_ready(metrics["loss"])
-                jax.profiler.stop_trace()
-                profiling = False
-                log.info("profiler trace captured (%d steps)", cfg.train.profile_steps)
-        train_avg = _epoch_mean(train_metrics)
+            train_metrics = []
+            for i, batch in enumerate(train_iter):
+                if profiling and epoch == start_epoch and i == 1:
+                    profile_dir = str(Path(cfg.data.output_path) / "profile")
+                    jax.profiler.start_trace(profile_dir)
+                    log.info("profiler trace started -> %s", profile_dir)
+                mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
+                state, metrics = train_step(state, mel, mask, em, step_rng)
+                train_metrics.append(metrics)
+                if preempt.requested:
+                    break  # finish-up handled after the loop
+                if profiling and epoch == start_epoch and i == cfg.train.profile_steps:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log.info("profiler trace captured (%d steps)", cfg.train.profile_steps)
+            train_avg = _epoch_mean(train_metrics)
 
-        # Failure detection (SURVEY §5: the reference has none — its only
-        # recovery is manual restart from epoch 1): a non-finite training
-        # loss aborts with an emergency checkpoint for post-mortem/resume.
-        if not np.isfinite(train_avg["loss"]):
-            log.error(
-                "Non-finite train loss %.6f at epoch %d — saving emergency "
-                "checkpoint and aborting", train_avg["loss"], epoch,
-            )
-            ckpt.save_rolling(epoch, state, train_avg["loss"], float("inf"))
-            ckpt.wait()
-            history["aborted_epoch"] = epoch
-            break
-
-        eval_metrics = []
-        for batch in test_iter:
-            mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
-            eval_metrics.append(eval_step(state, mel, mask, em))
-        test_avg = _epoch_mean(eval_metrics)
-
-        new_lr = plateau.step(test_avg["loss"])
-        old_lr = current_learning_rate(state.opt_state)
-        if new_lr != old_lr:
-            state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
-            log.info("  Learning rate reduced: %.6f -> %.6f", old_lr, new_lr)
-
-        history["train_losses"].append(train_avg["loss"])
-        history["test_losses"].append(test_avg["loss"])
-        history["lr"].append(new_lr)
-
-        # Machine-readable epoch record (observability beyond the
-        # reference's text logs, SURVEY §5).
-        with (workdir / "metrics.jsonl").open("a") as fh:
-            fh.write(json.dumps({
-                "epoch": epoch,
-                "seconds": round(time.time() - t0, 2),
-                "lr": new_lr,
-                "train": train_avg,
-                "test": test_avg,
-            }) + "\n")
-
-        log.info(
-            "Epoch %d/%d - %.1fs | train %.6f | test %.6f | lr %.6f",
-            epoch, cfg.train.num_epochs, time.time() - t0,
-            train_avg["loss"], test_avg["loss"], new_lr,
-        )
-        for k in train_avg:
-            if k != "loss":
-                log.info("    %s: train %.6f test %.6f", k, train_avg[k], test_avg[k])
-
-        if test_avg["loss"] < best_test - cfg.train.min_delta:
-            best_test = test_avg["loss"]
-            ckpt.save_best(epoch, state, train_avg["loss"], test_avg["loss"])
-            log.info("  New best model saved (test loss %.6f)", best_test)
-
-        if epoch % cfg.train.save_every_n_epochs == 0:
-            ckpt.save_rolling(epoch, state, train_avg["loss"], test_avg["loss"])
-            log.info("  Rolling checkpoint saved (epoch %d)", epoch)
-
-        viz_every = cfg.train.viz_loss_components_every
-        if viz_every > 0 and epoch % viz_every == 0:
-            try:
-                from seld_tpu.targets.rasterize import decode_class_bitmask
-                from seld_tpu.viz import visualize_loss_components
-
-                batch = next(iter(
-                    BatchIterator(test_corpus, cfg.train.batch_size,
-                                  shuffle=False, prefetch=0)
-                ))
-                mel = jnp.asarray(batch.mel)
-                logits = jax.jit(
-                    lambda s, x: model.apply(s.variables(), x, train=False)
-                )(state, mel)
-                targets = decode_class_bitmask(
-                    jnp.asarray(batch.label_mask), cfg.grid.num_classes
+            # Graceful preemption (SIGTERM): checkpoint and exit inside the
+            # grace window; `--resume` continues from here. The partially
+            # trained epoch is checkpointed as-is (its remaining batches are
+            # re-seen next run via the per-epoch shuffle).
+            if preempt.requested:
+                log.warning(
+                    "SIGTERM received — saving preemption checkpoint at "
+                    "epoch %d and exiting cleanly", epoch,
                 )
-                visualize_loss_components(
-                    logits, targets,
-                    n_el=cfg.grid.n_el, n_az=cfg.grid.n_az,
-                    frame_idx=None,  # auto-pick busiest frame (ref :44-62)
-                    epoch=epoch,
-                    save_dir=Path(cfg.data.output_path) / "train_visualizations",
-                )
-                log.info("  Loss-component dashboard rendered (epoch %d)", epoch)
-            except Exception as e:
-                log.warning("  loss-component viz failed: %s", e)
+                ckpt.save_rolling(epoch, state, train_avg["loss"], float("inf"))
+                ckpt.wait()
+                history["preempted_epoch"] = epoch
+                break
 
-        if stopper.step(train_avg["loss"], epoch):
+            # Failure detection (SURVEY §5: the reference has none — its only
+            # recovery is manual restart from epoch 1): a non-finite training
+            # loss aborts with an emergency checkpoint for post-mortem/resume.
+            if not np.isfinite(train_avg["loss"]):
+                log.error(
+                    "Non-finite train loss %.6f at epoch %d — saving emergency "
+                    "checkpoint and aborting", train_avg["loss"], epoch,
+                )
+                ckpt.save_rolling(epoch, state, train_avg["loss"], float("inf"))
+                ckpt.wait()
+                history["aborted_epoch"] = epoch
+                break
+
+            eval_metrics = []
+            for batch in test_iter:
+                mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
+                eval_metrics.append(eval_step(state, mel, mask, em))
+            test_avg = _epoch_mean(eval_metrics)
+
+            new_lr = plateau.step(test_avg["loss"])
+            old_lr = current_learning_rate(state.opt_state)
+            if new_lr != old_lr:
+                state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+                log.info("  Learning rate reduced: %.6f -> %.6f", old_lr, new_lr)
+
+            history["train_losses"].append(train_avg["loss"])
+            history["test_losses"].append(test_avg["loss"])
+            history["lr"].append(new_lr)
+
+            # Machine-readable epoch record (observability beyond the
+            # reference's text logs, SURVEY §5).
+            with (workdir / "metrics.jsonl").open("a") as fh:
+                fh.write(json.dumps({
+                    "epoch": epoch,
+                    "seconds": round(time.time() - t0, 2),
+                    "lr": new_lr,
+                    "train": train_avg,
+                    "test": test_avg,
+                }) + "\n")
+
             log.info(
-                "EARLY STOPPING at epoch %d (no train improvement for %d epochs; "
-                "best train %.6f @ epoch %d)",
-                epoch, stopper.patience, stopper.best, stopper.best_epoch,
+                "Epoch %d/%d - %.1fs | train %.6f | test %.6f | lr %.6f",
+                epoch, cfg.train.num_epochs, time.time() - t0,
+                train_avg["loss"], test_avg["loss"], new_lr,
             )
-            break
+            for k in train_avg:
+                if k != "loss":
+                    log.info("    %s: train %.6f test %.6f", k, train_avg[k], test_avg[k])
+
+            if test_avg["loss"] < best_test - cfg.train.min_delta:
+                best_test = test_avg["loss"]
+                ckpt.save_best(epoch, state, train_avg["loss"], test_avg["loss"])
+                log.info("  New best model saved (test loss %.6f)", best_test)
+
+            if epoch % cfg.train.save_every_n_epochs == 0:
+                ckpt.save_rolling(epoch, state, train_avg["loss"], test_avg["loss"])
+                log.info("  Rolling checkpoint saved (epoch %d)", epoch)
+
+            viz_every = cfg.train.viz_loss_components_every
+            if viz_every > 0 and epoch % viz_every == 0:
+                try:
+                    from seld_tpu.targets.rasterize import decode_class_bitmask
+                    from seld_tpu.viz import visualize_loss_components
+
+                    batch = next(iter(
+                        BatchIterator(test_corpus, cfg.train.batch_size,
+                                      shuffle=False, prefetch=0)
+                    ))
+                    mel = jnp.asarray(batch.mel)
+                    logits = jax.jit(
+                        lambda s, x: model.apply(s.variables(), x, train=False)
+                    )(state, mel)
+                    targets = decode_class_bitmask(
+                        jnp.asarray(batch.label_mask), cfg.grid.num_classes
+                    )
+                    visualize_loss_components(
+                        logits, targets,
+                        n_el=cfg.grid.n_el, n_az=cfg.grid.n_az,
+                        frame_idx=None,  # auto-pick busiest frame (ref :44-62)
+                        epoch=epoch,
+                        save_dir=Path(cfg.data.output_path) / "train_visualizations",
+                    )
+                    log.info("  Loss-component dashboard rendered (epoch %d)", epoch)
+                except Exception as e:
+                    log.warning("  loss-component viz failed: %s", e)
+
+            if stopper.step(train_avg["loss"], epoch):
+                log.info(
+                    "EARLY STOPPING at epoch %d (no train improvement for %d epochs; "
+                    "best train %.6f @ epoch %d)",
+                    epoch, stopper.patience, stopper.best, stopper.best_epoch,
+                )
+                break
 
     ckpt.wait()
 

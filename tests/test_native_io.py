@@ -1,0 +1,144 @@
+"""Native (C++) WAV decoder: parity with the Python decoder + the extra
+formats only the native path supports (ref dataset.py:18-25 decodes via
+torchaudio's C++ backend; seldio.cpp is our native equivalent)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from seld_tpu import native
+from seld_tpu.data.audio import load_wav, load_wav_python, write_wav
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native seldio unavailable"
+)
+
+
+def _write_riff(path, fmt_tag, channels, sr, bits, payload, extensible=False):
+    """Hand-rolled RIFF writer so tests cover formats stdlib wave can't."""
+    if extensible:
+        # 40-byte fmt: cbSize=22, valid bits, channel mask, GUID whose first
+        # 2 bytes carry the real format tag.
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, channels, sr, sr * channels * bits // 8,
+            channels * bits // 8, bits, 22, bits, 0,
+        ) + struct.pack("<H", fmt_tag) + b"\x00\x00" + bytes(12)
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, channels, sr, sr * channels * bits // 8,
+            channels * bits // 8, bits,
+        )
+    # Include a skippable junk chunk (odd-sized to exercise word alignment).
+    junk = b"JUNK" + struct.pack("<I", 5) + b"abcde\x00"
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + junk
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    path.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+@pytest.fixture
+def wave_2ch():
+    rng = np.random.default_rng(7)
+    return (rng.standard_normal((2, 480)) * 0.5).astype(np.float32)
+
+
+def test_native_matches_python_16bit(tmp_path, wave_2ch):
+    p = tmp_path / "a.wav"
+    write_wav(p, wave_2ch, 24000)
+    got_n, sr_n = native.decode_wav(p)
+    got_p, sr_p = load_wav_python(p, expected_channels=2)
+    assert sr_n == sr_p == 24000
+    np.testing.assert_array_equal(got_n, got_p)
+
+
+@pytest.mark.parametrize("bits", [8, 24, 32])
+def test_native_matches_python_pcm_widths(tmp_path, wave_2ch, bits):
+    n = wave_2ch.shape[1]
+    inter = wave_2ch.T.reshape(-1)  # interleaved
+    if bits == 8:
+        payload = (np.clip(inter * 127, -128, 127) + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        v = np.clip(inter * 8388607, -8388608, 8388607).astype(np.int32)
+        b = np.zeros((v.size, 3), np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        payload = b.tobytes()
+    else:
+        payload = np.clip(
+            inter.astype(np.float64) * 2147483647, -2147483648, 2147483647
+        ).astype("<i4").tobytes()
+    p = tmp_path / f"pcm{bits}.wav"
+    _write_riff(p, 1, 2, 24000, bits, payload)
+    got_n, sr_n = native.decode_wav(p)
+    got_p, sr_p = load_wav_python(p, expected_channels=2)
+    assert got_n.shape == (2, n) and sr_n == sr_p == 24000
+    np.testing.assert_allclose(got_n, got_p, atol=1e-7)
+
+
+def test_native_decodes_ieee_float32(tmp_path, wave_2ch):
+    p = tmp_path / "f32.wav"
+    _write_riff(p, 3, 2, 48000, 32, wave_2ch.T.reshape(-1).tobytes())
+    got, sr = native.decode_wav(p)
+    assert sr == 48000
+    np.testing.assert_array_equal(got, wave_2ch)
+    # stdlib wave cannot read IEEE float at all — the native path is the
+    # only decoder for this format.
+    with pytest.raises(Exception):
+        load_wav_python(p, expected_channels=2)
+    # ...and the public loader routes it through the native path.
+    got2, sr2 = load_wav(p, expected_channels=2)
+    np.testing.assert_array_equal(got2, wave_2ch)
+
+
+def test_native_decodes_ieee_float64(tmp_path, wave_2ch):
+    p = tmp_path / "f64.wav"
+    payload = wave_2ch.T.reshape(-1).astype("<f8").tobytes()
+    _write_riff(p, 3, 2, 16000, 64, payload)
+    got, sr = native.decode_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(got, wave_2ch, atol=1e-7)
+
+
+def test_native_decodes_extensible_pcm16(tmp_path, wave_2ch):
+    pcm = np.clip(wave_2ch.T.reshape(-1) * 32767, -32768, 32767).astype("<i2")
+    p = tmp_path / "ext.wav"
+    _write_riff(p, 1, 2, 24000, 16, pcm.tobytes(), extensible=True)
+    got, sr = native.decode_wav(p)
+    ref, _ = load_wav(
+        _roundtrip_16(tmp_path, wave_2ch), expected_channels=2
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def _roundtrip_16(tmp_path, w):
+    p = tmp_path / "plain16.wav"
+    write_wav(p, w, 24000)
+    return p
+
+
+def test_native_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.wav"
+    p.write_bytes(b"not a riff file at all")
+    with pytest.raises(RuntimeError, match="RIFF"):
+        native.decode_wav(p)
+
+
+def test_load_wav_4ch_fixture_uses_same_values(tmp_path):
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((4, 1200)) * 0.3).astype(np.float32)
+    p = tmp_path / "foa.wav"
+    write_wav(p, w, 24000)
+    got, sr = load_wav(p)
+    assert got.shape == (4, 1200) and sr == 24000
+    # write_wav clips to int16 range and truncates; decode divides by
+    # 32768 -> up to ~2 LSB of quantization error on the clipped signal.
+    np.testing.assert_allclose(
+        got, np.clip(w, -1.0, 32767.0 / 32768.0), atol=2.0 / 32768
+    )

@@ -218,3 +218,49 @@ def test_end_to_end_smoke_train_with_resume(tmp_path):
         cfg3, train_c, test_c, workdir=tmp_path / "ckpt", resume=True
     )
     assert len(history2["train_losses"]) == 1  # only epoch 3 ran
+
+
+def test_preemption_guard_catches_sigterm():
+    import os
+    import signal
+
+    from seld_tpu.train.trainer import PreemptionGuard
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as g:
+        assert not g.requested
+        os.kill(os.getpid(), signal.SIGTERM)  # delivered at next bytecode
+        assert g.requested
+    assert signal.getsignal(signal.SIGTERM) == prev  # handler restored
+
+
+def test_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
+    """SIGTERM mid-training -> rolling checkpoint + clean exit; a resume
+    run continues from the preempted epoch (TPU-VM preemption story —
+    the reference restarts from epoch 1, ref trainer.py:151)."""
+    from seld_tpu.train import trainer as trainer_mod
+
+    class AlwaysPreempted(trainer_mod.PreemptionGuard):
+        def __enter__(self):
+            self.requested = True  # as if SIGTERM landed immediately
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    monkeypatch.setattr(trainer_mod, "PreemptionGuard", AlwaysPreempted)
+    cfg = tiny_config(tmp_path, **{"train.num_epochs": 3})
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    state, history = trainer_mod.train_model(
+        cfg, train_c, test_c, workdir=tmp_path / "ckpt"
+    )
+    assert history["preempted_epoch"] == 1
+    assert (tmp_path / "ckpt" / "rolling").exists()
+
+    monkeypatch.undo()  # real guard again: resume must complete epochs 2-3
+    state2, history2 = trainer_mod.train_model(
+        cfg, train_c, test_c, workdir=tmp_path / "ckpt", resume=True
+    )
+    assert "preempted_epoch" not in history2
+    assert len(history2["train_losses"]) == 2  # epochs 2 and 3
