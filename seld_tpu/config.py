@@ -284,6 +284,13 @@ class TrainConfig:
     # flagship. Streams differ between impls; both are deterministic
     # per seed on a given backend.
     prng_impl: str = "rbg"
+    # SpecAugment (on-device, inside the jitted step; 0 masks = off).
+    # A north-star extra — the reference only augments labels
+    # (smrl_seld_gaussian.py:397-535), never features.
+    specaugment_time_masks: int = 0
+    specaugment_time_width: int = 25  # frames (0.5 s at 50 fps)
+    specaugment_freq_masks: int = 0
+    specaugment_freq_width: int = 8  # mel bins
     log_every_steps: int = 10
     # jax.profiler trace of the first N steps of the first epoch into
     # <output>/profile (TPU addition; the reference has no profiling,

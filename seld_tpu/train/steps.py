@@ -38,18 +38,22 @@ def _apply(model, state: TrainState, mel, train: bool, dropout_rng=None):
 
 def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                     donate: bool = True, out_state_shardings=None,
-                    target_decoder=None):
+                    target_decoder=None, input_augment=None):
     """Returns step(state, mel, raw_targets, example_mask, rng) ->
     (state, metrics). `out_state_shardings` pins the output TrainState's
     shardings (e.g. ZeRO-sharded optimizer moments) so GSPMD keeps them
     stable across steps. `target_decoder` maps the raw target batch to the
     loss's format (default: uint16 bitmask -> one-hot grid; ACCDOA passes
-    vectors through)."""
+    vectors through). `input_augment` is an optional on-device
+    (rng, mel) -> mel hook (e.g. SpecAugment), train-side only."""
     if target_decoder is None:
         target_decoder = lambda m: decode_class_bitmask(m, num_classes)
 
     def step(state: TrainState, mel, label_mask, example_mask, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        if input_augment is not None:
+            aug_rng, dropout_rng = jax.random.split(dropout_rng)
+            mel = input_augment(aug_rng, mel)
         targets = target_decoder(label_mask)
 
         def loss_of(params):

@@ -171,9 +171,20 @@ def train_model(
             start_epoch = meta["epoch"] + 1
             log.info("Resumed from rolling checkpoint at epoch %d", meta["epoch"])
 
+    from seld_tpu.features.specaugment import make_spec_augment
+
+    input_augment = make_spec_augment(cfg.train)
+    if input_augment is not None:
+        log.info(
+            "SpecAugment on: %d time masks (w<=%d frames), %d freq masks "
+            "(w<=%d bins)",
+            cfg.train.specaugment_time_masks, cfg.train.specaugment_time_width,
+            cfg.train.specaugment_freq_masks, cfg.train.specaugment_freq_width,
+        )
     train_step = make_train_step(
         model, loss_fn, optimizer, cfg.grid.num_classes,
         out_state_shardings=out_state_shardings, target_decoder=target_decoder,
+        input_augment=input_augment,
     )
     eval_step = make_eval_step(
         model, loss_fn, cfg.grid.num_classes, target_decoder=target_decoder
