@@ -129,6 +129,15 @@ def compute_mel_features(wave: np.ndarray, feat: FeatureConfig) -> np.ndarray:
     intensity-vector / GCC-PHAT channels (seld_tpu.features.spatial).
     """
     frames = _frame_view(wave.astype(np.float32), feat.n_fft, feat.hop_length)
+    return features_from_frames(frames, feat)
+
+
+def features_from_frames(frames: np.ndarray, feat: FeatureConfig) -> np.ndarray:
+    """(C, T, n_fft) pre-framed signal -> (T, C_out, n_mels) features.
+
+    The frame-level entry point shared by the offline corpus (above) and
+    the streaming predictor (seld_tpu.stream), so both produce bit-equal
+    features for the same frames."""
     c, t, nf = frames.shape
 
     if feat.feature_set != "mel":

@@ -1,0 +1,166 @@
+"""Streaming inference: bounded-memory, chunked audio -> rolling predictions.
+
+The reference has no streaming story (its evaluation materializes every
+window of the corpus in host RAM, ref trainer.py:504-531; even this
+framework's `SELDPredictor.predict_waveform` computes the whole clip's
+features up front). `StreamingSession` accepts waveform chunks of any
+size, computes mel frames incrementally with EXACTLY the offline
+padding/framing semantics (center/reflect, ref dataset.py:38-44 via
+torchaudio defaults), and emits grid predictions window-by-window — so
+hours-long audio or a live capture stream runs in O(window) memory.
+
+Exactness contract (pinned by tests/test_stream.py): feeding a clip in
+arbitrary chunk sizes yields bit-identical predictions to
+`SELDPredictor.predict_waveform(clip)` — interior mel frames never see
+the stream boundaries (a frame is only computed once its full n_fft
+context has arrived; the clip-start reflection is applied exactly, and
+the clip-end reflection at flush()).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seld_tpu.data.corpus import features_from_frames, num_stft_frames
+from seld_tpu.infer import Prediction, SELDPredictor
+
+
+class StreamingSession:
+    """One audio stream. push() chunks, collect (start_frame, classes)
+    fragments, flush() at end-of-stream."""
+
+    def __init__(self, predictor: SELDPredictor):
+        self.p = predictor
+        feat = predictor.cfg.features
+        self.n_fft = feat.n_fft
+        self.hop = feat.hop_length
+        self.pad = self.n_fft // 2
+        self.win = predictor.win
+        self._buf = None  # (C, n) raw samples kept for future frames
+        self._buf_start = 0  # absolute index of _buf[:, 0]
+        self._total = 0  # absolute samples seen
+        self._frames_done = 0  # mel frames computed
+        self._mel = None  # (T_pending, C_out, F) frames awaiting windowing
+        self._emitted_frames = 0  # label frames already emitted
+        self._flushed = False
+
+    # -- mel-frame production ------------------------------------------------
+
+    def _frame_block(self, t0: int, t1: int, end_reflect: bool) -> np.ndarray:
+        """(C, t1-t0, n_fft) raw frames t0..t1-1 from the buffer, applying
+        the exact offline reflect padding at the clip edges."""
+        c = self._buf.shape[0]
+        left_need = t0 * self.hop - self.pad
+        right_need = (t1 - 1) * self.hop - self.pad + self.n_fft
+        seg_start = max(left_need, 0)
+        seg = self._buf[:, seg_start - self._buf_start : right_need - self._buf_start]
+        if left_need < 0:  # clip start: reflect
+            refl = self._buf[:, 1 : 1 - left_need][:, ::-1]
+            seg = np.concatenate([refl, seg], axis=1)
+        if seg.shape[1] < right_need - left_need:  # clip end (flush): reflect
+            assert end_reflect, "interior frame requested past the buffer"
+            missing = right_need - left_need - seg.shape[1]
+            tail = self._buf[:, -missing - 1 : -1][:, ::-1]
+            if tail.shape[1] < missing:  # degenerate ultra-short clip
+                tail = np.pad(tail, ((0, 0), (0, missing - tail.shape[1])))
+            seg = np.concatenate([seg, tail], axis=1)
+        n = t1 - t0
+        seg = np.ascontiguousarray(seg)
+        s0, s1 = seg.strides
+        return np.lib.stride_tricks.as_strided(
+            seg, shape=(c, n, self.n_fft), strides=(s0, self.hop * s1, s1)
+        )
+
+    def _produce_frames(self, t1: int, end_reflect: bool = False):
+        if t1 <= self._frames_done:
+            return
+        frames = self._frame_block(self._frames_done, t1, end_reflect)
+        mel = features_from_frames(
+            np.ascontiguousarray(frames), self.p.cfg.features
+        )
+        self._mel = mel if self._mel is None else np.concatenate(
+            [self._mel, mel], axis=0
+        )
+        self._frames_done = t1
+        # Trim raw buffer: the next frame needs samples from this index on
+        # (keep one n_fft of slack for the flush-time end reflection).
+        keep_from = max(
+            self._frames_done * self.hop - self.pad - self.n_fft, self._buf_start
+        )
+        if keep_from > self._buf_start:
+            self._buf = self._buf[:, keep_from - self._buf_start :]
+            self._buf_start = keep_from
+
+    # -- window emission -----------------------------------------------------
+
+    def _emit_ready(self, final: bool):
+        out = []
+        while self._mel is not None and (
+            self._mel.shape[0] >= self.win or (final and self._mel.shape[0] > 0)
+        ):
+            block = self._mel[: self.win]
+            n_valid = block.shape[0]
+            if n_valid < self.win:  # final partial window: zero-pad (same
+                # as predict_waveform's tiling, infer.py)
+                block = np.concatenate(
+                    [block, np.zeros((self.win - n_valid, *block.shape[1:]),
+                                     block.dtype)]
+                )
+            classes = next(iter(
+                self.p._batched(block[None], self.p._forward)
+            ))[0][:n_valid]
+            out.append((self._emitted_frames, np.asarray(classes)))
+            self._emitted_frames += n_valid
+            self._mel = self._mel[n_valid:]
+            if self._mel.shape[0] == 0:
+                self._mel = None
+        return out
+
+    # -- public API ------------------------------------------------------------
+
+    def push(self, chunk: np.ndarray):
+        """Feed (C, n) samples; returns [(start_frame, classes (k, G))]
+        fragments completed by this chunk (possibly empty)."""
+        assert not self._flushed, "stream already flushed"
+        chunk = np.asarray(chunk, np.float32)
+        self._buf = chunk if self._buf is None else np.concatenate(
+            [self._buf, chunk], axis=1
+        )
+        self._total += chunk.shape[1]
+        # interior frames only: frame t needs samples through
+        # t*hop + (n_fft - pad) = t*hop + pad
+        t_ready = max(0, (self._total - (self.n_fft - self.pad)) // self.hop + 1)
+        self._produce_frames(min(t_ready, num_stft_frames(self._total, self.hop)))
+        return self._emit_ready(final=False)
+
+    def flush(self):
+        """End of stream: compute the reflect-padded tail frames and emit
+        the final (possibly partial) window."""
+        assert not self._flushed, "stream already flushed"
+        self._flushed = True
+        if self._total == 0:
+            return []
+        self._produce_frames(
+            num_stft_frames(self._total, self.hop), end_reflect=True
+        )
+        return self._emit_ready(final=True)
+
+
+def stream_predict(predictor: SELDPredictor, chunks) -> Prediction:
+    """Convenience: run a whole chunk iterator through a StreamingSession
+    and assemble the full-clip Prediction (bit-equal to
+    predictor.predict_waveform of the concatenated audio)."""
+    s = StreamingSession(predictor)
+    parts = []
+    for chunk in chunks:
+        parts.extend(cls for _, cls in s.push(chunk))
+    parts.extend(cls for _, cls in s.flush())
+    cfg = predictor.cfg
+    classes = (
+        np.concatenate(parts, axis=0)
+        if parts else np.zeros((0, cfg.grid.n_cells), np.int8)
+    )
+    return Prediction(
+        classes=classes, n_el=cfg.grid.n_el, n_az=cfg.grid.n_az,
+        num_classes=cfg.grid.num_classes,
+    )

@@ -1,0 +1,128 @@
+"""Streaming inference (seld_tpu/stream.py): bit-equality with the offline
+predictor under arbitrary chunking, bounded buffers, tail handling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from seld_tpu.config import Config, parse_overrides
+from seld_tpu.data import synthetic_corpus
+from seld_tpu.data.synthetic import synthetic_raw_files
+from seld_tpu.infer import SELDPredictor
+from seld_tpu.stream import StreamingSession, stream_predict
+from seld_tpu.train import train_model
+
+
+@pytest.fixture(scope="module")
+def predictor(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("stream")
+    cfg = parse_overrides(Config(), [
+        "model.model_type=crnn",
+        "model.crnn_cnn_channels=8,16",
+        "model.crnn_rnn_hidden=16",
+        "model.crnn_rnn_layers=1",
+        "model.compute_dtype=float32",
+        "window.window_seconds=1.0",
+        "window.hop_seconds=0.5",
+        "train.batch_size=2",
+        "train.num_epochs=1",
+        "train.save_every_n_epochs=1",
+        f"data.base_path={tmp}",
+    ])
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp / "checkpoints")
+    p = SELDPredictor(tmp / "checkpoints", batch_windows=1)
+    p._test_base_path = tmp  # the CLI test resolves checkpoints from here
+    return p
+
+
+def _clip(seconds, sr=24_000, seed=7):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((4, int(seconds * sr))) * 0.2).astype(np.float32)
+
+
+@pytest.mark.parametrize("chunking", ["one_shot", "seconds", "ragged"])
+def test_stream_matches_offline_predictor(predictor, chunking):
+    wave = _clip(3.3)
+    offline = predictor.predict_waveform(wave)
+
+    n = wave.shape[1]
+    if chunking == "one_shot":
+        cuts = [n]
+    elif chunking == "seconds":
+        cuts = list(range(24_000, n, 24_000)) + [n]
+    else:  # ragged, including tiny and prime-sized chunks
+        rng = np.random.default_rng(0)
+        cuts, pos = [], 0
+        while pos < n:
+            pos = min(pos + int(rng.integers(1, 40_000)), n)
+            cuts.append(pos)
+    chunks = [wave[:, a:b] for a, b in zip([0] + cuts[:-1], cuts)]
+
+    streamed = stream_predict(predictor, chunks)
+    assert streamed.classes.shape == offline.classes.shape
+    np.testing.assert_array_equal(streamed.classes, offline.classes)
+
+
+def test_stream_incremental_emission_and_bounded_buffer(predictor):
+    wave = _clip(2.6)
+    s = StreamingSession(predictor)
+    frags = []
+    max_buf = 0
+    step = 12_000  # 0.5 s chunks
+    for start in range(0, wave.shape[1], step):
+        frags.extend(s.push(wave[:, start : start + step]))
+        if s._buf is not None:
+            max_buf = max(max_buf, s._buf.shape[1])
+    frags.extend(s.flush())
+
+    # fragments tile the clip in order
+    assert frags[0][0] == 0
+    ends = [f0 + cls.shape[0] for f0, cls in frags]
+    starts = [f0 for f0, _ in frags]
+    assert starts[1:] == ends[:-1]
+    # raw buffer never holds much more than one analysis window of samples
+    feat = predictor.cfg.features
+    win_samples = predictor.win * feat.hop_length
+    assert max_buf <= win_samples + step + 2 * feat.n_fft
+    # a full window (50 frames at 1 s window) emits before the stream ends
+    assert len(frags) >= 2 and frags[0][1].shape[0] == predictor.win
+
+
+def test_stream_short_clip_and_empty(predictor):
+    # shorter than one window -> single flush-time fragment
+    wave = _clip(0.4)
+    offline = predictor.predict_waveform(wave)
+    streamed = stream_predict(predictor, [wave])
+    np.testing.assert_array_equal(streamed.classes, offline.classes)
+
+    s = StreamingSession(predictor)
+    assert s.flush() == []  # empty stream
+
+
+def test_cli_stream_predict_matches_offline_csv(predictor, tmp_path):
+    from seld_tpu.cli import main
+    from seld_tpu.data.audio import write_wav
+
+    wav = tmp_path / "clip.wav"
+    write_wav(wav, _clip(2.2), 24_000)
+    base = [f"data.base_path={predictor._test_base_path}"]
+    rc = main(["predict", *base, "--wavs", str(wav),
+               "--out", str(tmp_path / "off")])
+    assert rc == 0
+    rc = main(["predict", *base, "--wavs", str(wav), "--stream",
+               "--out", str(tmp_path / "str")])
+    assert rc == 0
+    off = (tmp_path / "off" / "predictions" / "clip.csv").read_text()
+    stm = (tmp_path / "str" / "predictions" / "clip.csv").read_text()
+    assert off == stm
+
+
+def test_stream_rejects_push_after_flush(predictor):
+    s = StreamingSession(predictor)
+    s.push(_clip(0.2))
+    s.flush()
+    with pytest.raises(AssertionError):
+        s.push(_clip(0.1))

@@ -43,7 +43,7 @@ def main():
     loss_fn = SELDLossFn(cfg.loss, cfg.grid)
     opt = make_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
     rng = jax.random.key(0, impl="rbg")
-    for B in (16, 32, 64):
+    def measure_train(B):
         mel = jax.random.normal(jax.random.PRNGKey(0), (B, 250, 4, 64), jnp.float32)
         mask = jnp.zeros((B, 250, 648), jnp.int32).at[:, :, 100].set(8)
         em = jnp.ones((B,), jnp.float32)
@@ -70,12 +70,22 @@ def main():
             return time.time() - t0
 
         best = min((run(11) - run(1)) / 10 for _ in range(2))
-        results["train"][B] = {
+        return {
             "step_ms": round(best * 1e3, 2),
             "audio_s_per_s": round(B * 5.0 / best, 1),
         }
-        log(f"train b{B}: {best * 1e3:.2f} ms -> {results['train'][B]}")
-        print(json.dumps({f"train_b{B}": results["train"][B]}), flush=True)
+
+    for B in (16, 32, 64):
+        for attempt in (1, 2):  # transient tunnel errors happen; retry once
+            try:
+                results["train"][B] = measure_train(B)
+                break
+            except Exception as e:
+                log(f"train b{B} attempt {attempt} failed: {e}")
+                time.sleep(30)
+        if B in results["train"]:
+            log(f"train b{B}: {results['train'][B]}")
+            print(json.dumps({f"train_b{B}": results["train"][B]}), flush=True)
 
     # (b) inference cost analysis per batch (compile-only)
     from seld_tpu.ops.mel_pallas import log_mel_frames_pallas
