@@ -284,6 +284,13 @@ class TrainConfig:
     # flagship. Streams differ between impls; both are deterministic
     # per seed on a given backend.
     prng_impl: str = "rbg"
+    # Exponential moving average of parameters (0 = off). When on, the
+    # EMA weights are what gets evaluated each epoch and stored in the
+    # BEST checkpoint (the serving artifact); rolling checkpoints keep
+    # the raw weights for exact resume (EMA restarts from the restored
+    # raw params on resume). A production-training extra the reference
+    # does not have.
+    ema_decay: float = 0.0
     # SpecAugment (on-device, inside the jitted step; 0 masks = off).
     # A north-star extra — the reference only augments labels
     # (smrl_seld_gaussian.py:397-535), never features.

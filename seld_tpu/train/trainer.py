@@ -171,6 +171,30 @@ def train_model(
             start_epoch = meta["epoch"] + 1
             log.info("Resumed from rolling checkpoint at epoch %d", meta["epoch"])
 
+    # Parameter EMA (train.ema_decay > 0): shadow weights updated after
+    # every step; the EMA weights are what eval sees and what the BEST
+    # checkpoint stores (the serving artifact). Rolling checkpoints keep
+    # raw weights so resume is exact; EMA restarts from the restored
+    # params (documented in TrainConfig).
+    ema_decay = cfg.train.ema_decay
+    # jnp.copy: the live state's buffers get DONATED into the first train
+    # step; the EMA shadow must own its storage.
+    ema_params = (
+        jax.tree_util.tree_map(jnp.copy, state.params) if ema_decay > 0 else None
+    )
+    if ema_decay > 0:
+        log.info("Parameter EMA on (decay %.4f); eval/best use EMA weights",
+                 ema_decay)
+        ema_update = jax.jit(
+            lambda e, p: jax.tree_util.tree_map(
+                lambda a, b: a * ema_decay + b.astype(a.dtype) * (1 - ema_decay),
+                e, p,
+            )
+        )
+
+    def eval_state():
+        return state if ema_params is None else state.replace(params=ema_params)
+
     from seld_tpu.features.specaugment import make_spec_augment
 
     input_augment = make_spec_augment(cfg.train)
@@ -226,6 +250,8 @@ def train_model(
                     log.info("profiler trace started -> %s", profile_dir)
                 mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
                 state, metrics = train_step(state, mel, mask, em, step_rng)
+                if ema_params is not None:
+                    ema_params = ema_update(ema_params, state.params)
                 train_metrics.append(metrics)
                 if preempt.requested:
                     break  # finish-up handled after the loop
@@ -266,7 +292,7 @@ def train_model(
             eval_metrics = []
             for batch in test_iter:
                 mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
-                eval_metrics.append(eval_step(state, mel, mask, em))
+                eval_metrics.append(eval_step(eval_state(), mel, mask, em))
             test_avg = _epoch_mean(eval_metrics)
 
             new_lr = plateau.step(test_avg["loss"])
@@ -301,7 +327,9 @@ def train_model(
 
             if test_avg["loss"] < best_test - cfg.train.min_delta:
                 best_test = test_avg["loss"]
-                ckpt.save_best(epoch, state, train_avg["loss"], test_avg["loss"])
+                ckpt.save_best(
+                    epoch, eval_state(), train_avg["loss"], test_avg["loss"]
+                )
                 log.info("  New best model saved (test loss %.6f)", best_test)
 
             if epoch % cfg.train.save_every_n_epochs == 0:
@@ -321,7 +349,7 @@ def train_model(
                     mel = jnp.asarray(batch.mel)
                     logits = jax.jit(
                         lambda s, x: model.apply(s.variables(), x, train=False)
-                    )(state, mel)
+                    )(eval_state(), mel)
                     targets = decode_class_bitmask(
                         jnp.asarray(batch.label_mask), cfg.grid.num_classes
                     )

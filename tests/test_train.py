@@ -264,3 +264,48 @@ def test_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
     )
     assert "preempted_epoch" not in history2
     assert len(history2["train_losses"]) == 2  # epochs 2 and 3
+
+
+def test_ema_weights_are_evaluated_and_checkpointed(tmp_path):
+    """With train.ema_decay close to 1, EMA weights stay near init — the
+    best checkpoint must hold those (the serving artifact), not the raw
+    trained weights, and they must differ from a no-EMA run's."""
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.train import trainer as trainer_mod
+
+    cfg = tiny_config(tmp_path, **{"train.ema_decay": 0.999})
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    state_ema, _ = trainer_mod.train_model(
+        cfg, train_c, test_c, workdir=tmp_path / "ema"
+    )
+    cfg0 = tiny_config(tmp_path)
+    state_raw, _ = trainer_mod.train_model(
+        cfg0, train_c, test_c, workdir=tmp_path / "raw"
+    )
+    # same tree structure, different weights (EMA ~ init, raw = trained)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state_ema.params, state_raw.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 1e-4
+
+
+def test_ema_update_math():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    decay = 0.9
+    ema_update = jax.jit(
+        lambda e, p: jax.tree_util.tree_map(
+            lambda a, b: a * decay + b.astype(a.dtype) * (1 - decay), e, p
+        )
+    )
+    e = {"w": jnp.zeros((3,))}
+    p = {"w": jnp.ones((3,))}
+    for _ in range(3):
+        e = ema_update(e, p)
+    expected = 1 - decay**3  # EMA of a constant target from 0
+    np.testing.assert_allclose(np.asarray(e["w"]), expected, rtol=1e-6)
