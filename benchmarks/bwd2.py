@@ -1,4 +1,4 @@
-"""Follow-up backward/train-overhead experiments (run after tools_bench_bwd):
+"""Follow-up backward/train-overhead experiments (run after bwd.py):
 
   sub_head / sub_loss   — finish the attribution (harness fix)
   no_dropout            — train step with dropout=0: RNG + mask cost
@@ -21,7 +21,7 @@ REPO = Path(__file__).parent
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from tools_bench_bwd import BATCH, T, time_fwd_bwd, timed_chain, log  # noqa: E402
+from bwd import BATCH, T, time_fwd_bwd, timed_chain, log  # noqa: E402
 
 from seld_tpu.config import Config, parse_overrides  # noqa: E402
 from seld_tpu.losses import SELDLossFn  # noqa: E402
