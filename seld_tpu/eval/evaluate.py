@@ -178,6 +178,17 @@ def evaluate_model(
         dcase22["ER"], dcase22["F_macro"], dcase22["LE_macro"],
         dcase22["LR_macro"], dcase22["SELD_error"],
     )
+    # Per-class breakdown (classes present in the ground truth).
+    from seld_tpu.config import STARSS22_CLASSES
+
+    cw = dcase22["classwise"]
+    for c, nref in enumerate(cw["Nref"]):
+        if nref > 0:
+            log.info(
+                "  class %2d %-28s F %.3f LE %6.1f deg LR %.3f (Nref %d)",
+                c, STARSS22_CLASSES.get(c, f"class{c}")[:28],
+                cw["F"][c], cw["LE"][c], cw["LR"][c], nref,
+            )
 
     # Frames with events (ref trainer.py:615-637, vectorized)
     active_per_frame = (true_classes != cfg.grid.background_class).sum(-1)  # (N, T)
