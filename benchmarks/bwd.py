@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPO = Path(__file__).parent
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -170,6 +171,8 @@ def main():
     t_loss = timed_chain(lambda i, prev: g_loss(logits + np.float32(i) * 1e-6))
     results["sub_loss"] = {"fwdbwd_ms": round(t_loss * 1e3, 2)}
     print(json.dumps({"sub_loss": results["sub_loss"]}), flush=True)
+
+    (REPO / "logs").mkdir(exist_ok=True)
 
     (REPO / "logs" / "bwd_experiments.json").write_text(
         json.dumps(results, indent=2)

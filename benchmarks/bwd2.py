@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPO = Path(__file__).parent
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -117,6 +118,8 @@ def main():
     results["eval_fwd_with_loss"] = {"fwd_ms": round(t_e * 1e3, 2)}
     print(json.dumps({"eval_fwd_with_loss": results["eval_fwd_with_loss"]}),
           flush=True)
+
+    (REPO / "logs").mkdir(exist_ok=True)
 
     (REPO / "logs" / "bwd_experiments2.json").write_text(
         json.dumps(results, indent=2)

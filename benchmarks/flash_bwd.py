@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPO = Path(__file__).parent
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -139,6 +140,8 @@ def main():
     assert all(np.isfinite(losses)), losses
     results["train_T4096_losses"] = [round(x, 5) for x in losses]
     log(f"T=4096 losses: {losses}")
+
+    (REPO / "logs").mkdir(exist_ok=True)
 
     (REPO / "logs" / "flash_bwd_tpu.json").write_text(
         json.dumps(results, indent=2)

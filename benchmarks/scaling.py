@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPO = Path(__file__).parent
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -114,6 +115,8 @@ def main():
         results["infer_cost"][B] = row
         log(f"infer b{B}: compile {time.time() - t0:.1f}s {row}")
         print(json.dumps({f"infer_b{B}": row}), flush=True)
+
+    (REPO / "logs").mkdir(exist_ok=True)
 
     (REPO / "logs" / "scaling.json").write_text(json.dumps(results, indent=2))
 

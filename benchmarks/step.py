@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPO = Path(__file__).parent
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -71,6 +72,8 @@ def main():
                          "audio_s_per_s": round(thr, 1)}
         log(f"[{impl}] {best * 1e3:.2f} ms/step -> {thr:.0f} audio_s/s")
         print(json.dumps({impl: results[impl]}), flush=True)
+
+    (REPO / "logs").mkdir(exist_ok=True)
 
     (REPO / "logs" / "step_prng.json").write_text(json.dumps(results, indent=2))
 

@@ -16,7 +16,8 @@ import sys
 import time
 from pathlib import Path
 
-REPO = Path(__file__).parent
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -103,7 +104,7 @@ def main():
 
     best = max(results, key=lambda r: r["audio_s_per_s"])
     print(json.dumps({"best": best, "sweep": results}), flush=True)
-    Path(REPO / "logs").mkdir(exist_ok=True)
+    (REPO / "logs").mkdir(exist_ok=True)
     (REPO / "logs" / "batch_sweep.json").write_text(
         json.dumps({"best": best, "sweep": results}, indent=2)
     )

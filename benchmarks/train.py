@@ -11,6 +11,8 @@ from __future__ import annotations
 import sys
 import time
 
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).parent.parent))
 import jax
 import jax.numpy as jnp
 import numpy as np

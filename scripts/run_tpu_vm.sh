@@ -23,7 +23,10 @@ DRY_RUN="${DRY_RUN:-0}"
 TPU_NAME="${1:?tpu name}"
 ZONE="${2:?zone}"
 COMMAND="${3:-train}"
-shift 3 || true
+# shift past the consumed args only — `shift 3` with 2 args shifts NOTHING
+# (bash leaves $@ untouched), which would leak the tpu name/zone into the
+# override list below.
+shift "$(( $# < 3 ? $# : 3 ))"
 
 REPO_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 

@@ -22,6 +22,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <vector>
 
 namespace {
@@ -76,6 +77,11 @@ int seldio_decode_wav(const char* path, float** out_data, int32_t* out_channels,
     set_err(err, errlen, "cannot open file");
     return 1;
   }
+  // File size bound: chunk size fields are untrusted (a corrupt header
+  // claiming 4 GB must not drive a 4 GB allocation).
+  fseek(f, 0, SEEK_END);
+  long file_size = ftell(f);
+  fseek(f, 0, SEEK_SET);
   Reader r{f};
 
   char tag[5];
@@ -109,7 +115,7 @@ int seldio_decode_wav(const char* path, float** out_data, int32_t* out_channels,
       r.u16();  // block align
       bits = r.u16();
       long remaining = (long)size - 16;
-      if (fmt == WAVE_FORMAT_EXTENSIBLE && remaining >= 8) {
+      if (fmt == WAVE_FORMAT_EXTENSIBLE && remaining >= 10) {
         uint16_t cbsize = r.u16();
         r.u16();  // valid bits per sample
         r.u32();  // channel mask
@@ -127,12 +133,27 @@ int seldio_decode_wav(const char* path, float** out_data, int32_t* out_channels,
         set_err(err, errlen, "data chunk before fmt chunk");
         return 3;
       }
-      payload.resize(size);
+      // Clamp to the bytes actually present; a size field pointing past
+      // EOF is a corrupt/truncated file -> error out so the caller's
+      // Python fallback (which will reject it cleanly) takes over.
+      long here = ftell(f);
+      long avail = file_size > here ? file_size - here : 0;
+      if ((long)size > avail) {
+        fclose(f);
+        set_err(err, errlen, "data chunk size exceeds file size (truncated?)");
+        return 3;
+      }
+      try {
+        payload.resize(size);
+      } catch (const std::bad_alloc&) {
+        fclose(f);
+        set_err(err, errlen, "data chunk too large to allocate");
+        return 5;
+      }
       if (size > 0 && fread(payload.data(), 1, size, f) != size) {
-        // Tolerate a truncated final chunk the way libsndfile does:
-        // decode what is present.
-        long got = ftell(f);
-        (void)got;
+        fclose(f);
+        set_err(err, errlen, "short read of data chunk");
+        return 3;
       }
       break;
     } else {

@@ -94,26 +94,39 @@ class StreamingSession:
     # -- window emission -----------------------------------------------------
 
     def _emit_ready(self, final: bool):
+        """Run every complete (plus, at flush, the final partial) window
+        through the predictor in ONE batched pass and emit fragments."""
+        if self._mel is None:
+            return []
+        pending = self._mel.shape[0]
+        n_windows = pending // self.win
+        tail = pending - n_windows * self.win
+        if final and tail > 0:
+            n_windows += 1
+        if n_windows == 0:
+            return []
+        valid = [self.win] * n_windows
+        take = n_windows * self.win
+        block = self._mel[:take]
+        if block.shape[0] < take:  # final partial window: zero-pad (same
+            # as predict_waveform's tiling, infer.py)
+            valid[-1] = tail
+            block = np.concatenate(
+                [block, np.zeros((take - block.shape[0], *block.shape[1:]),
+                                 block.dtype)]
+            )
+        windows = block.reshape(n_windows, self.win, *block.shape[1:])
+        classes = np.concatenate(
+            list(self.p._batched(windows, self.p._forward)), axis=0
+        )
         out = []
-        while self._mel is not None and (
-            self._mel.shape[0] >= self.win or (final and self._mel.shape[0] > 0)
-        ):
-            block = self._mel[: self.win]
-            n_valid = block.shape[0]
-            if n_valid < self.win:  # final partial window: zero-pad (same
-                # as predict_waveform's tiling, infer.py)
-                block = np.concatenate(
-                    [block, np.zeros((self.win - n_valid, *block.shape[1:]),
-                                     block.dtype)]
-                )
-            classes = next(iter(
-                self.p._batched(block[None], self.p._forward)
-            ))[0][:n_valid]
-            out.append((self._emitted_frames, np.asarray(classes)))
-            self._emitted_frames += n_valid
-            self._mel = self._mel[n_valid:]
-            if self._mel.shape[0] == 0:
-                self._mel = None
+        for w in range(n_windows):
+            out.append((self._emitted_frames, classes[w][: valid[w]]))
+            self._emitted_frames += valid[w]
+        consumed = sum(valid)
+        self._mel = self._mel[consumed:]
+        if self._mel.shape[0] == 0:
+            self._mel = None
         return out
 
     # -- public API ------------------------------------------------------------
@@ -127,8 +140,12 @@ class StreamingSession:
             [self._buf, chunk], axis=1
         )
         self._total += chunk.shape[1]
-        # interior frames only: frame t needs samples through
-        # t*hop + (n_fft - pad) = t*hop + pad
+        # Interior frames only: frame t needs samples through
+        # t*hop + (n_fft - pad) = t*hop + pad. Frame 0 additionally needs
+        # pad+1 samples for its start reflection (single fold); clips that
+        # never reach that are handled wholesale at flush().
+        if self._total < self.pad + 1:
+            return []
         t_ready = max(0, (self._total - (self.n_fft - self.pad)) // self.hop + 1)
         self._produce_frames(min(t_ready, num_stft_frames(self._total, self.hop)))
         return self._emit_ready(final=False)
@@ -140,9 +157,22 @@ class StreamingSession:
         self._flushed = True
         if self._total == 0:
             return []
-        self._produce_frames(
-            num_stft_frames(self._total, self.hop), end_reflect=True
-        )
+        if self._frames_done == 0:
+            # Nothing produced yet, so the buffer still holds the WHOLE
+            # clip — delegate to the offline framer (np.pad reflect),
+            # which handles the multi-fold reflections a tiny clip
+            # (total <= pad) needs and is trivially bit-exact.
+            from seld_tpu.data.corpus import _frame_view
+
+            frames = _frame_view(self._buf, self.n_fft, self.hop)
+            mel = features_from_frames(np.ascontiguousarray(frames),
+                                       self.p.cfg.features)
+            self._mel = mel
+            self._frames_done = frames.shape[1]
+        else:
+            self._produce_frames(
+                num_stft_frames(self._total, self.hop), end_reflect=True
+            )
         return self._emit_ready(final=True)
 
 

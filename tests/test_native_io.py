@@ -142,3 +142,30 @@ def test_load_wav_4ch_fixture_uses_same_values(tmp_path):
     np.testing.assert_allclose(
         got, np.clip(w, -1.0, 32767.0 / 32768.0), atol=2.0 / 32768
     )
+
+
+def test_native_rejects_oversized_data_chunk_quickly(tmp_path):
+    """A corrupt header claiming a multi-GB data chunk must error fast
+    (no giant allocation), handing off to the Python fallback."""
+    import time
+
+    p = tmp_path / "corrupt.wav"
+    fmt = struct.pack("<HHIIHH", 1, 4, 24000, 24000 * 8, 8, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0xFFFFFFF0) + b"\x00" * 64)
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="exceeds file size"):
+        native.decode_wav(p)
+    assert time.time() - t0 < 1.0
+
+
+def test_native_rejects_truncated_data_chunk(tmp_path):
+    p = tmp_path / "trunc.wav"
+    fmt = struct.pack("<HHIIHH", 1, 2, 24000, 24000 * 4, 4, 16)
+    payload = b"\x01\x00" * 100  # 100 samples present...
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4000) + payload)  # ...4000 claimed
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(RuntimeError, match="exceeds file size"):
+        native.decode_wav(p)

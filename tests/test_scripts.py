@@ -57,3 +57,16 @@ def test_missing_args_fail():
 def test_shell_syntax():
     r = subprocess.run([bash, "-n", str(SCRIPT)], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
+
+
+def test_two_arg_invocation_does_not_leak_args_as_overrides():
+    """`shift 3` with only 2 args shifts nothing in bash — the tpu name
+    and zone must NOT reappear as CLI overrides in the launch command."""
+    r = run_script("--print-only", "seld-v5e-8", "us-west4-a")
+    assert r.returncode == 0, r.stderr
+    launch = [ln for ln in r.stdout.splitlines() if "seld_tpu.cli" in ln]
+    assert len(launch) == 1
+    after_cli = launch[0].split("seld_tpu.cli", 1)[1]
+    assert "seld-v5e-8" not in after_cli
+    assert "us-west4-a" not in after_cli
+    assert "train" in after_cli  # default command survives

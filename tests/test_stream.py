@@ -126,3 +126,25 @@ def test_stream_rejects_push_after_flush(predictor):
     s.flush()
     with pytest.raises(AssertionError):
         s.push(_clip(0.1))
+
+
+def test_stream_exact_pad_sized_chunks(predictor):
+    """20 ms (480-sample = n_fft//2) chunks — a natural live-stream size
+    that used to trip the frame-0 reflection assert."""
+    wave = _clip(1.7)
+    offline = predictor.predict_waveform(wave)
+    chunks = [wave[:, i : i + 480] for i in range(0, wave.shape[1], 480)]
+    streamed = stream_predict(predictor, chunks)
+    np.testing.assert_array_equal(streamed.classes, offline.classes)
+
+
+def test_stream_tiny_clip_multifold_reflection(predictor):
+    """Clips shorter than n_fft//2 need multi-fold reflect padding; the
+    flush path must still match the offline framer bit-for-bit."""
+    for n in (100, 479, 481, 700):
+        wave = _clip(n / 24_000.0)[:, :n]
+        offline = predictor.predict_waveform(wave)
+        streamed = stream_predict(predictor, [wave])
+        np.testing.assert_array_equal(
+            streamed.classes, offline.classes, err_msg=f"n={n}"
+        )
