@@ -188,6 +188,19 @@ def cmd_predict(cfg: Config, args, logger):
     return 0
 
 
+def cmd_export(cfg: Config, args, logger):
+    """AOT serving export: checkpoint -> self-contained StableHLO file."""
+    from seld_tpu.export import export_serving
+
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    out = export_serving(
+        cfg.data.checkpoint_path, args.out,
+        batch_windows=args.batch_windows, platforms=platforms,
+    )
+    logger.info("Serving artifact written: %s", out)
+    return 0
+
+
 def cmd_import_torch(cfg: Config, args, logger):
     """Migrate a reference PyTorch checkpoint (trainer.py:278-285 format,
     or a bare state_dict .pth) into a seld_tpu checkpoint usable by
@@ -299,6 +312,14 @@ def main(argv=None) -> int:
     p_imp.add_argument("--torch-checkpoint", required=True,
                        help=".pth from the reference pipeline")
     p_imp.set_defaults(fn=cmd_import_torch)
+
+    p_exp = sub.add_parser("export", parents=[common])
+    p_exp.add_argument("--out", required=True,
+                       help="output path for the StableHLO artifact")
+    p_exp.add_argument("--batch-windows", type=int, default=8)
+    p_exp.add_argument("--platforms", default=None,
+                       help="comma list, e.g. tpu,cpu (default: current)")
+    p_exp.set_defaults(fn=cmd_export)
 
     p_info = sub.add_parser("info", parents=[common])
     p_info.set_defaults(fn=cmd_info)

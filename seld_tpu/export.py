@@ -1,0 +1,95 @@
+"""AOT serving export: checkpoint -> self-contained StableHLO artifact.
+
+Production-deployment story the reference cannot offer (its serving
+artifact is a pickle that needs the exact torch model classes on the
+loading side, ref trainer.py:428-476): `export_serving` serializes the
+predictor's jitted forward — fused mel-normalized input -> backbone ->
+argmax grid decode, with the trained weights baked in as constants — via
+`jax.export` (StableHLO). The artifact is loadable by ANY process with
+jax installed (`load_serving`), with no seld_tpu model code, no flax, and
+no checkpoint tree; it can also be consumed by non-JAX StableHLO
+runtimes (IFRT/PJRT serving stacks).
+
+The exported signature matches SELDPredictor._forward:
+    (batch_windows, window_frames, C_feat, n_mels) float32
+        -> (batch_windows, window_frames, n_cells) int8 class grid
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from seld_tpu.utils.logging import get_logger
+
+
+def export_serving(
+    checkpoint_dir,
+    out_path,
+    batch_windows: int = 8,
+    platforms: tuple[str, ...] | None = None,
+) -> Path:
+    """Export the checkpoint's forward pass; returns the artifact path.
+
+    Writes `<out_path>` (serialized StableHLO) and `<out_path>.json`
+    (shapes + grid geometry + source checkpoint metadata).
+    """
+    from jax import export as jexport
+
+    from seld_tpu.infer import SELDPredictor
+
+    p = SELDPredictor(checkpoint_dir, batch_windows=batch_windows)
+    cfg = p.cfg
+    from seld_tpu.features.spatial import feature_channels
+
+    n_feat_ch = feature_channels(cfg.features.feature_set, cfg.model.n_channels)
+    mel_shape = jax.ShapeDtypeStruct(
+        (batch_windows, p.win, n_feat_ch, cfg.model.n_mels), np.float32
+    )
+
+    state = p.state
+
+    def forward(mel):  # weights baked in as constants
+        return p._forward(state, mel)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jexport.export(jax.jit(forward), **kwargs)(mel_shape)
+
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_bytes(exported.serialize())
+    sidecar = {
+        "input_shape": list(mel_shape.shape),
+        "input_dtype": "float32",
+        "output": "int8 argmax class grid (B, T, n_cells)",
+        "n_el": cfg.grid.n_el,
+        "n_az": cfg.grid.n_az,
+        "num_classes": cfg.grid.num_classes,
+        "model_type": cfg.model.model_type,
+        "feature_set": cfg.features.feature_set,
+        "window_frames": p.win,
+        "platforms": list(exported.platforms),
+        "source_epoch": int(p.meta["epoch"]),
+    }
+    Path(str(out_path) + ".json").write_text(json.dumps(sidecar, indent=2))
+    get_logger().info(
+        "Exported %s (%s, epoch %d) -> %s (%.1f MB, platforms %s)",
+        cfg.model.model_type, cfg.features.feature_set, p.meta["epoch"],
+        out_path, out_path.stat().st_size / 1e6, list(exported.platforms),
+    )
+    return out_path
+
+
+def load_serving(path):
+    """Load an exported artifact; returns (callable(mel) -> int8 grid,
+    sidecar dict). Needs only jax — no model code, no checkpoint."""
+    from jax import export as jexport
+
+    exported = jexport.deserialize(Path(path).read_bytes())
+    sidecar = json.loads(Path(str(path) + ".json").read_text())
+    return exported.call, sidecar

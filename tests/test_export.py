@@ -1,0 +1,97 @@
+"""AOT serving export (seld_tpu/export.py): a checkpoint becomes a
+self-contained StableHLO artifact whose outputs match the live predictor
+bit-for-bit, loadable without model code."""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from seld_tpu.config import Config, parse_overrides
+from seld_tpu.data import synthetic_corpus
+from seld_tpu.export import export_serving, load_serving
+from seld_tpu.infer import SELDPredictor
+from seld_tpu.train import train_model
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("export")
+    cfg = parse_overrides(Config(), [
+        "model.model_type=crnn",
+        "model.crnn_cnn_channels=8,16",
+        "model.crnn_rnn_hidden=16",
+        "model.crnn_rnn_layers=1",
+        "model.compute_dtype=float32",
+        "window.window_seconds=1.0",
+        "window.hop_seconds=0.5",
+        "train.batch_size=2",
+        "train.num_epochs=1",
+        "train.save_every_n_epochs=1",
+        f"data.base_path={tmp}",
+    ])
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp / "checkpoints")
+    return tmp / "checkpoints"
+
+
+def test_export_roundtrip_matches_predictor(ckpt_dir, tmp_path):
+    out = export_serving(ckpt_dir, tmp_path / "model.stablehlo",
+                         batch_windows=2)
+    assert out.exists() and out.stat().st_size > 1000
+    sidecar = json.loads((tmp_path / "model.stablehlo.json").read_text())
+    assert sidecar["model_type"] == "crnn"
+    assert sidecar["input_shape"][0] == 2
+
+    fn, meta = load_serving(out)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal(sidecar["input_shape"]).astype(np.float32)
+
+    p = SELDPredictor(ckpt_dir, batch_windows=2)
+    live = np.asarray(p._forward(p.state, mel))
+    exported = np.asarray(fn(mel))
+    assert exported.dtype == np.int8
+    np.testing.assert_array_equal(exported, live)
+
+
+def test_cli_export(ckpt_dir, tmp_path):
+    from seld_tpu.cli import main
+
+    rc = main([
+        "export", f"data.base_path={ckpt_dir.parent}",
+        "--out", str(tmp_path / "m.stablehlo"), "--batch-windows", "1",
+    ])
+    assert rc == 0
+    assert (tmp_path / "m.stablehlo").exists()
+    assert (tmp_path / "m.stablehlo.json").exists()
+
+
+def test_export_artifact_is_model_code_free(ckpt_dir, tmp_path):
+    """Deserialization path must not need seld_tpu model classes: load in
+    a subprocess that never imports seld_tpu.models/flax model code."""
+    import subprocess
+    import sys
+
+    out = export_serving(ckpt_dir, tmp_path / "standalone.stablehlo",
+                         batch_windows=1)
+    code = f"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from jax import export as jexport
+import numpy as np
+exp = jexport.deserialize(open(r"{out}", "rb").read())
+mel = np.zeros({json.loads((tmp_path / "standalone.stablehlo.json").read_text())["input_shape"]}, np.float32)
+y = np.asarray(exp.call(mel))
+assert y.dtype == np.int8 and y.ndim == 3
+assert "seld_tpu" not in sys.modules and "flax" not in sys.modules
+print("STANDALONE OK", y.shape)
+"""
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "STANDALONE OK" in r.stdout
