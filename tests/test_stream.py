@@ -148,3 +148,36 @@ def test_stream_tiny_clip_multifold_reflection(predictor):
         np.testing.assert_array_equal(
             streamed.classes, offline.classes, err_msg=f"n={n}"
         )
+
+
+@pytest.fixture(scope="module")
+def predictor_iv(tmp_path_factory):
+    """Spatial feature set (mel+IV, 7 channels) — exercises the chunked
+    spatial feature path under streaming."""
+    tmp = tmp_path_factory.mktemp("stream_iv")
+    cfg = parse_overrides(Config(), [
+        "model.model_type=crnn",
+        "model.crnn_cnn_channels=8,16",
+        "model.crnn_rnn_hidden=16",
+        "model.crnn_rnn_layers=1",
+        "model.compute_dtype=float32",
+        "features.feature_set=mel_iv",
+        "window.window_seconds=1.0",
+        "window.hop_seconds=0.5",
+        "train.batch_size=2",
+        "train.num_epochs=1",
+        "train.save_every_n_epochs=1",
+        f"data.base_path={tmp}",
+    ])
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp / "checkpoints")
+    return SELDPredictor(tmp / "checkpoints", batch_windows=1)
+
+
+def test_stream_matches_offline_with_spatial_features(predictor_iv):
+    wave = _clip(2.4)
+    offline = predictor_iv.predict_waveform(wave)
+    chunks = [wave[:, i : i + 17_000] for i in range(0, wave.shape[1], 17_000)]
+    streamed = stream_predict(predictor_iv, chunks)
+    np.testing.assert_array_equal(streamed.classes, offline.classes)
