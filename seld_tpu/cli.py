@@ -181,7 +181,9 @@ def cmd_predict(cfg: Config, args, logger):
             csv_out.parent.mkdir(parents=True, exist_ok=True)
             np.savetxt(csv_out, rows, fmt="%d", delimiter=",")
         else:
-            pred = predictor.predict_file(wav, csv_out=csv_out)
+            pred = predictor.predict_file(
+                wav, csv_out=csv_out, overlap=args.overlap
+            )
         n_events = len(pred.events())
         logger.info("%s: %d frames, %d active cells -> %s",
                     wav, pred.classes.shape[0], n_events, csv_out)
@@ -304,6 +306,12 @@ def main(argv=None) -> int:
     p_pred.add_argument(
         "--stream", action="store_true",
         help="bounded-memory streaming inference (1 s chunks)",
+    )
+    p_pred.add_argument(
+        "--overlap", type=float, default=0.0,
+        help="window overlap in [0,1): average class probabilities over "
+        "overlapping windows before the argmax (smoother boundaries, "
+        "1/(1-overlap)x compute)",
     )
     p_pred.add_argument("--out", default=None)
     p_pred.set_defaults(fn=cmd_predict)

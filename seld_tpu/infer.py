@@ -226,7 +226,7 @@ class SELDPredictor:
             num_classes=m,
         )
 
-    def predict_file(self, wav_path, csv_out=None) -> Prediction:
+    def predict_file(self, wav_path, csv_out=None, overlap: float = 0.0) -> Prediction:
         """Decode a WAV, predict, optionally write STARSS22-style CSV."""
         wave, sr = load_wav(wav_path)
         if sr != self.cfg.features.sample_rate:
@@ -234,7 +234,7 @@ class SELDPredictor:
                 f"{wav_path}: sample rate {sr} != configured "
                 f"{self.cfg.features.sample_rate}"
             )
-        pred = self.predict_waveform(wave)
+        pred = self.predict_waveform(wave, overlap=overlap)
         if not (pred.classes != pred.background_class).any():
             get_logger().warning(
                 "%s: no events detected (all cells background) — an "

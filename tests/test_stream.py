@@ -181,3 +181,16 @@ def test_stream_matches_offline_with_spatial_features(predictor_iv):
     chunks = [wave[:, i : i + 17_000] for i in range(0, wave.shape[1], 17_000)]
     streamed = stream_predict(predictor_iv, chunks)
     np.testing.assert_array_equal(streamed.classes, offline.classes)
+
+
+def test_cli_predict_overlap_flag(predictor, tmp_path):
+    from seld_tpu.cli import main
+    from seld_tpu.data.audio import write_wav
+
+    wav = tmp_path / "ov.wav"
+    write_wav(wav, _clip(1.8), 24_000)
+    rc = main(["predict", f"data.base_path={predictor._test_base_path}",
+               "--wavs", str(wav), "--overlap", "0.5",
+               "--out", str(tmp_path / "ov")])
+    assert rc == 0
+    assert (tmp_path / "ov" / "predictions" / "ov.csv").exists()
