@@ -235,3 +235,51 @@ def test_accdoa_loss_masking():
     full = float(accdoa_loss(pred[:1], tgt[:1]))
     masked = float(accdoa_loss(pred, tgt, example_mask=jnp.asarray([1.0, 0.0])))
     assert masked == pytest.approx(full, rel=1e-6)
+
+def test_accdoa_streaming_and_export(tmp_path):
+    """The streaming session and the AOT export both ride the predictor's
+    jitted forward — they must work for ACCDOA checkpoints too (vector
+    outputs decode to int8 grids inside the jitted program)."""
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.export import export_serving, load_serving
+    from seld_tpu.infer import SELDPredictor
+    from seld_tpu.stream import stream_predict
+    from seld_tpu.train import train_model
+
+    cfg = parse_overrides(
+        Config(),
+        [
+            "model.model_type=accdoa_conformer",
+            "model.crnn_cnn_channels=8,16",
+            "model.conf_d_model=32",
+            "model.conf_n_layers=1",
+            "model.compute_dtype=float32",
+            "targets.accdoa=true",
+            "window.window_seconds=1.0",
+            "window.hop_seconds=0.5",
+            "train.batch_size=2",
+            "train.num_epochs=1",
+            "train.save_every_n_epochs=1",
+            f"data.base_path={tmp_path}",
+        ],
+    )
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+
+    predictor = SELDPredictor(tmp_path / "ckpt", batch_windows=1)
+    rng = np.random.default_rng(3)
+    wave = (rng.standard_normal((4, 40_000)) * 0.2).astype(np.float32)
+    offline = predictor.predict_waveform(wave)
+    streamed = stream_predict(
+        predictor, [wave[:, :15_000], wave[:, 15_000:]]
+    )
+    np.testing.assert_array_equal(streamed.classes, offline.classes)
+
+    out = export_serving(tmp_path / "ckpt", tmp_path / "acc.stablehlo",
+                         batch_windows=1)
+    fn, meta = load_serving(out)
+    mel = rng.standard_normal(meta["input_shape"]).astype(np.float32)
+    live = np.asarray(predictor._forward(predictor.state, mel))
+    np.testing.assert_array_equal(np.asarray(fn(mel)), live)
