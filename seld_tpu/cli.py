@@ -160,6 +160,11 @@ def cmd_predict(cfg: Config, args, logger):
     for wav in args.wavs:
         csv_out = out_dir / f"{Path(wav).stem}.csv"
         if args.stream:
+            if args.overlap:
+                raise ValueError(
+                    "--stream and --overlap are mutually exclusive: the "
+                    "streaming path tiles non-overlapping windows"
+                )
             # Bounded-memory path: decode once, feed in 1 s chunks through
             # the StreamingSession (bit-equal to the offline path).
             import numpy as np
@@ -194,10 +199,14 @@ def cmd_export(cfg: Config, args, logger):
     """AOT serving export: checkpoint -> self-contained StableHLO file."""
     from seld_tpu.export import export_serving
 
-    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    platforms = None
+    if args.platforms:
+        platforms = tuple(
+            p.strip() for p in args.platforms.split(",") if p.strip()
+        ) or None
     out = export_serving(
         cfg.data.checkpoint_path, args.out,
-        batch_windows=args.batch_windows, platforms=platforms,
+        batch_windows=args.batch_windows, platforms=platforms, cfg=cfg,
     )
     logger.info("Serving artifact written: %s", out)
     return 0
@@ -311,7 +320,7 @@ def main(argv=None) -> int:
         "--overlap", type=float, default=0.0,
         help="window overlap in [0,1): average class probabilities over "
         "overlapping windows before the argmax (smoother boundaries, "
-        "1/(1-overlap)x compute)",
+        "1/(1-overlap)x compute; grid models only, not with --stream)",
     )
     p_pred.add_argument("--out", default=None)
     p_pred.set_defaults(fn=cmd_predict)

@@ -31,17 +31,20 @@ def export_serving(
     out_path,
     batch_windows: int = 8,
     platforms: tuple[str, ...] | None = None,
+    cfg=None,
 ) -> Path:
     """Export the checkpoint's forward pass; returns the artifact path.
 
     Writes `<out_path>` (serialized StableHLO) and `<out_path>.json`
-    (shapes + grid geometry + source checkpoint metadata).
+    (shapes + grid geometry + source checkpoint metadata). `cfg` is the
+    fallback architecture config for checkpoint trees without an embedded
+    config (same semantics as SELDPredictor's cfg argument).
     """
     from jax import export as jexport
 
     from seld_tpu.infer import SELDPredictor
 
-    p = SELDPredictor(checkpoint_dir, batch_windows=batch_windows)
+    p = SELDPredictor(checkpoint_dir, cfg, batch_windows=batch_windows)
     cfg = p.cfg
     from seld_tpu.features.spatial import feature_channels
 

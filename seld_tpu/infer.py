@@ -196,7 +196,14 @@ class SELDPredictor:
                 num_classes=cfg.grid.num_classes,
             )
 
-        assert overlap < 1.0, "overlap must be in [0, 1)"
+        if not 0.0 < overlap < 1.0:
+            raise ValueError(f"overlap must be in [0, 1), got {overlap}")
+        if self.accdoa_mode:
+            raise ValueError(
+                "overlapped probability averaging requires a grid model; "
+                f"{self.cfg.model.model_type} emits ACCDOA vectors — "
+                "use overlap=0"
+            )
         hop = max(int(win * (1.0 - overlap)), 1)
         starts = list(range(0, max(t_total - win, 0) + 1, hop))
         if starts[-1] + win < t_total:  # tail coverage

@@ -35,3 +35,43 @@ def rng():
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
     assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"
+
+
+TINY_CRNN_OVERRIDES = [
+    "model.model_type=crnn",
+    "model.crnn_cnn_channels=8,16",
+    "model.crnn_rnn_hidden=16",
+    "model.crnn_rnn_layers=1",
+    "model.compute_dtype=float32",
+    "window.window_seconds=1.0",
+    "window.hop_seconds=0.5",
+    "train.batch_size=2",
+    "train.num_epochs=1",
+    "train.save_every_n_epochs=1",
+]
+
+
+def train_tiny_checkpoint(base_path, extra_overrides=()):
+    """Train the standard tiny crnn checkpoint into <base_path>/checkpoints;
+    returns (cfg, checkpoint_dir). Shared by the serving-surface test
+    modules so each distinct config trains exactly once per suite run."""
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.train import train_model
+
+    cfg = parse_overrides(
+        Config(),
+        TINY_CRNN_OVERRIDES + [f"data.base_path={base_path}", *extra_overrides],
+    )
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=base_path / "checkpoints")
+    return cfg, base_path / "checkpoints"
+
+
+@pytest.fixture(scope="session")
+def tiny_crnn_ckpt(tmp_path_factory):
+    """Session-shared tiny crnn checkpoint (mel features)."""
+    base = tmp_path_factory.mktemp("tiny_crnn")
+    _, ckpt = train_tiny_checkpoint(base)
+    return ckpt

@@ -10,33 +10,13 @@ import jax
 import numpy as np
 import pytest
 
-from seld_tpu.config import Config, parse_overrides
-from seld_tpu.data import synthetic_corpus
 from seld_tpu.export import export_serving, load_serving
 from seld_tpu.infer import SELDPredictor
-from seld_tpu.train import train_model
 
 
 @pytest.fixture(scope="module")
-def ckpt_dir(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("export")
-    cfg = parse_overrides(Config(), [
-        "model.model_type=crnn",
-        "model.crnn_cnn_channels=8,16",
-        "model.crnn_rnn_hidden=16",
-        "model.crnn_rnn_layers=1",
-        "model.compute_dtype=float32",
-        "window.window_seconds=1.0",
-        "window.hop_seconds=0.5",
-        "train.batch_size=2",
-        "train.num_epochs=1",
-        "train.save_every_n_epochs=1",
-        f"data.base_path={tmp}",
-    ])
-    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
-    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
-    train_model(cfg, train_c, test_c, workdir=tmp / "checkpoints")
-    return tmp / "checkpoints"
+def ckpt_dir(tiny_crnn_ckpt):
+    return tiny_crnn_ckpt  # session-shared tiny checkpoint (conftest)
 
 
 def test_export_roundtrip_matches_predictor(ckpt_dir, tmp_path):

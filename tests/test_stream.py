@@ -6,35 +6,14 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from seld_tpu.config import Config, parse_overrides
-from seld_tpu.data import synthetic_corpus
-from seld_tpu.data.synthetic import synthetic_raw_files
 from seld_tpu.infer import SELDPredictor
 from seld_tpu.stream import StreamingSession, stream_predict
-from seld_tpu.train import train_model
 
 
 @pytest.fixture(scope="module")
-def predictor(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("stream")
-    cfg = parse_overrides(Config(), [
-        "model.model_type=crnn",
-        "model.crnn_cnn_channels=8,16",
-        "model.crnn_rnn_hidden=16",
-        "model.crnn_rnn_layers=1",
-        "model.compute_dtype=float32",
-        "window.window_seconds=1.0",
-        "window.hop_seconds=0.5",
-        "train.batch_size=2",
-        "train.num_epochs=1",
-        "train.save_every_n_epochs=1",
-        f"data.base_path={tmp}",
-    ])
-    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
-    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
-    train_model(cfg, train_c, test_c, workdir=tmp / "checkpoints")
-    p = SELDPredictor(tmp / "checkpoints", batch_windows=1)
-    p._test_base_path = tmp  # the CLI test resolves checkpoints from here
+def predictor(tiny_crnn_ckpt):
+    p = SELDPredictor(tiny_crnn_ckpt, batch_windows=1)
+    p._test_base_path = tiny_crnn_ckpt.parent  # CLI resolves ckpts from here
     return p
 
 
@@ -154,25 +133,13 @@ def test_stream_tiny_clip_multifold_reflection(predictor):
 def predictor_iv(tmp_path_factory):
     """Spatial feature set (mel+IV, 7 channels) — exercises the chunked
     spatial feature path under streaming."""
+    from conftest import train_tiny_checkpoint
+
     tmp = tmp_path_factory.mktemp("stream_iv")
-    cfg = parse_overrides(Config(), [
-        "model.model_type=crnn",
-        "model.crnn_cnn_channels=8,16",
-        "model.crnn_rnn_hidden=16",
-        "model.crnn_rnn_layers=1",
-        "model.compute_dtype=float32",
-        "features.feature_set=mel_iv",
-        "window.window_seconds=1.0",
-        "window.hop_seconds=0.5",
-        "train.batch_size=2",
-        "train.num_epochs=1",
-        "train.save_every_n_epochs=1",
-        f"data.base_path={tmp}",
-    ])
-    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
-    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
-    train_model(cfg, train_c, test_c, workdir=tmp / "checkpoints")
-    return SELDPredictor(tmp / "checkpoints", batch_windows=1)
+    _, ckpt = train_tiny_checkpoint(
+        tmp, extra_overrides=["features.feature_set=mel_iv"]
+    )
+    return SELDPredictor(ckpt, batch_windows=1)
 
 
 def test_stream_matches_offline_with_spatial_features(predictor_iv):
@@ -194,3 +161,29 @@ def test_cli_predict_overlap_flag(predictor, tmp_path):
                "--out", str(tmp_path / "ov")])
     assert rc == 0
     assert (tmp_path / "ov" / "predictions" / "ov.csv").exists()
+
+
+def test_cli_stream_and_overlap_are_mutually_exclusive(predictor, tmp_path):
+    from seld_tpu.cli import main
+    from seld_tpu.data.audio import write_wav
+
+    wav = tmp_path / "x.wav"
+    write_wav(wav, _clip(1.2), 24_000)
+    rc = main(["predict", f"data.base_path={predictor._test_base_path}",
+               "--wavs", str(wav), "--stream", "--overlap", "0.5",
+               "--out", str(tmp_path / "o")])
+    assert rc == 1  # clean named error, not silent ignoring
+
+
+def test_overlap_rejected_for_accdoa_models(tmp_path):
+    from conftest import train_tiny_checkpoint
+
+    _, ckpt = train_tiny_checkpoint(tmp_path, extra_overrides=[
+        "model.model_type=accdoa_conformer",
+        "model.conf_d_model=32",
+        "model.conf_n_layers=1",
+        "targets.accdoa=true",
+    ])
+    p = SELDPredictor(ckpt, batch_windows=1)
+    with pytest.raises(ValueError, match="grid model"):
+        p.predict_waveform(_clip(1.5), overlap=0.5)
