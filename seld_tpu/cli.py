@@ -160,13 +160,9 @@ def cmd_predict(cfg: Config, args, logger):
     for wav in args.wavs:
         csv_out = out_dir / f"{Path(wav).stem}.csv"
         if args.stream:
-            if args.overlap:
-                raise ValueError(
-                    "--stream and --overlap are mutually exclusive: the "
-                    "streaming path tiles non-overlapping windows"
-                )
             # Bounded-memory path: decode once, feed in 1 s chunks through
-            # the StreamingSession (bit-equal to the offline path).
+            # the StreamingSession (bit-equal to the offline path,
+            # including overlapped probability averaging).
             import numpy as np
 
             from seld_tpu.data.audio import load_wav
@@ -181,7 +177,7 @@ def cmd_predict(cfg: Config, args, logger):
             chunks = np.array_split(
                 wave, max(1, wave.shape[1] // sr), axis=1
             )
-            pred = stream_predict(predictor, chunks)
+            pred = stream_predict(predictor, chunks, overlap=args.overlap)
             rows = pred.to_metadata_rows()
             csv_out.parent.mkdir(parents=True, exist_ok=True)
             np.savetxt(csv_out, rows, fmt="%d", delimiter=",")
@@ -320,7 +316,7 @@ def main(argv=None) -> int:
         "--overlap", type=float, default=0.0,
         help="window overlap in [0,1): average class probabilities over "
         "overlapping windows before the argmax (smoother boundaries, "
-        "1/(1-overlap)x compute; grid models only, not with --stream)",
+        "1/(1-overlap)x compute; grid models only; composes with --stream)",
     )
     p_pred.add_argument("--out", default=None)
     p_pred.set_defaults(fn=cmd_predict)

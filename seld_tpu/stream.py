@@ -27,9 +27,18 @@ from seld_tpu.infer import Prediction, SELDPredictor
 
 class StreamingSession:
     """One audio stream. push() chunks, collect (start_frame, classes)
-    fragments, flush() at end-of-stream."""
+    fragments, flush() at end-of-stream.
 
-    def __init__(self, predictor: SELDPredictor):
+    With overlap > 0, windows stride at hop = win*(1-overlap) and class
+    PROBABILITIES are averaged over every window covering a frame before
+    the argmax — the streaming mirror of
+    `SELDPredictor.predict_waveform(..., overlap=)` with the identical
+    window schedule and accumulation order, so results stay bit-equal.
+    A frame is emitted once the last window covering it has run, i.e.
+    with latency one window + hop. Grid models only (ACCDOA emits
+    vectors, not probabilities)."""
+
+    def __init__(self, predictor: SELDPredictor, overlap: float = 0.0):
         self.p = predictor
         feat = predictor.cfg.features
         self.n_fft = feat.n_fft
@@ -41,8 +50,24 @@ class StreamingSession:
         self._total = 0  # absolute samples seen
         self._frames_done = 0  # mel frames computed
         self._mel = None  # (T_pending, C_out, F) frames awaiting windowing
+        self._mel_base = 0  # absolute frame index of _mel[0]
         self._emitted_frames = 0  # label frames already emitted
         self._flushed = False
+
+        if overlap:
+            if not 0.0 < overlap < 1.0:
+                raise ValueError(f"overlap must be in [0, 1), got {overlap}")
+            if predictor.accdoa_mode:
+                raise ValueError(
+                    "overlapped probability averaging requires a grid "
+                    "model; ACCDOA checkpoints stream with overlap=0"
+                )
+            self.whop = max(int(self.win * (1.0 - overlap)), 1)
+        else:
+            self.whop = None
+        self._next_start = 0  # next window start (overlap mode)
+        self._prob = None  # (pending, G, M) f32 accumulator (overlap mode)
+        self._pcount = None  # (pending, 1, 1) f32 coverage counts
 
     # -- mel-frame production ------------------------------------------------
 
@@ -96,6 +121,8 @@ class StreamingSession:
     def _emit_ready(self, final: bool):
         """Run every complete (plus, at flush, the final partial) window
         through the predictor in ONE batched pass and emit fragments."""
+        if self.whop is not None:
+            return self._emit_ready_overlap(final)
         if self._mel is None:
             return []
         pending = self._mel.shape[0]
@@ -125,9 +152,97 @@ class StreamingSession:
             self._emitted_frames += valid[w]
         consumed = sum(valid)
         self._mel = self._mel[consumed:]
+        self._mel_base += consumed
         if self._mel.shape[0] == 0:
             self._mel = None
         return out
+
+    def _emit_ready_overlap(self, final: bool):
+        """Overlap mode: run every window whose frames are available (at
+        flush, the zero-padded tail windows of predict_waveform's exact
+        schedule), accumulate probabilities, and emit frames whose
+        coverage is complete."""
+        T = self._frames_done
+        starts = []
+        if not final:
+            while self._next_start + self.win <= T:
+                starts.append(self._next_start)
+                self._next_start += self.whop
+        else:
+            # remaining schedule: grid starts <= max(T-win, 0), plus the
+            # offline tail start when the grid stops short of the end
+            # (infer.py predict_waveform's starts construction).
+            last_grid = max(T - self.win, 0)
+            while self._next_start <= last_grid:
+                starts.append(self._next_start)
+                self._next_start += self.whop
+            prev = starts[-1] if starts else (
+                self._next_start - self.whop if self._next_start > 0 else None
+            )
+            if prev is not None and prev + self.win < T:
+                starts.append(max(T - self.win, 0))
+
+        frags = []
+        if starts:
+            pend = (self._mel.shape[0] if self._mel is not None else 0)
+            need_through = starts[-1] + self.win  # may exceed T at flush
+            assert self._mel is not None  # windows pending => frames kept
+            if self._mel_base + pend < need_through:  # zero-pad tail (flush)
+                padding = need_through - self._mel_base - pend
+                self._mel = np.concatenate([
+                    self._mel,
+                    np.zeros((padding, *self._mel.shape[1:]), self._mel.dtype),
+                ])
+            windows = np.stack([
+                self._mel[s - self._mel_base : s - self._mel_base + self.win]
+                for s in starts
+            ])
+            probs = np.concatenate(
+                list(self.p._batched(windows, self.p._forward_probs)), axis=0
+            )
+            # grow the accumulator to cover the touched frames
+            g, m = probs.shape[2], probs.shape[3]
+            have = (self._prob.shape[0] if self._prob is not None else 0)
+            grow = need_through - self._emitted_frames - have
+            if grow > 0:
+                z = np.zeros((grow, g, m), np.float32)
+                zc = np.zeros((grow, 1, 1), np.float32)
+                self._prob = z if self._prob is None else np.concatenate(
+                    [self._prob, z])
+                self._pcount = zc if self._pcount is None else np.concatenate(
+                    [self._pcount, zc])
+            for s, p in zip(starts, probs):  # offline accumulation order
+                lo = s - self._emitted_frames
+                self._prob[lo : lo + self.win] += p.astype(np.float32)
+                self._pcount[lo : lo + self.win] += 1.0
+
+        # Frames are final once no future window can cover them: future
+        # grid windows start at _next_start, and the flush-time tail
+        # window (offline schedule) starts at T_final - win >= T_now - win
+        # since T only grows — so mid-stream both bounds apply.
+        final_through = T if final else min(
+            self._next_start, max(T - self.win, 0)
+        )
+        n_emit = final_through - self._emitted_frames
+        if n_emit > 0 and self._prob is not None:
+            n_emit = min(n_emit, self._prob.shape[0])
+            avg = self._prob[:n_emit] / np.maximum(self._pcount[:n_emit], 1.0)
+            classes = np.argmax(avg, axis=-1).astype(np.int8)
+            frags.append((self._emitted_frames, classes))
+            self._emitted_frames += n_emit
+            self._prob = self._prob[n_emit:]
+            self._pcount = self._pcount[n_emit:]
+        # Trim mel context no future window (grid OR flush tail) can need.
+        keep_from = self._next_start if final else min(
+            self._next_start, max(T - self.win, 0)
+        )
+        if self._mel is not None and keep_from > self._mel_base:
+            cut = min(keep_from - self._mel_base, self._mel.shape[0])
+            self._mel = self._mel[cut:]
+            self._mel_base += cut
+            if self._mel.shape[0] == 0:
+                self._mel = None
+        return frags
 
     # -- public API ------------------------------------------------------------
 
@@ -176,11 +291,13 @@ class StreamingSession:
         return self._emit_ready(final=True)
 
 
-def stream_predict(predictor: SELDPredictor, chunks) -> Prediction:
+def stream_predict(predictor: SELDPredictor, chunks,
+                   overlap: float = 0.0) -> Prediction:
     """Convenience: run a whole chunk iterator through a StreamingSession
     and assemble the full-clip Prediction (bit-equal to
-    predictor.predict_waveform of the concatenated audio)."""
-    s = StreamingSession(predictor)
+    predictor.predict_waveform of the concatenated audio, including with
+    overlapped probability averaging)."""
+    s = StreamingSession(predictor, overlap=overlap)
     parts = []
     for chunk in chunks:
         parts.extend(cls for _, cls in s.push(chunk))

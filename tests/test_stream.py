@@ -163,16 +163,59 @@ def test_cli_predict_overlap_flag(predictor, tmp_path):
     assert (tmp_path / "ov" / "predictions" / "ov.csv").exists()
 
 
-def test_cli_stream_and_overlap_are_mutually_exclusive(predictor, tmp_path):
+@pytest.mark.parametrize("overlap", [0.5, 0.8])
+def test_stream_overlap_matches_offline_overlap(predictor, overlap):
+    """Overlapped probability averaging streams with the identical window
+    schedule and accumulation order as predict_waveform(overlap=...) —
+    bit-equal output."""
+    wave = _clip(3.1)
+    offline = predictor.predict_waveform(wave, overlap=overlap)
+    chunks = [wave[:, i : i + 13_000] for i in range(0, wave.shape[1], 13_000)]
+    streamed = stream_predict(predictor, chunks, overlap=overlap)
+    assert streamed.classes.shape == offline.classes.shape
+    np.testing.assert_array_equal(streamed.classes, offline.classes)
+
+
+def test_stream_overlap_short_clip(predictor):
+    wave = _clip(0.6)  # shorter than one window
+    offline = predictor.predict_waveform(wave, overlap=0.5)
+    streamed = stream_predict(predictor, [wave], overlap=0.5)
+    np.testing.assert_array_equal(streamed.classes, offline.classes)
+
+
+def test_stream_overlap_emits_incrementally(predictor):
+    wave = _clip(3.0)
+    s = StreamingSession(predictor, overlap=0.5)
+    frag_counts = []
+    for start in range(0, wave.shape[1], 24_000):
+        frag_counts.append(len(s.push(wave[:, start : start + 24_000])))
+    tail = s.flush()
+    assert sum(frag_counts) >= 2  # emission happens before end-of-stream
+    # fragments tile contiguously
+    all_frags = []
+    s2 = StreamingSession(predictor, overlap=0.5)
+    for start in range(0, wave.shape[1], 24_000):
+        all_frags.extend(s2.push(wave[:, start : start + 24_000]))
+    all_frags.extend(s2.flush())
+    ends = [f0 + c.shape[0] for f0, c in all_frags]
+    assert [f0 for f0, _ in all_frags][1:] == ends[:-1]
+
+
+def test_cli_stream_with_overlap_matches_offline_overlap(predictor, tmp_path):
     from seld_tpu.cli import main
     from seld_tpu.data.audio import write_wav
 
     wav = tmp_path / "x.wav"
-    write_wav(wav, _clip(1.2), 24_000)
-    rc = main(["predict", f"data.base_path={predictor._test_base_path}",
-               "--wavs", str(wav), "--stream", "--overlap", "0.5",
-               "--out", str(tmp_path / "o")])
-    assert rc == 1  # clean named error, not silent ignoring
+    write_wav(wav, _clip(2.3), 24_000)
+    base = [f"data.base_path={predictor._test_base_path}"]
+    rc = main(["predict", *base, "--wavs", str(wav), "--overlap", "0.5",
+               "--out", str(tmp_path / "a")])
+    assert rc == 0
+    rc = main(["predict", *base, "--wavs", str(wav), "--stream",
+               "--overlap", "0.5", "--out", str(tmp_path / "b")])
+    assert rc == 0
+    assert (tmp_path / "a" / "predictions" / "x.csv").read_text() == \
+        (tmp_path / "b" / "predictions" / "x.csv").read_text()
 
 
 def test_overlap_rejected_for_accdoa_models(tmp_path):
