@@ -156,3 +156,36 @@ def test_model_contract_and_train_smoke(tmp_path):
 
     assert main(["train", "--synthetic", "--eval-after", *over]) == 0
     assert (tmp_path / "checkpoints" / "best").exists()
+
+
+def test_multi_accdoa_streaming_and_export(tmp_path):
+    """Multi-ACCDOA (track-wise vector outputs with the multi decode fn)
+    must ride the streaming and AOT-export paths unchanged."""
+    import numpy as np
+
+    from conftest import train_tiny_checkpoint
+    from seld_tpu.export import export_serving, load_serving
+    from seld_tpu.infer import SELDPredictor
+    from seld_tpu.stream import stream_predict
+
+    _, ckpt = train_tiny_checkpoint(tmp_path, extra_overrides=[
+        "model.model_type=multi_accdoa_conformer",
+        "model.conf_d_model=32",
+        "model.conf_n_layers=1",
+        "targets.accdoa=true",
+        "targets.accdoa_tracks=3",
+    ])
+    p = SELDPredictor(ckpt, batch_windows=1)
+    assert p.accdoa_mode
+    rng = np.random.default_rng(5)
+    wave = (rng.standard_normal((4, 36_000)) * 0.2).astype(np.float32)
+    offline = p.predict_waveform(wave)
+    streamed = stream_predict(p, [wave[:, :10_000], wave[:, 10_000:]])
+    np.testing.assert_array_equal(streamed.classes, offline.classes)
+
+    out = export_serving(ckpt, tmp_path / "m.stablehlo", batch_windows=1)
+    fn, meta = load_serving(out)
+    mel = rng.standard_normal(meta["input_shape"]).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(fn(mel)), np.asarray(p._forward(p.state, mel))
+    )
