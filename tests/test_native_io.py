@@ -169,3 +169,41 @@ def test_native_rejects_truncated_data_chunk(tmp_path):
     p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
     with pytest.raises(RuntimeError, match="exceeds file size"):
         native.decode_wav(p)
+
+
+def test_native_decoder_fuzz_never_crashes(tmp_path):
+    """Random garbage and bit-flipped valid files must either decode or
+    raise a clean RuntimeError — never crash the process, never hang,
+    never allocate beyond the file's own size."""
+    import time
+
+    rng = np.random.default_rng(42)
+    # a small valid file to mutate
+    base = tmp_path / "base.wav"
+    w = (rng.standard_normal((2, 300)) * 0.4).astype(np.float32)
+    write_wav(base, w, 24000)
+    valid = bytearray(base.read_bytes())
+
+    t0 = time.time()
+    n_ok = n_err = 0
+    for i in range(150):
+        if i % 3 == 0:  # pure random blob
+            blob = rng.integers(0, 256, rng.integers(0, 400), dtype=np.uint8
+                                ).tobytes()
+        else:  # mutate the valid file: flip bytes / truncate / extend
+            m = bytearray(valid)
+            for _ in range(int(rng.integers(1, 8))):
+                m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+            if rng.random() < 0.3:
+                m = m[: int(rng.integers(1, len(m)))]
+            blob = bytes(m)
+        p = tmp_path / f"fuzz{i}.wav"
+        p.write_bytes(blob)
+        try:
+            out, sr = native.decode_wav(p)
+            assert out.dtype == np.float32 and out.ndim == 2
+            n_ok += 1
+        except RuntimeError:
+            n_err += 1
+    assert n_ok + n_err == 150
+    assert time.time() - t0 < 30.0  # no pathological slow paths
