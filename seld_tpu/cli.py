@@ -159,32 +159,9 @@ def cmd_predict(cfg: Config, args, logger):
     out_dir = Path(args.out or cfg.data.output_path) / "predictions"
     for wav in args.wavs:
         csv_out = out_dir / f"{Path(wav).stem}.csv"
-        if args.stream:
-            # Bounded-memory path: decode once, feed in 1 s chunks through
-            # the StreamingSession (bit-equal to the offline path,
-            # including overlapped probability averaging).
-            import numpy as np
-
-            from seld_tpu.data.audio import load_wav
-            from seld_tpu.stream import stream_predict
-
-            wave, sr = load_wav(wav)
-            if sr != cfg.features.sample_rate:
-                raise ValueError(
-                    f"{wav}: sample rate {sr} != configured "
-                    f"{cfg.features.sample_rate}"
-                )
-            chunks = np.array_split(
-                wave, max(1, wave.shape[1] // sr), axis=1
-            )
-            pred = stream_predict(predictor, chunks, overlap=args.overlap)
-            rows = pred.to_metadata_rows()
-            csv_out.parent.mkdir(parents=True, exist_ok=True)
-            np.savetxt(csv_out, rows, fmt="%d", delimiter=",")
-        else:
-            pred = predictor.predict_file(
-                wav, csv_out=csv_out, overlap=args.overlap
-            )
+        pred = predictor.predict_file(
+            wav, csv_out=csv_out, overlap=args.overlap, stream=args.stream
+        )
         n_events = len(pred.events())
         logger.info("%s: %d frames, %d active cells -> %s",
                     wav, pred.classes.shape[0], n_events, csv_out)

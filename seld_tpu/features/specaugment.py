@@ -9,8 +9,10 @@ select on top of the input batch.
 
 Per sample and per mask, classic SpecAugment semantics (Park et al. 2019):
 width w ~ U{0..W}, start ~ U{0..size-w}; masked positions are filled with
-the sample's mean log-mel value (zeroing a log-magnitude would inject
-"loud silence").
+the sample's PER-CHANNEL mean (zeroing a log-magnitude would inject
+"loud silence", and spatial feature sets mix log-mel channels with
+intensity-vector/GCC channels on entirely different scales — a global
+mean would push out-of-distribution values into the spatial channels).
 """
 
 from __future__ import annotations
@@ -46,7 +48,7 @@ def spec_augment(
     if time_masks <= 0 and freq_masks <= 0:
         return mel
     b, t, _, f = mel.shape
-    fill = mel.mean(axis=(1, 2, 3), keepdims=True)
+    fill = mel.mean(axis=(1, 3), keepdims=True)  # per sample, per channel
     masked = jnp.zeros((), jnp.bool_)
     k_t, k_f = jax.random.split(rng)
     if time_masks > 0:

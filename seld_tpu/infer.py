@@ -174,12 +174,14 @@ class SELDPredictor:
         of 1/(1-overlap) more compute and a host-side (T, G, M) float32
         probability accumulator (~110 MB per audio minute).
         """
+        if overlap < 0.0:
+            raise ValueError(f"overlap must be in [0, 1), got {overlap}")
         cfg = self.cfg
         mel = compute_mel_features(wave, cfg.features)  # (T, C, F)
         t_total = mel.shape[0]
         win = self.win
 
-        if overlap <= 0.0:
+        if overlap == 0.0:
             n_windows = -(-t_total // win)  # non-overlapping tiling
             pad_t = n_windows * win - t_total
             if pad_t:
@@ -233,15 +235,25 @@ class SELDPredictor:
             num_classes=m,
         )
 
-    def predict_file(self, wav_path, csv_out=None, overlap: float = 0.0) -> Prediction:
-        """Decode a WAV, predict, optionally write STARSS22-style CSV."""
+    def predict_file(self, wav_path, csv_out=None, overlap: float = 0.0,
+                     stream: bool = False) -> Prediction:
+        """Decode a WAV, predict, optionally write STARSS22-style CSV.
+
+        stream=True routes through the bounded-memory StreamingSession
+        (1 s chunks; bit-equal output, composes with overlap)."""
         wave, sr = load_wav(wav_path)
         if sr != self.cfg.features.sample_rate:
             raise ValueError(
                 f"{wav_path}: sample rate {sr} != configured "
                 f"{self.cfg.features.sample_rate}"
             )
-        pred = self.predict_waveform(wave, overlap=overlap)
+        if stream:
+            from seld_tpu.stream import stream_predict
+
+            chunks = np.array_split(wave, max(1, wave.shape[1] // sr), axis=1)
+            pred = stream_predict(self, chunks, overlap=overlap)
+        else:
+            pred = self.predict_waveform(wave, overlap=overlap)
         if not (pred.classes != pred.background_class).any():
             get_logger().warning(
                 "%s: no events detected (all cells background) — an "

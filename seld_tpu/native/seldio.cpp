@@ -108,6 +108,13 @@ int seldio_decode_wav(const char* path, float** out_data, int32_t* out_channels,
     uint32_t size = r.u32();
     if (!r.ok) break;
     if (strcmp(tag, "fmt ") == 0) {
+      if (size < 16) {
+        // A short fmt chunk would desynchronize the chunk walk (we always
+        // consume 16 bytes below) and could silently decode garbage.
+        fclose(f);
+        set_err(err, errlen, "fmt chunk too small");
+        return 3;
+      }
       fmt = r.u16();
       channels = r.u16();
       sr = r.u32();

@@ -70,10 +70,13 @@ def process_local_indices(n_items: int, process_id: int | None = None,
     return np.arange(start, stop)
 
 
-def local_batch_size(global_batch: int, mesh) -> int:
-    """Rows of the global batch this process must supply: the global batch
-    divides over the data axis; each process hosts a proportional share of
-    the data-axis devices."""
+def local_batch_size(global_batch: int) -> int:
+    """Rows of the global batch this process must supply.
+
+    Assumes the supported layout: the data axis spans processes evenly
+    (each host contributes the same number of batch rows) — the layout
+    `make_mesh` produces when devices enumerate host-major. A model-only
+    axis across hosts is not supported by the batch pipeline."""
     n_proc = jax.process_count()
     assert global_batch % n_proc == 0, (
         f"global batch {global_batch} not divisible by {n_proc} processes"

@@ -82,11 +82,18 @@ class StreamingSession:
         if left_need < 0:  # clip start: reflect
             refl = self._buf[:, 1 : 1 - left_need][:, ::-1]
             seg = np.concatenate([refl, seg], axis=1)
-        if seg.shape[1] < right_need - left_need:  # clip end (flush): reflect
+        if seg.shape[1] < right_need - left_need:  # clip end (flush)
             assert end_reflect, "interior frame requested past the buffer"
             missing = right_need - left_need - seg.shape[1]
-            tail = self._buf[:, -missing - 1 : -1][:, ::-1]
-            if tail.shape[1] < missing:  # degenerate ultra-short clip
+            # Match the offline framer exactly (corpus._frame_view):
+            # reflect at most pad samples past the signal end, then ZERO
+            # pad whatever the last frame still lacks (possible only for
+            # odd n_fft, where n_fft - pad = pad + 1).
+            k = min(missing, self.pad, self._buf.shape[1] - 1)
+            tail = self._buf[:, -k - 1 : -1][:, ::-1] if k > 0 else (
+                np.zeros((c, 0), self._buf.dtype)
+            )
+            if tail.shape[1] < missing:
                 tail = np.pad(tail, ((0, 0), (0, missing - tail.shape[1])))
             seg = np.concatenate([seg, tail], axis=1)
         n = t1 - t0

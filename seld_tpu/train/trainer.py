@@ -82,17 +82,27 @@ class PreemptionGuard:
 
 
 def _device_batch(batch, mesh, use_accdoa: bool = False):
-    mel = jnp.asarray(batch.mel)
-    targets = jnp.asarray(batch.accdoa if use_accdoa else batch.label_mask)
-    em = (jnp.arange(mel.shape[0]) < batch.n_valid).astype(jnp.float32)
+    mel = np.asarray(batch.mel)
+    targets = np.asarray(batch.accdoa if use_accdoa else batch.label_mask)
+    em = (np.arange(mel.shape[0]) < batch.n_valid).astype(np.float32)
     if mesh is not None:
-        # Multi-host aware: each process contributes its local rows and the
-        # global data-axis-sharded array is assembled without cross-host
-        # traffic (single-process this is a plain sharded device_put).
-        from seld_tpu.parallel.multihost import device_batch
+        from seld_tpu.parallel.multihost import device_batch, process_local_indices
 
+        if jax.process_count() > 1:
+            # Every process builds the SAME global batch (BatchIterator's
+            # shuffle is seed-deterministic), then contributes only its
+            # slice of the rows — without this, each host would feed the
+            # full batch and make_array_from_process_local_data would
+            # duplicate every example n_proc times.
+            assert mel.shape[0] % jax.process_count() == 0, (
+                f"batch {mel.shape[0]} not divisible by "
+                f"{jax.process_count()} processes"
+            )
+            idx = process_local_indices(mel.shape[0])
+            mel, targets, em = mel[idx], targets[idx], em[idx]
         mel, targets, em = device_batch(mesh, mel, targets, em)
-    return mel, targets, em
+        return mel, targets, em
+    return jnp.asarray(mel), jnp.asarray(targets), jnp.asarray(em)
 
 
 def _epoch_mean(metric_list):
@@ -162,6 +172,21 @@ def train_model(
         cfg.train.patience, cfg.train.min_delta,
     )
 
+    if not resume:
+        # Fresh training must start from a clean checkpoint tree: orbax
+        # silently SKIPS saving a step number that already exists, so a
+        # rerun into the same workdir would keep stale (possibly
+        # different-architecture) checkpoints and reload them as "best".
+        # The reference overwrites its .pth files (ref trainer.py:277-308);
+        # match that semantic.
+        import shutil
+
+        for sub in ("best", "rolling"):
+            d = workdir / sub
+            if d.exists():
+                shutil.rmtree(d)
+                log.info("Cleared previous %s checkpoints (fresh run)", sub)
+
     ckpt = CheckpointManager(workdir, cfg)
     start_epoch = 1
     if resume:
@@ -185,11 +210,13 @@ def train_model(
     if ema_decay > 0:
         log.info("Parameter EMA on (decay %.4f); eval/best use EMA weights",
                  ema_decay)
+        # donate the old shadow: no second full-parameter copy per step
         ema_update = jax.jit(
             lambda e, p: jax.tree_util.tree_map(
                 lambda a, b: a * ema_decay + b.astype(a.dtype) * (1 - ema_decay),
                 e, p,
-            )
+            ),
+            donate_argnums=(0,),
         )
 
     def eval_state():
@@ -235,6 +262,7 @@ def train_model(
     epoch = start_epoch - 1
 
     profiling = cfg.train.profile_steps > 0
+    trace_started = False
 
     preempt = PreemptionGuard()
     with preempt:
@@ -247,6 +275,7 @@ def train_model(
                 if profiling and epoch == start_epoch and i == 1:
                     profile_dir = str(Path(cfg.data.output_path) / "profile")
                     jax.profiler.start_trace(profile_dir)
+                    trace_started = True
                     log.info("profiler trace started -> %s", profile_dir)
                 mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
                 state, metrics = train_step(state, mel, mask, em, step_rng)
@@ -254,11 +283,16 @@ def train_model(
                     ema_params = ema_update(ema_params, state.params)
                 train_metrics.append(metrics)
                 if preempt.requested:
+                    if trace_started:  # finalize an in-flight trace
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        trace_started = False
                     break  # finish-up handled after the loop
-                if profiling and epoch == start_epoch and i == cfg.train.profile_steps:
+                if profiling and trace_started and i == cfg.train.profile_steps:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
                     profiling = False
+                    trace_started = False
                     log.info("profiler trace captured (%d steps)", cfg.train.profile_steps)
             train_avg = _epoch_mean(train_metrics)
 

@@ -64,9 +64,24 @@ step = make_train_step(
     model, loss_fn, opt, 14, donate=False, out_state_shardings=shardings
 )
 
-idx = process_local_indices(B)
-mel = global_batch_array(mesh, mel_full[idx])
-mask = global_batch_array(mesh, mask_full[idx])
-em = global_batch_array(mesh, em_full[idx])
+# Route through the trainer's own batch placement (every process holds
+# the same full batch; _device_batch must slice per process so the global
+# array has NO duplicated rows).
+from types import SimpleNamespace  # noqa: E402
+
+from seld_tpu.train.trainer import _device_batch  # noqa: E402
+
+batch = SimpleNamespace(mel=mel_full, label_mask=mask_full, accdoa=None,
+                        n_valid=B)
+mel, mask, em = _device_batch(batch, mesh)
+assert mel.shape[0] == B, f"global batch {mel.shape[0]} != {B} (duplication?)"
+import jax.numpy as _jnp  # noqa: E402
+
+assert float(_jnp.sum(em)) == float(B), "example mask duplicated across hosts"
 new_state, metrics = step(state, mel, mask, em, jax.random.PRNGKey(1))
 print(f"[{pid}] TRAIN_LOSS {float(metrics['loss']):.8f}", flush=True)
+
+# keep the low-level helpers covered too
+idx = process_local_indices(B)
+alt = global_batch_array(mesh, mel_full[idx])
+assert alt.shape == mel.shape

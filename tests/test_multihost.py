@@ -60,15 +60,15 @@ def test_process_local_indices_default_process(monkeypatch):
     np.testing.assert_array_equal(process_local_indices(5), np.arange(5))
 
 
-def test_local_batch_size_single_process(mesh):
-    assert local_batch_size(16, mesh) == 16
+def test_local_batch_size_single_process():
+    assert local_batch_size(16) == 16
 
 
-def test_local_batch_size_divisibility(mesh, monkeypatch):
+def test_local_batch_size_divisibility(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 4)
-    assert local_batch_size(16, mesh) == 4
+    assert local_batch_size(16) == 4
     with pytest.raises(AssertionError):
-        local_batch_size(6, mesh)
+        local_batch_size(6)
 
 
 def test_initialize_multihost_noop_for_single_process():

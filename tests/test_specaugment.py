@@ -25,13 +25,15 @@ def test_time_masks_span_full_rows():
     mel = _mel()
     out = np.asarray(spec_augment(jax.random.PRNGKey(2), mel, 2, 10, 0, 0))
     ref = np.asarray(mel)
-    fill = ref.mean(axis=(1, 2, 3), keepdims=True)
+    fill = ref.mean(axis=(1, 3))  # (B, C) per-sample per-channel
     for b in range(ref.shape[0]):
-        # every frame is either untouched or entirely filled
+        # every frame is either untouched or entirely filled with the
+        # channel's own mean
         changed = ~np.isclose(out[b], ref[b])
         frames_changed = changed.any(axis=(1, 2))
         for ti in np.nonzero(frames_changed)[0]:
-            np.testing.assert_allclose(out[b, ti], fill[b, 0, 0, 0], rtol=1e-6)
+            for c in range(ref.shape[2]):
+                np.testing.assert_allclose(out[b, ti, c], fill[b, c], rtol=1e-5)
         # masked frames bounded by n_masks * max_width
         assert frames_changed.sum() <= 2 * 10
 

@@ -230,3 +230,34 @@ def test_overlap_rejected_for_accdoa_models(tmp_path):
     p = SELDPredictor(ckpt, batch_windows=1)
     with pytest.raises(ValueError, match="grid model"):
         p.predict_waveform(_clip(1.5), overlap=0.5)
+
+
+@pytest.mark.parametrize("n_fft,hop", [(961, 480), (511, 256), (960, 480)])
+def test_streamed_mel_frames_bit_equal_odd_nfft(n_fft, hop):
+    """Mel-frame production must match the offline framer bit-for-bit for
+    ODD n_fft too (offline reflects exactly pad samples then zero-pads the
+    last frame's final sample; streaming must not over-reflect)."""
+    from types import SimpleNamespace
+
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data.corpus import compute_mel_features
+
+    cfg = parse_overrides(Config(), [
+        f"features.n_fft={n_fft}", f"features.hop_length={hop}",
+    ])
+    rng = np.random.default_rng(3)
+    wave = (rng.standard_normal((2, hop * 37 + 5)) * 0.4).astype(np.float32)
+    offline = compute_mel_features(wave, cfg.features)
+
+    fake = SimpleNamespace(cfg=cfg, win=50, accdoa_mode=False)
+    s = StreamingSession(fake)
+    collected = []
+    s._emit_ready = lambda final: collected.append(
+        s._mel.copy() if s._mel is not None else None
+    ) or (setattr(s, "_mel", None) or [])
+    for start in range(0, wave.shape[1], 7001):
+        s.push(wave[:, start : start + 7001])
+    s.flush()
+    got = np.concatenate([m for m in collected if m is not None], axis=0)
+    assert got.shape == offline.shape
+    np.testing.assert_array_equal(got, offline)

@@ -309,3 +309,27 @@ def test_ema_update_math():
         e = ema_update(e, p)
     expected = 1 - decay**3  # EMA of a constant target from 0
     np.testing.assert_allclose(np.asarray(e["w"]), expected, rtol=1e-6)
+
+
+def test_fresh_training_replaces_stale_checkpoints(tmp_path):
+    """orbax skips saving an existing step number, so a rerun into the
+    same workdir used to keep stale checkpoints (and crash at best-reload
+    when the architecture changed). Fresh runs must clear the tree."""
+    from seld_tpu.train import train_model
+    from seld_tpu.train.checkpoint import load_checkpoint_config
+
+    cfg = tiny_config(tmp_path, **{"train.num_epochs": 1})
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+
+    # retrain with a DIFFERENT architecture into the same workdir
+    cfg2 = tiny_config(tmp_path, **{
+        "train.num_epochs": 1, "model.crnn_rnn_hidden": 24,
+    })
+    train_c2 = synthetic_corpus(cfg2, n_files=1, seconds=3.0, seed=0)
+    test_c2 = synthetic_corpus(cfg2, n_files=1, seconds=3.0, seed=1)
+    state2, _ = train_model(cfg2, train_c2, test_c2, workdir=tmp_path / "ckpt")
+
+    stored = load_checkpoint_config(tmp_path / "ckpt")
+    assert stored.model.crnn_rnn_hidden == 24  # new arch, not stale
