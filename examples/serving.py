@@ -82,6 +82,15 @@ def main():
     assert np.array_equal(streamed.classes, pred.classes), "stream != offline"
     logger.info("streaming output is bit-identical to offline prediction")
 
+    # streaming composes with overlapped averaging, still bit-equal
+    streamed_ov = stream_predict(
+        predictor,
+        [wave[:, i : i + 6000] for i in range(0, wave.shape[1], 6000)],
+        overlap=0.5,
+    )
+    assert np.array_equal(streamed_ov.classes, pred_ov.classes)
+    logger.info("streamed overlap=0.5 matches offline overlapped prediction")
+
     # -- 4. AOT export ---------------------------------------------------------
     artifact = export_serving(root / "checkpoints", root / "model.stablehlo",
                               batch_windows=2)
