@@ -331,7 +331,11 @@ def train_model(
 
             new_lr = plateau.step(test_avg["loss"])
             old_lr = current_learning_rate(state.opt_state)
-            if new_lr != old_lr:
+            # tolerance: the stored LR is float32 (relative error ~6e-8);
+            # exact != fires every epoch (f32(1e-3) != 1e-3) and rewrites
+            # the opt state with a misleading "reduced" log. Real plateau
+            # reductions are x0.5.
+            if abs(new_lr - old_lr) > 1e-6 * max(abs(new_lr), abs(old_lr), 1e-30):
                 state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
                 log.info("  Learning rate reduced: %.6f -> %.6f", old_lr, new_lr)
 
