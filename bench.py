@@ -19,6 +19,7 @@ CPU pass is ~minutes; delete the file to re-measure.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -120,10 +121,10 @@ def measure_tpu() -> float:
 def measure_cpu_reference() -> float:
     """Reference pipeline on CPU: torch ResNet50-Conformer forward +
     numpy mel front-end at the same per-window shapes."""
-    if CACHE.exists():
-        cached = json.loads(CACHE.read_text())
-        log(f"cpu baseline (cached): {cached['audio_s_per_s']:.3f} audio_s/s")
-        return cached["audio_s_per_s"]
+    existing = json.loads(CACHE.read_text()) if CACHE.exists() else {}
+    if "audio_s_per_s" in existing:
+        log(f"cpu baseline (cached): {existing['audio_s_per_s']:.3f} audio_s/s")
+        return existing["audio_s_per_s"]
 
     import torch
 
@@ -172,19 +173,19 @@ def measure_cpu_reference() -> float:
     log(f"cpu forward: first {first:.2f}s, steady {fwd_time:.3f}s / window")
 
     thr = WINDOW_S / (fwd_time + feat_time)
-    CACHE.write_text(
-        json.dumps(
-            {
-                "audio_s_per_s": thr,
-                "forward_s_per_window": fwd_time,
-                "features_s_per_window": feat_time,
-                "window_s": WINDOW_S,
-                "note": "reference torch ResNet50-Conformer fwd + numpy mel, "
-                "single CPU core, shapes (1,250,4,64)",
-            },
-            indent=2,
-        )
+    # Merge into any existing cache contents (e.g. the per-backbone
+    # baseline section) instead of clobbering them.
+    existing.update(
+        {
+            "audio_s_per_s": thr,
+            "forward_s_per_window": fwd_time,
+            "features_s_per_window": feat_time,
+            "window_s": WINDOW_S,
+            "note": "reference torch ResNet50-Conformer fwd + numpy mel, "
+            "single CPU core, shapes (1,250,4,64)",
+        }
     )
+    CACHE.write_text(json.dumps(existing, indent=2))
     log(f"cpu baseline: {thr:.3f} audio_s/s (cached to {CACHE.name})")
     return thr
 
@@ -221,6 +222,16 @@ def wait_for_accelerator(max_wait_s: float = 900.0) -> None:
 
 def main():
     wait_for_accelerator()
+    import jax as _jax
+
+    backend = _jax.default_backend()
+    if backend != "tpu" and os.environ.get("SELD_BENCH_ALLOW_CPU") != "1":
+        # Never let a silent CPU fallback (e.g. the PYTHONPATH-clobbered
+        # plugin registration) masquerade as a chip throughput number.
+        raise RuntimeError(
+            f"bench requires the TPU backend, got {backend!r} "
+            "(set SELD_BENCH_ALLOW_CPU=1 to measure CPU explicitly)"
+        )
     tpu = measure_tpu()
     try:
         cpu = measure_cpu_reference()

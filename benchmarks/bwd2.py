@@ -79,7 +79,6 @@ def main():
 
     # rbg PRNG for the dropout stream
     model = build_model(Config().model, Config().grid)
-    import functools
     from seld_tpu.models import init_variables
     variables = init_variables(model, jax.random.PRNGKey(0), mel)
     params = variables["params"]

@@ -39,7 +39,10 @@ run() {
   fi
 }
 
-# 1) Sync the framework to the TPU VM (all workers).
+# 1) Sync the framework to the TPU VM (all workers). The remote dir must
+#    exist before scp targets it (fresh VMs have no ~/seld_tpu_run).
+run gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all \
+  --command "mkdir -p ~/seld_tpu_run"
 run gcloud compute tpus tpu-vm scp --recurse "${REPO_DIR}/seld_tpu" \
   "${TPU_NAME}:~/seld_tpu_run/" --zone "${ZONE}" --worker=all
 run gcloud compute tpus tpu-vm scp "${REPO_DIR}/bench.py" \

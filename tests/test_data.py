@@ -30,7 +30,6 @@ def test_wav_roundtrip(tmp_path, rng):
 
 
 def test_discovery_pairs_and_missing_metadata(tmp_path):
-    cfg = Config().data
     cfg = DataConfig(base_path=str(tmp_path))
     synthetic_raw_files(tmp_path, Config(), n_files=4, seconds=1.0, split_dirs=True)
     # make empty test dirs so discovery doesn't fail on glob

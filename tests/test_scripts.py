@@ -27,17 +27,20 @@ def test_dry_run_prints_gcloud_commands():
     # %q-quoting escapes ~ and spaces; strip backslashes for matching
     lines = [ln.replace("\\", "").strip()
              for ln in r.stdout.splitlines() if ln.strip()]
-    assert len(lines) == 3
-    # 1+2: code sync to all workers
-    assert lines[0].startswith("gcloud compute tpus tpu-vm scp --recurse ")
-    assert "seld_tpu" in lines[0] and "--worker=all" in lines[0]
-    assert "seld-v5e-8:~/seld_tpu_run/" in lines[0]
-    assert "bench.py" in lines[1] and "--zone us-west4-a" in lines[1]
-    # 3: remote launch with command + overrides forwarded
-    assert lines[2].startswith("gcloud compute tpus tpu-vm ssh seld-v5e-8 ")
-    assert "python -m seld_tpu.cli train" in lines[2]
-    assert "model.model_type=crnn" in lines[2]
-    assert "train.num_epochs=2" in lines[2]
+    assert len(lines) == 4
+    # 1: create the remote dir (fresh VMs have no ~/seld_tpu_run)
+    assert lines[0].startswith("gcloud compute tpus tpu-vm ssh seld-v5e-8 ")
+    assert "mkdir -p ~/seld_tpu_run" in lines[0]
+    # 2+3: code sync to all workers
+    assert lines[1].startswith("gcloud compute tpus tpu-vm scp --recurse ")
+    assert "seld_tpu" in lines[1] and "--worker=all" in lines[1]
+    assert "seld-v5e-8:~/seld_tpu_run/" in lines[1]
+    assert "bench.py" in lines[2] and "--zone us-west4-a" in lines[2]
+    # 4: remote launch with command + overrides forwarded
+    assert lines[3].startswith("gcloud compute tpus tpu-vm ssh seld-v5e-8 ")
+    assert "python -m seld_tpu.cli train" in lines[3]
+    assert "model.model_type=crnn" in lines[3]
+    assert "train.num_epochs=2" in lines[3]
 
 
 def test_dry_run_env_var():
