@@ -67,3 +67,26 @@ def test_gaussian_monolith_mode_pipeline(tmp_path):
     test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1, train=False)
     state, history = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
     assert np.isfinite(history["train_losses"][0])
+
+
+def test_replot_from_metrics_jsonl(tmp_path, capsys):
+    """Regenerating artifacts from metrics.jsonl: table + PNG."""
+    import json
+
+    from seld_tpu.tools.replot import main as replot_main
+
+    records = [
+        {"epoch": e, "seconds": 1.2, "lr": 1e-3,
+         "train": {"loss": 1.0 / e, "class_mse": 0.5 / e},
+         "test": {"loss": 1.1 / e, "class_mse": 0.6 / e}}
+        for e in range(1, 6)
+    ]
+    mfile = tmp_path / "metrics.jsonl"
+    mfile.write_text("\n".join(json.dumps(r) for r in records))
+    out = tmp_path / "curves.png"
+    rc = replot_main([str(mfile), "--out", str(out)])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 1000
+    printed = capsys.readouterr().out
+    assert "best test 0.220000 @ epoch 5" in printed
+    assert "class_mse" in printed and printed.count("\n") >= 6
