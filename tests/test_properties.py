@@ -115,3 +115,57 @@ def test_num_stft_frames_covers_signal(n_samples, hop):
     # every sample index falls inside some frame's hop slot, and frame
     # starts never run past the (center-padded) signal
     assert (t - 1) * hop <= n_samples < t * hop + hop
+
+
+@SETTINGS
+@given(st.integers(2, 36), st.integers(2, 72))
+def test_cell_centers_roundtrip_through_polar_to_grid(n_el, n_az):
+    """Every cell's center must map back to that cell — the geometric
+    consistency predict/serving relies on when emitting event rows."""
+    from seld_tpu.grid import cell_centers
+
+    el, az = cell_centers(n_el, n_az)
+    ii, jj = np.meshgrid(np.arange(n_el), np.arange(n_az), indexing="ij")
+    i2, j2 = polar_to_grid(
+        np.broadcast_to(az[None, :], (n_el, n_az)),
+        np.broadcast_to(el[:, None], (n_el, n_az)),
+        n_el, n_az,
+    )
+    np.testing.assert_array_equal(np.asarray(i2), ii)
+    np.testing.assert_array_equal(np.asarray(j2), jj)
+
+
+@SETTINGS
+@given(st.integers(0, 2 ** 31 - 1))
+def test_to_metadata_rows_vote_semantics(seed):
+    """to_metadata_rows emits (metaframe, class, cell) iff the class is
+    active in that cell in >= 3 of the metaframe's 5 label frames — the
+    inverse of the rasterizer's 5x fanout (ref dataset.py:67-70)."""
+    from seld_tpu.grid import cell_centers, polar_to_grid
+    from seld_tpu.infer import Prediction
+
+    rng = np.random.default_rng(seed)
+    n_el, n_az, num_classes = 18, 36, 14
+    t, g = 15, n_el * n_az  # 3 metadata frames
+    classes = np.full((t, g), num_classes - 1, np.int8)
+    hits = rng.random((t, g)) < 0.01
+    classes[hits] = rng.integers(0, num_classes - 1, hits.sum())
+    pred = Prediction(classes=classes, n_el=n_el, n_az=n_az,
+                      num_classes=num_classes)
+    rows = pred.to_metadata_rows(min_votes=3)
+
+    # oracle: brute-force vote count per (metaframe, cell, class)
+    expected = set()
+    for mf in range(3):
+        block = classes[mf * 5 : (mf + 1) * 5]
+        for c in range(g):
+            vals, counts = np.unique(block[:, c], return_counts=True)
+            for v, n in zip(vals, counts):
+                if v != num_classes - 1 and n >= 3:
+                    expected.add((mf, int(v), c))
+    got = set()
+    el, az = cell_centers(n_el, n_az)
+    for mf, cls, _src, a, e in rows:
+        i, j = polar_to_grid(np.float32(a), np.float32(e), n_el, n_az)
+        got.add((int(mf), int(cls), int(i) * n_az + int(j)))
+    assert got == expected
