@@ -261,3 +261,43 @@ def test_streamed_mel_frames_bit_equal_odd_nfft(n_fft, hop):
     got = np.concatenate([m for m in collected if m is not None], axis=0)
     assert got.shape == offline.shape
     np.testing.assert_array_equal(got, offline)
+
+
+def test_streamed_mel_random_chunkings_bit_equal():
+    """Hypothesis over arbitrary chunk splits (incl. empty and 1-sample
+    chunks): streamed mel frames == offline frames, bit for bit."""
+    from types import SimpleNamespace
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from seld_tpu.config import Config
+    from seld_tpu.data.corpus import compute_mel_features
+
+    cfg = Config()  # n_fft=960, hop=480 — one jit compile for all examples
+    rng0 = np.random.default_rng(11)
+    wave = (rng0.standard_normal((2, 30_000)) * 0.4).astype(np.float32)
+    offline = compute_mel_features(wave, cfg.features)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(0, 9000), min_size=1, max_size=12))
+    def check(chunk_sizes):
+        fake = SimpleNamespace(cfg=cfg, win=50, accdoa_mode=False)
+        s = StreamingSession(fake)
+        collected = []
+        s._emit_ready = lambda final: collected.append(
+            s._mel.copy() if s._mel is not None else None
+        ) or (setattr(s, "_mel", None) or [])
+        pos = 0
+        for c in chunk_sizes:
+            if pos >= wave.shape[1]:
+                break
+            s.push(wave[:, pos : pos + c])
+            pos += c
+        if pos < wave.shape[1]:
+            s.push(wave[:, pos:])
+        s.flush()
+        got = np.concatenate([m for m in collected if m is not None], axis=0)
+        np.testing.assert_array_equal(got, offline)
+
+    check()
