@@ -169,3 +169,12 @@ def test_to_metadata_rows_vote_semantics(seed):
         i, j = polar_to_grid(np.float32(a), np.float32(e), n_el, n_az)
         got.add((int(mf), int(cls), int(i) * n_az + int(j)))
     assert got == expected
+
+
+def test_metrics_on_empty_ground_truth_do_not_crash():
+    """Nref=0 (silence vs silence): defined values, no division blowups."""
+    empty = np.full((2, 60, 648), 13, np.int8)
+    m = dcase2022_metrics(empty, empty)
+    assert m["Nref"] == 0 and np.isfinite(m["ER"])
+    f = seld_metrics(empty, empty)
+    assert all(np.isfinite(v) for v in (f["ER"], f["F"], f["LR"]))
