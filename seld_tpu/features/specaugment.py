@@ -25,8 +25,9 @@ def _axis_keep_mask(rng, batch: int, n_masks: int, max_width: int, size: int):
     """(batch, size) bool: True where the axis position is MASKED."""
     k_w, k_s = jax.random.split(rng)
     widths = jax.random.randint(k_w, (batch, n_masks, 1), 0, max_width + 1)
-    u = jax.random.uniform(k_s, (batch, n_masks, 1))
-    starts = jnp.floor(u * (size - widths + 1)).astype(jnp.int32)
+    # randint with a per-mask maxval array: exact uniform over {0..size-w},
+    # unlike floor(uniform*range) whose float rounding can overshoot by one.
+    starts = jax.random.randint(k_s, (batch, n_masks, 1), 0, size - widths + 1)
     pos = jnp.arange(size)[None, None, :]
     hit = (pos >= starts) & (pos < starts + widths)  # (B, n_masks, size)
     return jnp.any(hit, axis=1)

@@ -192,6 +192,14 @@ int seldio_decode_wav(const char* path, float** out_data, int32_t* out_channels,
   }
 
   int64_t frames = (int64_t)(nbytes / (bytes_per_sample * channels));
+  if (frames == 0) {
+    // Non-empty data chunk smaller than one interleaved frame: rejecting
+    // it explicitly (rather than malloc(0), which may legally return NULL
+    // and masquerade as out-of-memory) routes load_wav to the Python
+    // fallback with an accurate message.
+    set_err(err, errlen, "data chunk smaller than one audio frame");
+    return 3;
+  }
   float* out = (float*)malloc(sizeof(float) * (size_t)frames * channels);
   if (!out) {
     set_err(err, errlen, "out of memory");

@@ -172,20 +172,40 @@ def train_model(
         cfg.train.patience, cfg.train.min_delta,
     )
 
+    n_proc = jax.process_count()
+
+    def global_flag(local: bool) -> bool:
+        """Collective any() of a per-host bool. Every process MUST call
+        this at the same program point (it is an allgather); identity in
+        single-process runs."""
+        if n_proc == 1:
+            return bool(local)
+        from jax.experimental import multihost_utils
+
+        return bool(np.any(multihost_utils.process_allgather(
+            np.asarray([local], np.int32), tiled=True)))
+
     if not resume:
         # Fresh training must start from a clean checkpoint tree: orbax
         # silently SKIPS saving a step number that already exists, so a
         # rerun into the same workdir would keep stale (possibly
         # different-architecture) checkpoints and reload them as "best".
         # The reference overwrites its .pth files (ref trainer.py:277-308);
-        # match that semantic.
+        # match that semantic. Under multi-host only process 0 touches the
+        # shared tree (a per-host rmtree would race), and everyone
+        # barriers before the CheckpointManager opens it.
         import shutil
 
-        for sub in ("best", "rolling"):
-            d = workdir / sub
-            if d.exists():
-                shutil.rmtree(d)
-                log.info("Cleared previous %s checkpoints (fresh run)", sub)
+        if jax.process_index() == 0:
+            for sub in ("best", "rolling"):
+                d = workdir / sub
+                if d.exists():
+                    shutil.rmtree(d)
+                    log.info("Cleared previous %s checkpoints (fresh run)", sub)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("seld_tpu:ckpt_clear")
 
     ckpt = CheckpointManager(workdir, cfg)
     start_epoch = 1
@@ -282,7 +302,15 @@ def train_model(
                 if ema_params is not None:
                     ema_params = ema_update(ema_params, state.params)
                 train_metrics.append(metrics)
-                if preempt.requested:
+                # Preemption poll. Under multi-host the SIGTERM may land on
+                # only some hosts; breaking on a local flag would leave the
+                # others blocked in the next step's collectives (and the
+                # checkpoint save is itself collective). The decision is
+                # made collective via global_flag — called at the same
+                # program point on every host (every 8th step to keep the
+                # host sync off the async-dispatch fast path).
+                if (n_proc == 1 or i % 8 == 7) and global_flag(preempt.requested):
+                    preempt.requested = True
                     if trace_started:  # finalize an in-flight trace
                         jax.profiler.stop_trace()
                         profiling = False
@@ -299,7 +327,10 @@ def train_model(
             # Graceful preemption (SIGTERM): checkpoint and exit inside the
             # grace window; `--resume` continues from here. The partially
             # trained epoch is checkpointed as-is (its remaining batches are
-            # re-seen next run via the per-epoch shuffle).
+            # re-seen next run via the per-epoch shuffle). Re-synced here so
+            # a SIGTERM landing after the last in-loop poll still yields one
+            # collective decision.
+            preempt.requested = global_flag(preempt.requested)
             if preempt.requested:
                 log.warning(
                     "SIGTERM received — saving preemption checkpoint at "

@@ -171,6 +171,20 @@ def test_native_rejects_truncated_data_chunk(tmp_path):
         native.decode_wav(p)
 
 
+def test_native_rejects_subframe_data_chunk(tmp_path):
+    """A structurally valid WAV whose data chunk holds less than one
+    interleaved frame must raise a clean 'no frames' error, not a spurious
+    out-of-memory from malloc(0) (ADVICE r2)."""
+    p = tmp_path / "tiny.wav"
+    # 2ch 16-bit => 4 bytes/frame; give it 2 bytes.
+    _write_riff(p, 1, 2, 24000, 16, b"\x01\x00")
+    with pytest.raises(RuntimeError, match="smaller than one audio frame"):
+        native.decode_wav(p)
+    # load_wav still works end-to-end via the Python fallback.
+    out, sr = load_wav(p, expected_channels=2)
+    assert sr == 24000 and out.shape[1] == 0
+
+
 def test_native_decoder_fuzz_never_crashes(tmp_path):
     """Random garbage and bit-flipped valid files must either decode or
     raise a clean RuntimeError — never crash the process, never hang,
