@@ -178,6 +178,12 @@ def evaluate_model(
         dcase22["ER"], dcase22["F_macro"], dcase22["LE_macro"],
         dcase22["LR_macro"], dcase22["SELD_error"],
     )
+    log.info(
+        "  macro over GT classes only: F %.3f LE_CD %.1f deg LR_CD %.3f | "
+        "SELD_error %.3f",
+        dcase22["macro_gt"]["F"], dcase22["macro_gt"]["LE"],
+        dcase22["macro_gt"]["LR"], dcase22["macro_gt"]["SELD_error"],
+    )
     # Per-class breakdown (classes present in the ground truth).
     from seld_tpu.config import STARSS22_CLASSES
 

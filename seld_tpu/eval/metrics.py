@@ -67,14 +67,24 @@ def _cell_angles(n_el: int, n_az: int):
     el, az = cell_centers(n_el, n_az)
     el_grid = np.repeat(el.astype(np.float64), n_az)  # (G,)
     az_grid = np.tile(az.astype(np.float64), n_el)
-    return np.deg2rad(el_grid), np.deg2rad(az_grid)
+    # `* pi / 180` (not deg2rad) — bit-matches the official DCASE metric's
+    # degree->radian conversion so Hungarian tie-breaking agrees exactly.
+    return el_grid * np.pi / 180.0, az_grid * np.pi / 180.0
 
 
 def _angular_distance_deg(el1, az1, el2, az2):
     """Great-circle distance (degrees) between direction sets; inputs in
-    radians, broadcastable."""
-    cos_d = np.sin(el1) * np.sin(el2) + np.cos(el1) * np.cos(el2) * np.cos(az1 - az2)
-    return np.rad2deg(np.arccos(np.clip(cos_d, -1.0, 1.0)))
+    radians, broadcastable.
+
+    The operation order (cos of the |az| difference, then
+    ``arccos(...) * 180 / pi``) bit-matches the official DCASE
+    ``distance_between_spherical_coordinates_rad`` so Hungarian
+    tie-breaking on geometrically tied assignments (e.g. two cells at the
+    same elevation, symmetric azimuths around a prediction) agrees with
+    the official implementation exactly."""
+    cos_d = (np.sin(el1) * np.sin(el2)
+             + np.cos(el1) * np.cos(el2) * np.cos(np.abs(az1 - az2)))
+    return np.arccos(np.clip(cos_d, -1.0, 1.0)) * 180.0 / np.pi
 
 
 def seld_metrics(
@@ -219,6 +229,27 @@ def seld_metrics(
 # Official DCASE2022 SELD metrics
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=4)
+def _cell_distance_table(n_el: int, n_az: int) -> np.ndarray:
+    """(G, G) great-circle distances in degrees between all cell centers.
+
+    Precomputing this turns every Hungarian cost matrix in the official
+    metrics into fancy indexing — the lever that makes corpus-scale eval
+    (~1M frames) run in seconds instead of hours."""
+    el_r, az_r = _cell_angles(n_el, n_az)
+    return _angular_distance_deg(
+        el_r[:, None], az_r[:, None], el_r[None, :], az_r[None, :]
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _cell_center_degrees(n_el: int, n_az: int):
+    """(G,) el/az cell-center degrees (exact values, no rad round trip)."""
+    el, az = cell_centers(n_el, n_az)
+    return (np.repeat(el.astype(np.float64), n_az),
+            np.tile(az.astype(np.float64), n_el))
+
+
 def grid_to_frame_doas(class_grid: np.ndarray, n_el: int, n_az: int,
                        num_classes: int) -> list:
     """Convert argmax class grids to per-frame per-class DOA sets.
@@ -226,21 +257,20 @@ def grid_to_frame_doas(class_grid: np.ndarray, n_el: int, n_az: int,
     class_grid: (..., G) int — argmax class per cell, background =
     num_classes - 1. Returns a list (one entry per flattened frame) of
     dicts {class: (K, 2) float array of (el_deg, az_deg) cell centers}.
+    DOA rows are ordered by ascending cell index — the canonical row
+    order the official-metrics track bookkeeping keys on.
     """
     grid = np.asarray(class_grid).reshape(-1, n_el * n_az)
     bg = num_classes - 1
-    el_r, az_r = _cell_angles(n_el, n_az)
-    el_deg, az_deg = np.rad2deg(el_r), np.rad2deg(az_r)
-    frames = []
-    for f in range(grid.shape[0]):
-        cells = np.nonzero(grid[f] != bg)[0]
-        per_class: dict = {}
-        for c in np.unique(grid[f, cells]):
-            sel = cells[grid[f, cells] == c]
-            per_class[int(c)] = np.stack(
-                [el_deg[sel], az_deg[sel]], axis=-1
-            )
-        frames.append(per_class)
+    el_deg, az_deg = _cell_center_degrees(n_el, n_az)
+    frames: list = [dict() for _ in range(grid.shape[0])]
+    f_idx, c_idx = np.nonzero(grid != bg)  # row-major: cells sorted per frame
+    for f, cell in zip(f_idx, c_idx):
+        frames[f].setdefault(int(grid[f, cell]), []).append(cell)
+    for per_class in frames:
+        for c, cells in per_class.items():
+            sel = np.asarray(cells)
+            per_class[c] = np.stack([el_deg[sel], az_deg[sel]], axis=-1)
     return frames
 
 
@@ -259,6 +289,25 @@ def _hungarian_mean_distance(gt_doas: np.ndarray, pred_doas: np.ndarray) -> floa
     return float(cost[rows, cols].mean())
 
 
+def _sparse_frame_class_groups(grid: np.ndarray, num_classes: int):
+    """Group a (F, G) argmax grid's active cells by (frame, class).
+
+    Returns (keys, starts, counts, cells): ``keys`` are the sorted unique
+    ``frame * num_classes + class`` values, group g's cells (ascending
+    cell index — the canonical DOA-row order) are
+    ``cells[starts[g] : starts[g] + counts[g]]``.
+    """
+    bg = num_classes - 1
+    f, cell = np.nonzero(grid != bg)
+    cls = grid[f, cell].astype(np.int64)
+    # nonzero is row-major (sorted by frame, then cell), and keys sort by
+    # (frame, class), so one stable sort on class within frames suffices.
+    order = np.lexsort((cell, cls, f))
+    key = f[order] * num_classes + cls[order]
+    ukey, starts, counts = np.unique(key, return_index=True, return_counts=True)
+    return ukey, starts, counts, cell[order]
+
+
 def dcase2022_metrics(
     pred_classes: np.ndarray,
     true_classes: np.ndarray,
@@ -267,126 +316,177 @@ def dcase2022_metrics(
     num_classes: int = 14,
     doa_threshold_deg: float = 20.0,
     frames_per_segment: int = 50,  # 1 s at 50 fps
+    macro_over: str = "all",
 ) -> dict:
     """Official DCASE2022 SELD metrics from argmax class grids.
 
-    Exact criteria matched (the DCASE2021/2022 joint-measure evaluation;
-    Politis et al. 2020 + the location-dependent F update):
+    Vectorized restatement of the official ``SELDMetrics.update_seld_scores``
+    / ``compute_seld_scores`` bookkeeping (seld-dcase2022
+    ``SELD_evaluation_metrics.py``; Politis et al. 2020 + the
+    location-dependent F update), cross-validated against an independent
+    literal-loop oracle in tests/test_dcase2022.py. Exact semantics:
 
-    * Time is divided into non-overlapping 1 s segments. Every decision is
-      per (segment, class); the background class is never scored.
+    * Time is divided into non-overlapping 1 s segments. The background
+      class is never scored.
     * Nref counts (segment, class) pairs present in the ground truth.
-    * class in GT only            -> FN (detection miss).
+    * class in GT only            -> FN (detection miss; also DE_FN).
     * class in prediction only    -> FP (detection false alarm).
-    * class in both: frames within the segment where BOTH have the class
-      are matched; per matched frame the GT and predicted DOA sets are
-      aligned by minimum-cost one-to-one (Hungarian) assignment and the
-      mean pair distance recorded. If no frame matches -> FN. Otherwise
-      the segment's spatial distance is the mean over matched frames:
+    * class in both: for each frame where both are active, GT and
+      predicted DOA rows are aligned by minimum-cost one-to-one
+      (Hungarian) assignment. Matched pair distances are pooled per GT
+      *row index* ("track" — the official code's proxy for track identity
+      when the format carries none). If no frame matches -> FN. Otherwise
+      EVERY track gets its own decision from its mean matched distance:
         <= threshold -> TP;
-        >  threshold -> spatial FP (counted in ER's insertions and in
-                        F's denominator, but the class WAS detected, so
-                        it still counts toward LR's detected set).
-    * ER  = (S + D + I) / Nref over segments, with per-segment
-      S = min(FP_seg, FN_seg), D = FN_seg - S, I = FP_seg - S
-      (spatial FPs contribute to FP_seg, matching the official
-      update_seld_scores bookkeeping).
+        >  threshold -> spatial FP (insertions in ER, F's denominator;
+                        the track still counts as detected for LR/LE).
+      A (segment, class) with k simultaneous same-class sources can thus
+      contribute up to k TPs against a single Nref — the official code's
+      multi-track extension behaves identically.
+    * ER  = (S + D + I) / sum(Nref), S/D/I aggregated per segment from
+      loc_FP (detection FPs + spatial FPs, per track) and loc_FN.
     * F   = TP / (TP + FP_spatial + 0.5 (FP + FN))      [per class]
-    * LE_CD = mean segment spatial distance over detected segments
-      (threshold-independent); 180 deg for classes never detected.
-    * LR_CD = detected / (detected + FN)                 [per class]
-    * Macro scores average per-class F/LE/LR over the classes that occur
-      in the ground truth; micro scores pool counts over classes.
+    * LE_CD = mean track distance over detected tracks; 180 deg for
+      classes never detected.
+    * LR_CD = DE_TP / (DE_TP + DE_FN)                    [per class]
+    * macro_over="all" (default) averages per-class F/LE/LR over ALL
+      scored classes — the official code's macro (it never filters by
+      Nref; classes absent from GT and prediction contribute F=0,
+      LE=180, LR=0). macro_over="gt" restricts to classes with Nref>0 —
+      more informative on sparse fixtures; identical whenever every
+      class occurs. Micro scores pool counts over classes.
 
     Inputs are argmax class grids (N, T, G) with background =
     num_classes - 1; active cells' centers are the DOA sets (multiple
     cells of one class in a frame = multiple simultaneous sources).
     """
+    if macro_over not in ("all", "gt"):
+        raise ValueError(f"macro_over must be 'all' or 'gt', got {macro_over!r}")
+    C = num_classes
     pred = np.asarray(pred_classes).reshape(-1, n_el * n_az)
     true = np.asarray(true_classes).reshape(-1, n_el * n_az)
     n_frames = pred.shape[0]
     n_segments = -(-n_frames // frames_per_segment)
+    dtab = _cell_distance_table(n_el, n_az)
 
-    pred_frames = grid_to_frame_doas(pred, n_el, n_az, num_classes)
-    true_frames = grid_to_frame_doas(true, n_el, n_az, num_classes)
+    t_keys, t_starts, t_counts, t_cells = _sparse_frame_class_groups(true, C)
+    p_keys, p_starts, p_counts, p_cells = _sparse_frame_class_groups(pred, C)
 
-    n_scored = num_classes - 1  # background excluded
-    TP = np.zeros(n_scored, np.int64)
-    FP = np.zeros(n_scored, np.int64)          # detection false alarms
-    FP_sp = np.zeros(n_scored, np.int64)       # detected but mislocalized
-    FN = np.zeros(n_scored, np.int64)
-    Nref = np.zeros(n_scored, np.int64)
-    DE_total = np.zeros(n_scored, np.float64)  # sum of segment distances
-    DE_TP = np.zeros(n_scored, np.int64)       # detected segments
-    DE_FN = np.zeros(n_scored, np.int64)       # undetected GT segments
-    S = D = I = 0
+    # (frame, class) pairs active in both: the Hungarian sites.
+    m_keys, ti, pi = np.intersect1d(
+        t_keys, p_keys, assume_unique=True, return_indices=True
+    )
+    m_cls = m_keys % C
+    m_seg = (m_keys // C) // frames_per_segment
+    m_sck = m_seg * C + m_cls  # (segment, class) key per matched frame
 
-    for s in range(n_segments):
-        lo, hi = s * frames_per_segment, min((s + 1) * frames_per_segment,
-                                             n_frames)
-        seg_true = true_frames[lo:hi]
-        seg_pred = pred_frames[lo:hi]
-        gt_classes = set().union(*[f.keys() for f in seg_true]) if seg_true else set()
-        pr_classes = set().union(*[f.keys() for f in seg_pred]) if seg_pred else set()
-        loc_FN = loc_FP = 0
-        for c in gt_classes | pr_classes:
-            in_gt, in_pr = c in gt_classes, c in pr_classes
-            if in_gt:
-                Nref[c] += 1
-            if in_gt and in_pr:
-                dists = [
-                    _hungarian_mean_distance(t[c], p[c])
-                    for t, p in zip(seg_true, seg_pred)
-                    if c in t and c in p
-                ]
-                if not dists:
-                    # class active in the segment for both, but never in
-                    # the same frame -> detection miss
-                    loc_FN += 1
-                    FN[c] += 1
-                    DE_FN[c] += 1
-                else:
-                    avg = float(np.mean(dists))
-                    DE_total[c] += avg
-                    DE_TP[c] += 1
-                    if avg <= doa_threshold_deg:
-                        TP[c] += 1
-                    else:
-                        loc_FP += 1
-                        FP_sp[c] += 1
-            elif in_gt:
-                loc_FN += 1
-                FN[c] += 1
-                DE_FN[c] += 1
-            else:
-                loc_FP += 1
-                FP[c] += 1
-        S += min(loc_FP, loc_FN)
-        D += max(0, loc_FN - loc_FP)
-        I += max(0, loc_FP - loc_FN)
+    # Per-pair outputs: (segclass key, track = GT row index, distance).
+    # Fast path — single GT and single predicted source (the dominant case
+    # in real data): the assignment is the lone pair, track 0.
+    one_one = (t_counts[ti] == 1) & (p_counts[pi] == 1)
+    oo_sck = m_sck[one_one]
+    oo_dist = dtab[t_cells[t_starts[ti[one_one]]],
+                   p_cells[p_starts[pi[one_one]]]]
+    oo_track = np.zeros(oo_sck.size, np.int64)
 
+    # General path — scipy Hungarian on DIST-table-indexed cost matrices
+    # (scipy also in the slow path so tie-breaking matches the official
+    # implementation exactly).
+    mx_sck, mx_track, mx_dist = [], [], []
+    rest = np.nonzero(~one_one)[0]
+    if rest.size:
+        from scipy.optimize import linear_sum_assignment
+
+        for k in rest:
+            tc = t_cells[t_starts[ti[k]] : t_starts[ti[k]] + t_counts[ti[k]]]
+            pc = p_cells[p_starts[pi[k]] : p_starts[pi[k]] + p_counts[pi[k]]]
+            cost = dtab[np.ix_(tc, pc)]
+            rows, cols = linear_sum_assignment(cost)
+            mx_sck.append(np.full(rows.size, m_sck[k]))
+            mx_track.append(rows.astype(np.int64))
+            mx_dist.append(cost[rows, cols])
+    if mx_sck:
+        all_sck = np.concatenate([oo_sck, *mx_sck])
+        all_track = np.concatenate([oo_track, *mx_track])
+        all_dist = np.concatenate([oo_dist, *mx_dist])
+        max_tracks = int(all_track.max()) + 1
+    else:
+        all_sck, all_track, all_dist = oo_sck, oo_track, oo_dist
+        max_tracks = 1
+
+    # Pool distances per (segment, class, track) -> per-track mean.
+    tkey = all_sck * max_tracks + all_track
+    u_tkey, inv = np.unique(tkey, return_inverse=True)
+    tr_sum = np.zeros(u_tkey.size, np.float64)
+    tr_cnt = np.zeros(u_tkey.size, np.int64)
+    np.add.at(tr_sum, inv, all_dist)
+    np.add.at(tr_cnt, inv, 1)
+    tr_avg = tr_sum / tr_cnt
+    tr_sck = u_tkey // max_tracks
+    tr_cls = tr_sck % C
+    tr_seg = tr_sck // C
+
+    # (segment, class) presence sets.
+    t_sck = np.unique((t_keys // C) // frames_per_segment * C + t_keys % C)
+    p_sck = np.unique((p_keys // C) // frames_per_segment * C + p_keys % C)
+    matched_sck = np.unique(all_sck)
+    in_both = np.intersect1d(t_sck, p_sck, assume_unique=True)
+    gt_only = np.setdiff1d(t_sck, p_sck, assume_unique=True)
+    pr_only = np.setdiff1d(p_sck, t_sck, assume_unique=True)
+    # in both, but never co-active in one frame -> detection miss
+    both_unmatched = np.setdiff1d(in_both, matched_sck, assume_unique=True)
+    fn_sck = np.concatenate([gt_only, both_unmatched])
+
+    n_scored = C - 1  # background excluded
+    Nref = np.bincount(t_sck % C, minlength=C)[:n_scored].astype(np.int64)
+    FN = np.bincount(fn_sck % C, minlength=C)[:n_scored].astype(np.int64)
+    DE_FN = FN.copy()
+    FP = np.bincount(pr_only % C, minlength=C)[:n_scored].astype(np.int64)
+
+    # Per-track decisions.
+    tp_mask = tr_avg <= doa_threshold_deg
+    TP = np.bincount(tr_cls[tp_mask], minlength=C)[:n_scored].astype(np.int64)
+    FP_sp = np.bincount(tr_cls[~tp_mask], minlength=C)[:n_scored].astype(np.int64)
+    DE_TP = np.bincount(tr_cls, minlength=C)[:n_scored].astype(np.int64)
+    DE_total = np.zeros(n_scored, np.float64)
+    np.add.at(DE_total, tr_cls, tr_avg)
+
+    # Segment-level S/D/I from per-segment loc_FN / loc_FP.
+    loc_fn = np.bincount(fn_sck // C, minlength=n_segments)
+    loc_fp = (np.bincount(pr_only // C, minlength=n_segments)
+              + np.bincount(tr_seg[~tp_mask], minlength=n_segments))
+    S = int(np.minimum(loc_fp, loc_fn).sum())
+    D = int(np.maximum(0, loc_fn - loc_fp).sum())
+    I = int(np.maximum(0, loc_fp - loc_fn).sum())
+
+    # --- compute_seld_scores (official formulas, eps included) ---------
     eps = np.finfo(np.float64).eps
-    ER = (S + D + I) / max(int(Nref.sum()), 1)
+    ER = float((S + D + I) / (Nref.sum() + eps))
 
-    f_cls = TP / (TP + FP_sp + 0.5 * (FP + FN) + eps)
-    lr_cls = DE_TP / (DE_TP + DE_FN + eps)
-    le_cls = np.where(DE_TP > 0, DE_total / np.maximum(DE_TP, 1), 180.0)
+    f_cls = TP / (eps + TP + FP_sp + 0.5 * (FP + FN))
+    lr_cls = DE_TP / (eps + DE_TP + DE_FN)
+    le_cls = DE_total / (DE_TP + eps)
+    le_cls[DE_TP == 0] = 180.0
 
     scored = Nref > 0
     if scored.any():
-        F_macro = float(f_cls[scored].mean())
-        LR_macro = float(lr_cls[scored].mean())
-        LE_macro = float(le_cls[scored].mean())
+        macro_gt = (float(f_cls[scored].mean()), float(le_cls[scored].mean()),
+                    float(lr_cls[scored].mean()))
     else:
-        F_macro, LR_macro, LE_macro = 0.0, 0.0, 180.0
+        macro_gt = (0.0, 180.0, 0.0)
+    macro_all = (float(f_cls.mean()), float(le_cls.mean()),
+                 float(lr_cls.mean()))
+    F_macro, LE_macro, LR_macro = (
+        macro_all if macro_over == "all" else macro_gt
+    )
 
-    F_micro = float(TP.sum() / (TP.sum() + FP_sp.sum()
-                                + 0.5 * (FP.sum() + FN.sum()) + eps))
-    LR_micro = float(DE_TP.sum() / (DE_TP.sum() + DE_FN.sum() + eps))
+    F_micro = float(TP.sum() / (eps + TP.sum() + FP_sp.sum()
+                                + 0.5 * (FP.sum() + FN.sum())))
+    LR_micro = float(DE_TP.sum() / (eps + DE_TP.sum() + DE_FN.sum()))
     LE_micro = (float(DE_total.sum() / DE_TP.sum()) if DE_TP.sum() > 0
                 else 180.0)
 
-    # SELD error: the DCASE ranking aggregate.
+    # SELD error: the DCASE ranking aggregate (early_stopping_metric).
     seld_err = float(np.mean([
         ER, 1.0 - F_macro, LE_macro / 180.0, 1.0 - LR_macro
     ]))
@@ -400,6 +500,15 @@ def dcase2022_metrics(
         "Nref": int(Nref.sum()),
         "TP": int(TP.sum()), "FP": int(FP.sum()),
         "FP_spatial": int(FP_sp.sum()), "FN": int(FN.sum()),
+        # GT-restricted macro always reported alongside (informative on
+        # sparse fixtures; identical to the official macro when every
+        # class occurs in the ground truth).
+        "macro_gt": {
+            "F": macro_gt[0], "LE": macro_gt[1], "LR": macro_gt[2],
+            "SELD_error": float(np.mean([
+                ER, 1.0 - macro_gt[0], macro_gt[1] / 180.0, 1.0 - macro_gt[2]
+            ])),
+        },
         "classwise": {
             "F": f_cls.tolist(), "LE": le_cls.tolist(), "LR": lr_cls.tolist(),
             "Nref": Nref.tolist(),
