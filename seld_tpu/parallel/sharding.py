@@ -85,10 +85,40 @@ def _tree_paths_specs(tree, n_data_zero: int = 0):
     return treedef, specs
 
 
+def _validate_specs(tree, mesh, treedef, specs) -> None:
+    """Fail fast with a named error when a partition rule would shard a
+    dimension that the mesh axis size does not divide (e.g. n_model=3 on
+    a 32-wide projection). GSPMD would otherwise silently pad/reshard —
+    a correctness-preserving perf surprise that is much harder to
+    diagnose than this error (VERDICT r2 #8)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    problems = []
+    for (key_path, leaf), spec in zip(flat, specs):
+        shape = getattr(leaf, "shape", ())
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            n = mesh.shape[axis]
+            if n > 1 and shape[dim] % n != 0:
+                problems.append(
+                    f"  {path_of(key_path)}: shape {tuple(shape)} dim {dim} "
+                    f"({shape[dim]}) not divisible by mesh axis "
+                    f"'{axis}'={n}"
+                )
+    if problems:
+        raise ValueError(
+            "Mesh/model shape mismatch — these parameters cannot be evenly "
+            "sharded (pick a model-axis size that divides the layer widths, "
+            "e.g. d_model, n_heads*head_dim, d_ff, and the grid-head "
+            "fan-out):\n" + "\n".join(problems)
+        )
+
+
 def shard_variables(tree, mesh, zero_opt_state: bool = False):
     """Place a variables/params/state pytree onto the mesh per the rules."""
     n_zero = mesh.shape[DATA_AXIS] if zero_opt_state else 0
     treedef, specs = _tree_paths_specs(tree, n_zero)
+    _validate_specs(tree, mesh, treedef, specs)
     leaves = treedef.flatten_up_to(tree)
     placed = [
         jax.device_put(leaf, NamedSharding(mesh, spec))
@@ -101,6 +131,7 @@ def state_shardings(tree, mesh, zero_opt_state: bool = False):
     """NamedSharding pytree mirroring `tree` (for jit in/out_shardings)."""
     n_zero = mesh.shape[DATA_AXIS] if zero_opt_state else 0
     treedef, specs = _tree_paths_specs(tree, n_zero)
+    _validate_specs(tree, mesh, treedef, specs)
     return jax.tree_util.tree_unflatten(
         treedef, [NamedSharding(mesh, s) for s in specs]
     )
