@@ -132,7 +132,7 @@ def main():
         try:
             from seld_tpu.tools.profile_summary import summarize
 
-            rows = summarize(trace_dir, top=30)
+            rows, _plane = summarize(trace_dir, top=30)
             prof[batch] = [
                 {"ms": round(ms, 3), "share": round(share, 4), "op": op}
                 for ms, share, op in rows
