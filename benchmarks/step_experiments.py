@@ -1,0 +1,142 @@
+"""Train-step optimization experiments (VERDICT r2 #2, round 3).
+
+The per-op profile (benchmarks/results/train_step_profile.json) shows the
+30.3 ms flagship step is NOT MXU-bound: the compute stream spends ~17 ms
+in DMA-wait slots dominated by f32 weight-slice prefetches (e.g. the
+GridHead f32[1024,9072] kernel streamed in S(1) chunks), ~5 ms in the
+loss/head region, ~3 ms in Adam-update fusions. Experiments:
+
+  baseline      — production step (f32 params streamed raw).
+  kernels_bf16  — >=2D kernels cast to bf16 INSIDE the step before
+                  model.apply (f32 master params kept; autodiff flows
+                  through the cast so grads/Adam stay f32). Halves the
+                  fwd/bwd weight-streaming bytes.
+  all_bf16      — every param cast (incl. biases/scales); upper bound.
+
+Writes benchmarks/results/step_experiments.json.
+Run in background; NEVER timeout-kill (wedges the tunneled TPU grant).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+RESULTS = REPO / "benchmarks" / "results"
+B, T = 16, 250
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    RESULTS.mkdir(exist_ok=True)
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    from seld_tpu.config import Config
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.models import build_model
+    from seld_tpu.train import create_train_state, make_optimizer
+    from seld_tpu.train.state import TrainState
+
+    cfg = Config()
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (B, T, 4, 64), jnp.float32)
+    mask = jnp.zeros((B, T, 648), jnp.int32).at[:, :, 100].set(8)
+    em = jnp.ones((B,), jnp.float32)
+    rng = jax.random.key(0, impl=cfg.train.prng_impl)
+
+    def make_step(param_cast):
+        def step(state, mel, label_mask, example_mask, rng):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_of(params):
+                p = (jax.tree_util.tree_map(param_cast, params)
+                     if param_cast else params)
+                variables = {"params": p}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                out, updates = model.apply(
+                    variables, mel, mutable=["batch_stats"] if state.batch_stats
+                    else [], rngs={"dropout": dropout_rng}, train=True,
+                )
+                total, breakdown = loss_fn.from_bitmask(
+                    out, label_mask, example_mask
+                )
+                return total, (breakdown, updates.get("batch_stats",
+                                                      state.batch_stats))
+
+            (total, (breakdown, new_stats)), grads = jax.value_and_grad(
+                loss_of, has_aux=True
+            )(state.params)
+            updates, new_opt = opt.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates
+            )
+            return TrainState(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats, opt_state=new_opt), total
+
+        return jax.jit(step)
+
+    variants = {
+        "baseline": None,
+        "kernels_bf16": lambda x: (x.astype(jnp.bfloat16)
+                                   if x.ndim >= 2 else x),
+        "all_bf16": lambda x: x.astype(jnp.bfloat16),
+    }
+    results = {}
+    for name, cast in variants.items():
+        state = create_train_state(model, opt, rng, mel)
+        step = make_step(cast)
+
+        class C:
+            s = state
+
+        def once(i):
+            C.s, tot = step(C.s, mel + np.float32(i) * 1e-6, mask, em, rng)
+            return tot
+
+        t0 = time.time()
+        l0 = float(once(0))
+        log(f"[{name}] compile+first {time.time() - t0:.1f}s loss {l0:.5f}")
+
+        def run(n):
+            t0 = time.time()
+            out = None
+            for i in range(n):
+                out = once(i)
+            float(out)
+            return time.time() - t0
+
+        best = float("inf")
+        for _ in range(3):
+            t1, t11 = run(1), run(11)
+            best = min(best, (t11 - t1) / 10)
+        results[name] = {"step_ms": round(best * 1e3, 2),
+                         "first_loss": round(l0, 5),
+                         "audio_s_per_s": round(B * 5.0 / best, 1)}
+        log(f"[{name}] {best * 1e3:.2f} ms/step")
+        print(json.dumps({name: results[name]}), flush=True)
+
+    (RESULTS / "step_experiments.json").write_text(
+        json.dumps(results, indent=2) + "\n"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -113,7 +113,7 @@ def main():
     try:
         from seld_tpu.tools.profile_summary import summarize
 
-        rows = summarize(trace_dir, top=40)
+        rows, _plane = summarize(trace_dir, top=40)
         results["top_ops"] = [
             {"ms": round(ms, 3), "share": round(share, 4), "op": op}
             for ms, share, op in rows

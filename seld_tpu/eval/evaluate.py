@@ -115,19 +115,25 @@ def evaluate_model(
             pred_cls = decode(
                 vectors, cfg.grid.n_el, cfg.grid.n_az, num_classes
             )
-            targets = decode_class_bitmask(label_mask, num_classes)
-            true_cls = jnp.argmax(targets, axis=-1).astype(jnp.int8)
+            from seld_tpu.losses.seld_loss import _bit_labels
+
+            true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)
             return {"loss": total, **breakdown}, pred_cls, true_cls
 
     else:
 
+        from seld_tpu.losses.seld_loss import _bit_labels
+
         @jax.jit
         def infer_step(state, mel, label_mask, acc_targets, example_mask):
-            targets = decode_class_bitmask(label_mask, num_classes)
             logits = model.apply(state.variables(), mel, train=False)
-            total, breakdown = loss_fn(logits, targets, example_mask)
+            # bitmask-native loss + argmax labels: value-identical to the
+            # dense one-hot route without materializing (B, T, G, M)
+            total, breakdown = loss_fn.from_bitmask(
+                logits, label_mask, example_mask
+            )
             pred_cls = jnp.argmax(logits, axis=-1).astype(jnp.int8)
-            true_cls = jnp.argmax(targets, axis=-1).astype(jnp.int8)
+            true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)
             return {"loss": total, **breakdown}, pred_cls, true_cls
 
     it = BatchIterator(test_corpus, cfg.train.batch_size, shuffle=False, prefetch=2)

@@ -140,6 +140,122 @@ class LossOutput(NamedTuple):
     breakdown: dict
 
 
+# ---------------------------------------------------------------------------
+# Bitmask-native terms (round 3 train-step optimization)
+#
+# The labels travel as (B, T, G) uint16 class bitmasks (4.6 MB at the
+# flagship batch); decoding them to dense one-hot (B, T, G, M) float32
+# (232 MB) before the loss made XLA materialize the decode once for its
+# many consumers — ~2 ms/step of pure HBM traffic in the profiled step
+# (benchmarks/results/train_step_profile.json). Each term below consumes
+# the bitmask directly with ELEMENTWISE-IDENTICAL math to its dense
+# counterpart (pinned by tests/test_losses.py::test_bitmask_native_*):
+#   * MSE: the one-hot is regenerated on the fly inside the squared
+#     difference — a single consumer, so XLA fuses it into the reduce and
+#     nothing dense ever hits HBM;
+#   * CE: argmax of a multi-hot one-hot is its LOWEST set bit (ties take
+#     the first index), i.e. popcount((mask & -mask) - 1), or background
+#     when mask == 0;
+#   * AIUR: argmax(targets) != background  <=>  mask != 0;
+#   * CL: sum of event-class targets == popcount(mask).
+# ---------------------------------------------------------------------------
+
+
+def _bit_targets(mask, num_classes: int):
+    """On-the-fly one-hot expression (single-consumer; fuses)."""
+    m = mask.astype(jnp.int32)
+    event_bits = jnp.arange(num_classes - 1, dtype=jnp.int32)
+    onehot = ((m[..., None] >> event_bits) & 1).astype(jnp.float32)
+    background = (m == 0).astype(jnp.float32)[..., None]
+    return jnp.concatenate([onehot, background], axis=-1)
+
+
+def _bit_labels(mask, num_classes: int):
+    """argmax of the decoded one-hot: lowest set bit, else background."""
+    m = mask.astype(jnp.int32)
+    lsb_index = _popcount16((m & -m) - 1)
+    return jnp.where(m == 0, num_classes - 1, lsb_index)
+
+
+def _popcount16(x):
+    """Popcount for 16-bit payloads carried in int32 (branch-free)."""
+    x = x - ((x >> 1) & 0x5555)
+    x = (x & 0x3333) + ((x >> 2) & 0x3333)
+    x = (x + (x >> 4)) & 0x0F0F
+    return (x + (x >> 8)) & 0x1F
+
+
+def class_mse_loss_bits(logits, mask, num_classes: int, example_mask=None,
+                        probs=None):
+    """Bitmask-native class_mse_loss (identical values)."""
+    if probs is None:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    sq = jnp.square(probs - _bit_targets(mask, num_classes))
+    em = _example_weights(example_mask, logits.shape[0])
+    per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=-1)
+    return jnp.sum(per_example * em) / jnp.sum(em)
+
+
+def class_ce_loss_bits(logits, mask, num_classes: int, class_weights=None,
+                       example_mask=None):
+    """Bitmask-native class_ce_loss (identical values)."""
+    labels = _bit_labels(mask, num_classes)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = jnp.ones_like(nll) if class_weights is None else class_weights[labels]
+    em = _example_weights(example_mask, logits.shape[0])
+    em = em.reshape((-1,) + (1,) * (nll.ndim - 1))
+    return jnp.sum(w * nll * em) / jnp.sum(w * em)
+
+
+def aiur_loss_bits(logits, mask, example_mask=None):
+    """Bitmask-native aiur_loss (identical values)."""
+    m = logits.shape[-1]
+    bg = m - 1
+    pred_mask = (jnp.argmax(logits, axis=-1) != bg).astype(jnp.float32)
+    true_mask = (mask != 0).astype(jnp.float32)  # == argmax(onehot) != bg
+    intersection = jnp.sum(pred_mask * true_mask, axis=-1)
+    union = jnp.sum(pred_mask, -1) + jnp.sum(true_mask, -1) - intersection
+    iou = intersection / (union + 1e-8)
+    iou = jnp.where(union > 0, iou, jnp.ones_like(iou))
+    em = _example_weights(example_mask, logits.shape[0])[:, None]
+    return 1.0 - jnp.sum(iou * em) / (jnp.sum(em) * iou.shape[1])
+
+
+def converging_localization_loss_bits(logits, mask, n_el: int, n_az: int,
+                                      example_mask=None, probs=None):
+    """Bitmask-native converging_localization_loss (identical values)."""
+    b, t, g = mask.shape
+    if probs is None:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    pred_nonbg = jnp.sum(probs[..., :-1], axis=-1).reshape(b, t, n_el, n_az)
+    true_nonbg = _popcount16(mask.astype(jnp.int32)).astype(jnp.float32)
+    true_nonbg = true_nonbg.reshape(b, t, n_el, n_az)
+
+    is_event = true_nonbg > 0.01
+    n_bac = jnp.sum(~is_event, axis=(2, 3), keepdims=True).astype(jnp.float32)
+    n_non = jnp.sum(is_event, axis=(2, 3), keepdims=True).astype(jnp.float32)
+
+    ratio = -(n_bac / (n_non + EPS))
+    y_prime = jnp.where(is_event, ratio, 1.0)
+
+    diff_sum = jnp.zeros_like(y_prime)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            neighbor = jnp.roll(y_prime, shift=(-di, -dj), axis=(2, 3))
+            diff_sum = diff_sum + (neighbor - y_prime)
+    y_at = y_prime + diff_sum / 8.0
+
+    has_events = (n_non > 0).astype(jnp.float32)
+    em = _example_weights(example_mask, mask.shape[0]).reshape(-1, 1, 1, 1)
+    has_events = has_events * em
+    weighted = pred_nonbg * y_at * has_events
+    denom = jnp.sum(has_events) * n_el * n_az + EPS
+    return jnp.sum(weighted) / denom
+
+
 class SELDLossFn:
     """Configured composite loss: __call__(logits, targets) ->
     (total, breakdown). Pure and jit-friendly (breakdown values are
@@ -176,6 +292,47 @@ class SELDLossFn:
             l_cl = converging_localization_loss(
                 logits, targets, self.grid.n_el, self.grid.n_az,
                 example_mask=example_mask,
+            )
+            total = total + cfg.w_cl * l_cl
+            breakdown["cl"] = l_cl
+        return LossOutput(total, breakdown)
+
+    def from_bitmask(self, logits, label_mask, example_mask=None) -> LossOutput:
+        """Composite loss straight from the (B, T, G) uint16 bitmask.
+
+        Value-identical to ``__call__(logits,
+        decode_class_bitmask(label_mask))`` but never materializes the
+        dense (B, T, G, M) one-hot targets, and computes the probs
+        softmax once across MSE/CL — the jitted train/eval steps use
+        this path (see the module comment above the *_bits terms)."""
+        cfg = self.cfg
+        nc = self.grid.num_classes
+        needs_probs = cfg.loss_type == "mse" or cfg.use_cl
+        probs = (
+            jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if needs_probs else None
+        )
+        if cfg.loss_type == "mse":
+            loss_class = class_mse_loss_bits(
+                logits, label_mask, nc, example_mask, probs=probs
+            )
+        elif cfg.loss_type == "ce":
+            loss_class = class_ce_loss_bits(
+                logits, label_mask, nc, self.class_weights, example_mask
+            )
+        else:
+            raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
+
+        total = cfg.w_class * loss_class
+        breakdown = {f"class_{cfg.loss_type}": loss_class}
+        if cfg.use_aiur:
+            l_aiur = aiur_loss_bits(logits, label_mask, example_mask)
+            total = total + cfg.w_aiur * l_aiur
+            breakdown["aiur"] = l_aiur
+        if cfg.use_cl:
+            l_cl = converging_localization_loss_bits(
+                logits, label_mask, self.grid.n_el, self.grid.n_az,
+                example_mask=example_mask, probs=probs,
             )
             total = total + cfg.w_cl * l_cl
             breakdown["cl"] = l_cl

@@ -43,9 +43,13 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
     (state, metrics). `out_state_shardings` pins the output TrainState's
     shardings (e.g. ZeRO-sharded optimizer moments) so GSPMD keeps them
     stable across steps. `target_decoder` maps the raw target batch to the
-    loss's format (default: uint16 bitmask -> one-hot grid; ACCDOA passes
-    vectors through). `input_augment` is an optional on-device
-    (rng, mel) -> mel hook (e.g. SpecAugment), train-side only."""
+    loss's format (ACCDOA passes vectors through). With the default
+    decoder and a bitmask-capable loss (SELDLossFn), the loss consumes
+    the uint16 bitmask directly (loss_fn.from_bitmask) — value-identical
+    to decoding one-hot first, but the dense (B, T, G, M) targets never
+    hit HBM. `input_augment` is an optional on-device (rng, mel) -> mel
+    hook (e.g. SpecAugment), train-side only."""
+    bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
         target_decoder = lambda m: decode_class_bitmask(m, num_classes)
 
@@ -54,7 +58,7 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
         if input_augment is not None:
             aug_rng, dropout_rng = jax.random.split(dropout_rng)
             mel = input_augment(aug_rng, mel)
-        targets = target_decoder(label_mask)
+        targets = None if bitmask_native else target_decoder(label_mask)
 
         def loss_of(params):
             out, new_stats = _apply(
@@ -64,7 +68,12 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                 train=True,
                 dropout_rng=dropout_rng,
             )
-            total, breakdown = loss_fn(out, targets, example_mask)
+            if bitmask_native:
+                total, breakdown = loss_fn.from_bitmask(
+                    out, label_mask, example_mask
+                )
+            else:
+                total, breakdown = loss_fn(out, targets, example_mask)
             return total, (breakdown, new_stats)
 
         (total, (breakdown, new_stats)), grads = jax.value_and_grad(
@@ -94,14 +103,19 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
 def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
                    return_logits: bool = False, target_decoder=None):
     """Returns step(state, mel, raw_targets, example_mask) -> metrics
-    (and logits when return_logits)."""
+    (and logits when return_logits). Bitmask-capable losses consume the
+    raw uint16 masks directly (see make_train_step)."""
+    bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
         target_decoder = lambda m: decode_class_bitmask(m, num_classes)
 
     def step(state: TrainState, mel, label_mask, example_mask):
-        targets = target_decoder(label_mask)
         out, _ = _apply(model, state, mel, train=False)
-        total, breakdown = loss_fn(out, targets, example_mask)
+        if bitmask_native:
+            total, breakdown = loss_fn.from_bitmask(out, label_mask, example_mask)
+        else:
+            total, breakdown = loss_fn(out, target_decoder(label_mask),
+                                       example_mask)
         metrics = {"loss": total, **breakdown}
         if return_logits:
             return metrics, out

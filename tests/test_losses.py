@@ -203,3 +203,54 @@ def test_ce_mode_uses_background_downweight(rng):
     total, bd = fn(logits, labels)
     w = np.asarray(make_class_weights(M, 0.05))
     assert float(total) == pytest.approx(torch_ce(logits, labels, w), rel=1e-5)
+
+
+def test_bitmask_native_terms_match_dense(rng):
+    """from_bitmask (the jitted steps' path) must be VALUE-IDENTICAL to
+    __call__ on decode_class_bitmask targets — same elementwise ops, so
+    exact equality, for every loss mode (round-3 train-step optimization)."""
+    import jax.numpy as jnp
+
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.targets.rasterize import decode_class_bitmask
+
+    b, t, g, m = 3, 7, 648, 14
+    logits = jnp.asarray(rng.standard_normal((b, t, g, m)), jnp.float32)
+    # random multi-hot bitmasks incl. empty cells and multi-class cells
+    mask_np = np.where(
+        rng.random((b, t, g)) < 0.9, 0,
+        rng.integers(1, 2 ** (m - 1), (b, t, g)),
+    ).astype(np.uint16)
+    mask = jnp.asarray(mask_np)
+    em = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)  # padded example
+
+    for loss_type in ("mse", "ce"):
+        for use_aiur, use_cl in ((False, False), (True, True)):
+            cfg = LossConfig(loss_type=loss_type, use_aiur=use_aiur,
+                             use_cl=use_cl)
+            fn = SELDLossFn(cfg, GridConfig())
+            dense = fn(logits, decode_class_bitmask(mask, m), em)
+            bits = fn.from_bitmask(logits, mask, em)
+            np.testing.assert_array_equal(
+                np.asarray(dense.total), np.asarray(bits.total),
+                err_msg=f"{loss_type} aiur={use_aiur} cl={use_cl}",
+            )
+            for k in dense.breakdown:
+                np.testing.assert_array_equal(
+                    np.asarray(dense.breakdown[k]),
+                    np.asarray(bits.breakdown[k]), err_msg=k,
+                )
+
+
+def test_bit_labels_match_dense_argmax(rng):
+    """_bit_labels == argmax(decode_class_bitmask) for arbitrary masks
+    (multi-hot ties resolve to the lowest set bit, empty -> background)."""
+    import jax.numpy as jnp
+
+    from seld_tpu.losses.seld_loss import _bit_labels
+    from seld_tpu.targets.rasterize import decode_class_bitmask
+
+    mask_np = rng.integers(0, 2 ** 13, (5, 11, 648)).astype(np.uint16)
+    mask = jnp.asarray(mask_np)
+    dense = np.argmax(np.asarray(decode_class_bitmask(mask, 14)), axis=-1)
+    np.testing.assert_array_equal(np.asarray(_bit_labels(mask, 14)), dense)
