@@ -1,0 +1,133 @@
+"""Clean in-process A/B of train-step variants (VERDICT r2 #2 follow-up).
+
+step_experiments.py's lean step (no metrics breakdown, no donation)
+measured 29.0 ms vs make_train_step's 30.3 — this pins down which
+difference matters, in ONE process so chip/queue state is identical:
+
+  prod_nodonate — make_train_step(donate=False) (what benchmarks timed)
+  prod_donate   — make_train_step(donate=True)  (what the trainer runs)
+  lean          — total-only outputs, no donation
+
+Writes benchmarks/results/step_ab.json.
+Run in background; NEVER timeout-kill (wedges the tunneled TPU grant).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+RESULTS = REPO / "benchmarks" / "results"
+B, T = 16, 250
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    RESULTS.mkdir(exist_ok=True)
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    from seld_tpu.config import Config
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.models import build_model
+    from seld_tpu.train import create_train_state, make_optimizer, make_train_step
+    from seld_tpu.train.state import TrainState
+
+    cfg = Config()
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (B, T, 4, 64), jnp.float32)
+    mask = jnp.zeros((B, T, 648), jnp.int32).at[:, :, 100].set(8)
+    em = jnp.ones((B,), jnp.float32)
+    rng = jax.random.key(0, impl=cfg.train.prng_impl)
+
+    def lean_step():
+        def step(state, mel, label_mask, example_mask, rng):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_of(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                out, updates = model.apply(
+                    variables, mel,
+                    mutable=["batch_stats"] if state.batch_stats else [],
+                    rngs={"dropout": dropout_rng}, train=True,
+                )
+                total, _ = loss_fn.from_bitmask(out, label_mask, example_mask)
+                return total, updates.get("batch_stats", state.batch_stats)
+
+            (total, new_stats), grads = jax.value_and_grad(
+                loss_of, has_aux=True
+            )(state.params)
+            updates, new_opt = opt.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates
+            )
+            return TrainState(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats, opt_state=new_opt), total
+
+        return jax.jit(step)
+
+    def timed(step_fn, donated):
+        state = create_train_state(model, opt, rng, mel)
+
+        class C:
+            s = state
+
+        def once(i):
+            C.s, met = step_fn(C.s, mel + np.float32(i) * 1e-6, mask, em, rng)
+            return met["loss"] if isinstance(met, dict) else met
+
+        t0 = time.time()
+        float(once(0))
+        log(f"  compile+first {time.time() - t0:.1f}s")
+
+        def run(n):
+            t0 = time.time()
+            out = None
+            for i in range(n):
+                out = once(i)
+            float(out)
+            return time.time() - t0
+
+        best = float("inf")
+        for _ in range(4):
+            t1, t11 = run(1), run(11)
+            best = min(best, (t11 - t1) / 10)
+        return best
+
+    variants = {
+        "prod_nodonate": make_train_step(model, loss_fn, opt, 14, donate=False),
+        "prod_donate": make_train_step(model, loss_fn, opt, 14, donate=True),
+        "lean": lean_step(),
+    }
+    results = {}
+    for name, fn in variants.items():
+        log(f"[{name}]")
+        best = timed(fn, donated=(name == "prod_donate"))
+        results[name] = {"step_ms": round(best * 1e3, 2),
+                         "audio_s_per_s": round(B * 5.0 / best, 1)}
+        log(f"[{name}] {best * 1e3:.2f} ms/step")
+        print(json.dumps({name: results[name]}), flush=True)
+
+    (RESULTS / "step_ab.json").write_text(json.dumps(results, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()
