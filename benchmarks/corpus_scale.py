@@ -47,10 +47,10 @@ def main():
     from seld_tpu.config import Config
     from seld_tpu.data.audio import load_wav
     from seld_tpu.data.corpus import build_corpus, compute_mel_features
-    from seld_tpu.data.discovery import load_metadata_csv
     from seld_tpu.data.synthetic import synthetic_raw_files
-    from seld_tpu.targets.rasterize import encode_events_to_bitmask
-    from seld_tpu.data.corpus import total_label_frames
+    from seld_tpu.targets.rasterize import (
+        encode_events_to_bitmask, load_metadata_csv, total_label_frames,
+    )
 
     cfg = Config()
     results = {"corpus": f"{N_FILES} x {CLIP_S:.0f}s 4ch 24kHz "
