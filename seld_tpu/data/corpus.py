@@ -94,6 +94,24 @@ def _frame_view(wave: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
 
 
 _SPATIAL_CHUNK = 2048  # time frames per device batch for spatial feature sets
+_MIN_CHUNK = 128  # smallest device-batch tier (streaming pushes)
+
+
+def _pick_chunk(n: int, cap: int) -> int:
+    """Smallest power-of-two tier in [_MIN_CHUNK, cap] covering n.
+
+    The feature front-end pads inputs to a static device-batch shape so
+    the jitted program is reused. A single cap-sized tier made streaming
+    catastrophically slow (measured round 3: a 0.1 s push produces ~20
+    STFT frames, but padded them to the 8192-frame corpus tier -> a
+    31.5 MB host->device transfer and 400x wasted mel work per push,
+    ~540 ms/push through the tunnel). Tiering keeps corpus builds on the
+    big program while small/streaming inputs use right-sized ones; each
+    tier jit-caches independently (jax.jit keys on shape)."""
+    c = _MIN_CHUNK
+    while c < min(n, cap):
+        c *= 2
+    return min(c, cap)
 
 
 @functools.lru_cache(maxsize=4)
@@ -145,12 +163,13 @@ def features_from_frames(frames: np.ndarray, feat: FeatureConfig) -> np.ndarray:
             feat.feature_set, feat.n_fft, feat.n_mels, feat.sample_rate,
             feat.amin, feat.use_pallas,
         )
+        sp_chunk = _pick_chunk(t, _SPATIAL_CHUNK)
         outs = []
-        for start in range(0, t, _SPATIAL_CHUNK):
-            chunk = frames[:, start : start + _SPATIAL_CHUNK]
+        for start in range(0, t, sp_chunk):
+            chunk = frames[:, start : start + sp_chunk]
             n_valid = chunk.shape[1]
-            if n_valid < _SPATIAL_CHUNK:
-                chunk = np.pad(chunk, ((0, 0), (0, _SPATIAL_CHUNK - n_valid), (0, 0)))
+            if n_valid < sp_chunk:
+                chunk = np.pad(chunk, ((0, 0), (0, sp_chunk - n_valid), (0, 0)))
             res = np.asarray(run(jnp.asarray(np.ascontiguousarray(chunk))))
             outs.append(res[:n_valid])
         return np.concatenate(outs, axis=0)  # (T, C_out, n_mels)
@@ -160,13 +179,14 @@ def features_from_frames(frames: np.ndarray, feat: FeatureConfig) -> np.ndarray:
         feat.n_fft, feat.n_mels, feat.sample_rate, feat.f_min, feat.f_max,
         feat.amin, feat.use_pallas,
     )
+    frame_chunk = _pick_chunk(c * t, _FRAME_CHUNK)
     out = np.empty((c * t, feat.n_mels), np.float32)
-    for start in range(0, c * t, _FRAME_CHUNK):
-        chunk = flat[start : start + _FRAME_CHUNK]
-        if chunk.shape[0] < _FRAME_CHUNK:
-            chunk = np.pad(chunk, ((0, _FRAME_CHUNK - chunk.shape[0]), (0, 0)))
+    for start in range(0, c * t, frame_chunk):
+        chunk = flat[start : start + frame_chunk]
+        if chunk.shape[0] < frame_chunk:
+            chunk = np.pad(chunk, ((0, frame_chunk - chunk.shape[0]), (0, 0)))
         res = np.asarray(run(jnp.asarray(chunk)))
-        out[start : start + _FRAME_CHUNK] = res[: min(_FRAME_CHUNK, c * t - start)]
+        out[start : start + frame_chunk] = res[: min(frame_chunk, c * t - start)]
     # (C, T, n_mels) -> (T, C, n_mels): time-major so window slicing is a
     # contiguous leading-axis view.
     return np.ascontiguousarray(out.reshape(c, t, feat.n_mels).transpose(1, 0, 2))

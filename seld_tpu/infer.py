@@ -153,15 +153,28 @@ class SELDPredictor:
         self._forward_probs = forward_probs
 
     def _batched(self, windows, fn):
-        """Run fn over fixed-size window batches, yielding valid rows."""
+        """Run fn over static-shape window batches, yielding valid rows.
+
+        Full batches use `batch_windows`; a partial batch pads only to
+        the next power of two (not all the way to batch_windows) — the
+        window forward is per-row independent (eval-mode BN), so results
+        are identical, and a streaming session emitting one window at a
+        time transfers/computes a 1-window program instead of an 8x
+        padded one (measured 8.2 MB -> 1 MB per push through the
+        tunnel). Each tier jit-caches independently."""
         bw = self.batch_windows
         for start in range(0, windows.shape[0], bw):
             chunk = windows[start : start + bw]
             n_valid = chunk.shape[0]
             if n_valid < bw:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((bw - n_valid, *chunk.shape[1:]), chunk.dtype)]
-                )
+                tier = 1
+                while tier < n_valid:
+                    tier *= 2
+                tier = min(tier, bw)
+                chunk = np.concatenate([
+                    chunk,
+                    np.zeros((tier - n_valid, *chunk.shape[1:]), chunk.dtype),
+                ])
             yield np.asarray(fn(self.state, jnp.asarray(chunk)))[:n_valid]
 
     def predict_waveform(self, wave: np.ndarray, overlap: float = 0.0) -> Prediction:
