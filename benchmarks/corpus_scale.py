@@ -127,30 +127,40 @@ def main():
         state = create_train_state(model, opt, rng, sample)
         step = make_train_step(model, loss_fn, opt, cfg.grid.num_classes)
 
-        epochs = []
-        for epoch in range(3):
-            it = BatchIterator(corpus, b, shuffle=True, seed=epoch,
-                              prefetch=cfg.data.prefetch_depth)
-            t0 = time.time()
-            n_steps = 0
-            metrics = None
-            for batch in it:
-                mel = jnp.asarray(np.asarray(batch.mel))
-                mask = jnp.asarray(np.asarray(batch.label_mask))
-                em = jnp.asarray(
-                    (np.arange(mel.shape[0]) < batch.n_valid).astype(np.float32)
-                )
-                state, metrics = step(state, mel, mask, em, rng)
-                n_steps += 1
-            loss = float(metrics["loss"])  # sync
-            dt = time.time() - t0
-            epochs.append(round(dt, 2))
-            log(f"epoch {epoch}: {dt:.2f}s, {n_steps} steps, loss {loss:.4f}")
-        results["epoch_s"] = epochs
-        results["steady_epoch_s"] = min(epochs[1:])
-        results["train_audio_s_per_s"] = round(
-            N_FILES * CLIP_S / results["steady_epoch_s"], 1
-        )
+        from seld_tpu.data.sampler import device_prefetch
+
+        def place(batch):
+            mel = jnp.asarray(np.asarray(batch.mel))
+            mask = jnp.asarray(np.asarray(batch.label_mask))
+            em = jnp.asarray(
+                (np.arange(mel.shape[0]) < batch.n_valid).astype(np.float32)
+            )
+            return mel, mask, em
+
+        for mode in ("inline", "device_prefetch"):
+            epochs = []
+            for epoch in range(3):
+                it = BatchIterator(corpus, b, shuffle=True, seed=epoch,
+                                   prefetch=cfg.data.prefetch_depth)
+                batches = (device_prefetch(it, place, depth=2)
+                           if mode == "device_prefetch"
+                           else (place(x) for x in it))
+                t0 = time.time()
+                n_steps = 0
+                metrics = None
+                for mel, mask, em in batches:
+                    state, metrics = step(state, mel, mask, em, rng)
+                    n_steps += 1
+                loss = float(metrics["loss"])  # sync
+                dt = time.time() - t0
+                epochs.append(round(dt, 2))
+                log(f"[{mode}] epoch {epoch}: {dt:.2f}s, {n_steps} steps, "
+                    f"loss {loss:.4f}")
+            results[f"epoch_s_{mode}"] = epochs
+            results[f"steady_epoch_s_{mode}"] = min(epochs[1:])
+            results[f"train_audio_s_per_s_{mode}"] = round(
+                N_FILES * CLIP_S / min(epochs[1:]), 1
+            )
         results["steps_per_epoch"] = n_steps
 
     (RESULTS / "corpus_scale.json").write_text(json.dumps(results, indent=2) + "\n")

@@ -103,3 +103,24 @@ class BatchIterator:
                 break
             yield item
         thread.join()
+
+
+def device_prefetch(iterable, place, depth: int = 2):
+    """Yield `place(item)` for each item, keeping `depth` items placed
+    ahead of consumption.
+
+    `place` enqueues host->device transfers (jnp.asarray / device_put are
+    asynchronous), so placing ahead overlaps the NEXT batch's transfer
+    with the current step's compute — the device-side half of the
+    loader's double buffering (the host-side half is BatchIterator's
+    staging thread). depth<=1 degenerates to inline placement; ordering
+    is preserved exactly, so results are unchanged."""
+    from collections import deque
+
+    q: deque = deque()
+    for item in iterable:
+        q.append(place(item))
+        if len(q) >= max(depth, 1):
+            yield q.popleft()
+    while q:
+        yield q.popleft()

@@ -291,13 +291,22 @@ def train_model(
             step_rng = jax.random.fold_in(rng, epoch)
 
             train_metrics = []
-            for i, batch in enumerate(train_iter):
+            # Device-side double buffering: the next batch's host->device
+            # transfer is enqueued while the current step computes (the
+            # host-side half is BatchIterator's staging thread).
+            from seld_tpu.data.sampler import device_prefetch
+
+            placed_iter = device_prefetch(
+                train_iter,
+                lambda b: _device_batch(b, mesh, accdoa_mode),
+                depth=max(cfg.data.prefetch_depth, 1),
+            )
+            for i, (mel, mask, em) in enumerate(placed_iter):
                 if profiling and epoch == start_epoch and i == 1:
                     profile_dir = str(Path(cfg.data.output_path) / "profile")
                     jax.profiler.start_trace(profile_dir)
                     trace_started = True
                     log.info("profiler trace started -> %s", profile_dir)
-                mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
                 state, metrics = train_step(state, mel, mask, em, step_rng)
                 if ema_params is not None:
                     ema_params = ema_update(ema_params, state.params)
@@ -355,8 +364,11 @@ def train_model(
                 break
 
             eval_metrics = []
-            for batch in test_iter:
-                mel, mask, em = _device_batch(batch, mesh, accdoa_mode)
+            for mel, mask, em in device_prefetch(
+                test_iter,
+                lambda b: _device_batch(b, mesh, accdoa_mode),
+                depth=max(cfg.data.prefetch_depth, 1),
+            ):
                 eval_metrics.append(eval_step(eval_state(), mel, mask, em))
             test_avg = _epoch_mean(eval_metrics)
 

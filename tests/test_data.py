@@ -154,3 +154,29 @@ def test_gaussian_corpus_train_only():
     # augmentation inflates active cells on train only
     # (ref smrl_seld_gaussian.py:2114-2127)
     assert (train.label_mask != 0).sum() > (test.label_mask != 0).sum()
+
+
+def test_device_prefetch_order_and_lookahead():
+    """device_prefetch yields placed items in order and keeps `depth`
+    items placed ahead of consumption (the H2D/compute overlap half of
+    the loader's double buffering)."""
+    from seld_tpu.data.sampler import device_prefetch
+
+    placed = []
+
+    def place(x):
+        placed.append(x)
+        return x * 10
+
+    gen = device_prefetch(range(5), place, depth=2)
+    first = next(gen)
+    assert first == 0
+    assert placed == [0, 1], "one item should be placed ahead at depth=2"
+    assert list(gen) == [10, 20, 30, 40]
+    assert placed == [0, 1, 2, 3, 4]
+
+    # depth<=1 degenerates to inline placement, order preserved
+    placed.clear()
+    assert list(device_prefetch(range(3), place, depth=0)) == [0, 10, 20]
+    # empty iterable
+    assert list(device_prefetch([], place)) == []
