@@ -138,6 +138,9 @@ def main():
             return mel, mask, em
 
         for mode in ("inline", "device_prefetch"):
+            # fresh state per mode: self-contained A/B (comparable losses,
+            # no cross-mode training carry-over)
+            state = create_train_state(model, opt, rng, sample)
             epochs = []
             for epoch in range(3):
                 it = BatchIterator(corpus, b, shuffle=True, seed=epoch,

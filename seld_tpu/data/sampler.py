@@ -113,14 +113,16 @@ def device_prefetch(iterable, place, depth: int = 2):
     asynchronous), so placing ahead overlaps the NEXT batch's transfer
     with the current step's compute — the device-side half of the
     loader's double buffering (the host-side half is BatchIterator's
-    staging thread). depth<=1 degenerates to inline placement; ordering
-    is preserved exactly, so results are unchanged."""
+    staging thread). Exactly `depth` items are kept placed ahead at
+    steady state (depth=1 already overlaps one batch); depth<=0
+    degenerates to inline placement. Ordering is preserved exactly, so
+    results are unchanged."""
     from collections import deque
 
     q: deque = deque()
     for item in iterable:
         q.append(place(item))
-        if len(q) >= max(depth, 1):
+        if len(q) > max(depth, 0):
             yield q.popleft()
     while q:
         yield q.popleft()

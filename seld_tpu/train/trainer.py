@@ -277,6 +277,15 @@ def train_model(
         prefetch=cfg.data.prefetch_depth,
     )
 
+    # Device-side double buffering: batches are placed (async H2D)
+    # `place_depth` ahead of consumption so the next batch's transfer
+    # overlaps the current step's compute (the host-side half is
+    # BatchIterator's staging thread). Shared by the train + eval loops.
+    from seld_tpu.data.sampler import device_prefetch
+
+    place_batch = lambda b: _device_batch(b, mesh, accdoa_mode)
+    place_depth = cfg.data.prefetch_depth
+
     history = {"train_losses": [], "test_losses": [], "lr": []}
     best_test = float("inf")
     epoch = start_epoch - 1
@@ -291,17 +300,9 @@ def train_model(
             step_rng = jax.random.fold_in(rng, epoch)
 
             train_metrics = []
-            # Device-side double buffering: the next batch's host->device
-            # transfer is enqueued while the current step computes (the
-            # host-side half is BatchIterator's staging thread).
-            from seld_tpu.data.sampler import device_prefetch
-
-            placed_iter = device_prefetch(
-                train_iter,
-                lambda b: _device_batch(b, mesh, accdoa_mode),
-                depth=max(cfg.data.prefetch_depth, 1),
-            )
-            for i, (mel, mask, em) in enumerate(placed_iter):
+            for i, (mel, mask, em) in enumerate(
+                device_prefetch(train_iter, place_batch, depth=place_depth)
+            ):
                 if profiling and epoch == start_epoch and i == 1:
                     profile_dir = str(Path(cfg.data.output_path) / "profile")
                     jax.profiler.start_trace(profile_dir)
@@ -365,9 +366,7 @@ def train_model(
 
             eval_metrics = []
             for mel, mask, em in device_prefetch(
-                test_iter,
-                lambda b: _device_batch(b, mesh, accdoa_mode),
-                depth=max(cfg.data.prefetch_depth, 1),
+                test_iter, place_batch, depth=place_depth
             ):
                 eval_metrics.append(eval_step(eval_state(), mel, mask, em))
             test_avg = _epoch_mean(eval_metrics)

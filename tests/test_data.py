@@ -171,12 +171,20 @@ def test_device_prefetch_order_and_lookahead():
     gen = device_prefetch(range(5), place, depth=2)
     first = next(gen)
     assert first == 0
-    assert placed == [0, 1], "one item should be placed ahead at depth=2"
+    assert placed == [0, 1, 2], "two items should be placed ahead at depth=2"
     assert list(gen) == [10, 20, 30, 40]
     assert placed == [0, 1, 2, 3, 4]
 
-    # depth<=1 degenerates to inline placement, order preserved
+    # depth=1 still overlaps one batch
     placed.clear()
-    assert list(device_prefetch(range(3), place, depth=0)) == [0, 10, 20]
+    gen = device_prefetch(range(3), place, depth=1)
+    assert next(gen) == 0 and placed == [0, 1]
+    assert list(gen) == [10, 20]
+
+    # depth<=0 degenerates to inline placement, order preserved
+    placed.clear()
+    gen = device_prefetch(range(3), place, depth=0)
+    assert next(gen) == 0 and placed == [0]
+    assert list(gen) == [10, 20]
     # empty iterable
     assert list(device_prefetch([], place)) == []
