@@ -128,9 +128,12 @@ def evaluate_model(
         def infer_step(state, mel, label_mask, acc_targets, example_mask):
             logits = model.apply(state.variables(), mel, train=False)
             # bitmask-native loss + argmax labels: value-identical to the
-            # dense one-hot route without materializing (B, T, G, M)
+            # dense one-hot route without materializing (B, T, G, M).
+            # Under a mesh the Pallas loss kernel is pinned off (opaque
+            # custom call GSPMD would replicate) — same rule as steps.py.
             total, breakdown = loss_fn.from_bitmask(
-                logits, label_mask, example_mask
+                logits, label_mask, example_mask,
+                fused=False if mesh is not None else None,
             )
             pred_cls = jnp.argmax(logits, axis=-1).astype(jnp.int8)
             true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)

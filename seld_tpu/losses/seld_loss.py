@@ -223,12 +223,19 @@ def aiur_loss_bits(logits, mask, example_mask=None):
 
 
 def converging_localization_loss_bits(logits, mask, n_el: int, n_az: int,
-                                      example_mask=None, probs=None):
-    """Bitmask-native converging_localization_loss (identical values)."""
+                                      example_mask=None, probs=None,
+                                      pred_nonbg=None):
+    """Bitmask-native converging_localization_loss (identical values).
+
+    `pred_nonbg` (B, T, G) may be supplied directly (the fused Pallas
+    loss path passes 1 - p_bg, mathematically equal to the event-class
+    probability sum)."""
     b, t, g = mask.shape
-    if probs is None:
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    pred_nonbg = jnp.sum(probs[..., :-1], axis=-1).reshape(b, t, n_el, n_az)
+    if pred_nonbg is None:
+        if probs is None:
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        pred_nonbg = jnp.sum(probs[..., :-1], axis=-1)
+    pred_nonbg = pred_nonbg.reshape(b, t, n_el, n_az)
     true_nonbg = _popcount16(mask.astype(jnp.int32)).astype(jnp.float32)
     true_nonbg = true_nonbg.reshape(b, t, n_el, n_az)
 
@@ -297,16 +304,33 @@ class SELDLossFn:
             breakdown["cl"] = l_cl
         return LossOutput(total, breakdown)
 
-    def from_bitmask(self, logits, label_mask, example_mask=None) -> LossOutput:
+    def from_bitmask(self, logits, label_mask, example_mask=None,
+                     fused=None) -> LossOutput:
         """Composite loss straight from the (B, T, G) uint16 bitmask.
 
         Value-identical to ``__call__(logits,
         decode_class_bitmask(label_mask))`` but never materializes the
         dense (B, T, G, M) one-hot targets, and computes the probs
         softmax once across MSE/CL — the jitted train/eval steps use
-        this path (see the module comment above the *_bits terms)."""
+        this path (see the module comment above the *_bits terms).
+
+        `fused` selects the Pallas softmax-region kernel
+        (seld_tpu.ops.loss_pallas): None = auto (TPU backend, MSE mode —
+        the measured 6.8 ms/step loss region collapses to one fused
+        pass), True/False force it, "interpret" runs the kernel in
+        interpret mode (CPU tests). The fused path is numerically
+        equivalent, not bit-identical (different reduction order/
+        pred_nonbg formulation); the jnp path remains the oracle."""
         cfg = self.cfg
         nc = self.grid.num_classes
+        if fused is None:
+            fused = (cfg.loss_type == "mse"
+                     and jax.default_backend() == "tpu")
+        if fused and cfg.loss_type == "mse":
+            return self._from_bitmask_fused(
+                logits, label_mask, example_mask,
+                interpret=(fused == "interpret"),
+            )
         needs_probs = cfg.loss_type == "mse" or cfg.use_cl
         probs = (
             jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -333,6 +357,41 @@ class SELDLossFn:
             l_cl = converging_localization_loss_bits(
                 logits, label_mask, self.grid.n_el, self.grid.n_az,
                 example_mask=example_mask, probs=probs,
+            )
+            total = total + cfg.w_cl * l_cl
+            breakdown["cl"] = l_cl
+        return LossOutput(total, breakdown)
+
+    def _from_bitmask_fused(self, logits, label_mask, example_mask=None,
+                            interpret: bool = False) -> LossOutput:
+        """MSE-family composite via the fused Pallas softmax-region kernel
+        (one pass computes the squared-error row sums and the background
+        plane; AIUR's zero-gradient argmax stays in XLA)."""
+        from seld_tpu.ops.loss_pallas import grid_loss_terms
+
+        cfg = self.cfg
+        nc = self.grid.num_classes
+        b, t, g, m = logits.shape
+        x = jnp.swapaxes(
+            logits.reshape(b * t, g, m).astype(jnp.float32), 1, 2
+        )  # (N, M, G): classes on sublanes, cells on lanes
+        sq, pbg = grid_loss_terms(
+            x, label_mask.reshape(b * t, g), nc, interpret
+        )
+        em = _example_weights(example_mask, b)
+        per_example = sq.reshape(b, t * g).sum(axis=1) / (t * g * m)
+        loss_class = jnp.sum(per_example * em) / jnp.sum(em)
+        total = cfg.w_class * loss_class
+        breakdown = {"class_mse": loss_class}
+        if cfg.use_aiur:
+            l_aiur = aiur_loss_bits(logits, label_mask, example_mask)
+            total = total + cfg.w_aiur * l_aiur
+            breakdown["aiur"] = l_aiur
+        if cfg.use_cl:
+            l_cl = converging_localization_loss_bits(
+                logits, label_mask, self.grid.n_el, self.grid.n_az,
+                example_mask=example_mask,
+                pred_nonbg=(1.0 - pbg).reshape(b, t, g),
             )
             total = total + cfg.w_cl * l_cl
             breakdown["cl"] = l_cl

@@ -1,0 +1,178 @@
+"""Fused Pallas kernel for the grid-loss softmax region.
+
+Why: the measured flagship train step spends 6.8 ms (MSE) / 7.8 ms
+(3-term) of ~31 ms in the loss region (benchmarks/results/loss_cost.json)
+— XLA materializes several full (B, T, G, M) float32 tensors for the
+softmax, the squared error, and their backward. This kernel computes the
+whole per-cell region in ONE pass over the logits:
+
+  * softmax over classes (numerically stable, f32),
+  * per-(b, t) row sums of (p - onehot(mask))^2  — the MSE numerator,
+  * the background probability plane p_bg        — what the CL term
+    needs (pred_nonbg = 1 - p_bg),
+
+with a custom VJP whose backward recomputes p in one more pass and emits
+   dlogits = g_sq * 2 p (r - c) + g_bg * p_bg (1[m=bg] - p)
+where r = p - t, c = sum_m r_m p_m (softmax Jacobian applied to both
+outputs).
+
+Layout: the kernel wants classes on SUBLANES and grid cells on LANES —
+(B*T, M, G) — because softmax reduces over M: with the model's native
+(B, T, G, M) the M axis would sit on 14/128 lanes (11% utilization).
+One cheap XLA transpose (145 MB at HBM bandwidth) in, one out for the
+gradient; M=14 pads to 16 sublanes and G=648 to 768 lanes (~74% util).
+
+The XLA (jnp) path in seld_tpu.losses stays the reference semantics and
+the CPU/test oracle; interpret-mode parity is pinned in
+tests/test_pallas_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_BLOCK = 32  # (b*t) rows per program
+
+
+def _bit_targets_tile(mask_tile, m_idx, num_classes: int):
+    """(nb, M, G) one-hot from the (nb, 1, G) int32 bitmask tile."""
+    event = ((mask_tile >> jnp.minimum(m_idx, num_classes - 2)) & 1)
+    bg = (mask_tile == 0).astype(jnp.int32)
+    return jnp.where(m_idx < num_classes - 1, event, bg).astype(jnp.float32)
+
+
+def _softmax_tile(x):
+    """Stable softmax over the class (sublane) axis of an (nb, M, G) tile."""
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _fwd_kernel(x_ref, mask_ref, sq_ref, pbg_ref, *, num_classes: int):
+    x = x_ref[...].astype(jnp.float32)            # (nb, M, G)
+    mask = mask_ref[...].astype(jnp.int32)        # (nb, 1, G)
+    nb, M, G = x.shape
+    m_idx = jax.lax.broadcasted_iota(jnp.int32, (nb, M, G), 1)
+    p = _softmax_tile(x)
+    t = _bit_targets_tile(mask, m_idx, num_classes)
+    r = p - t
+    # per-CELL partial sums (classes reduced in-kernel; the tiny lane/row
+    # reductions finish in XLA) — keeps every ref free of trailing
+    # singleton pairs, which Mosaic's layout inference rejects
+    sq_ref[...] = jnp.sum(r * r, axis=1, keepdims=True)
+    pbg_ref[...] = p[:, num_classes - 1 : num_classes, :]
+
+
+def _bwd_kernel(x_ref, mask_ref, gsq_ref, gbg_ref, dx_ref, *,
+                num_classes: int):
+    x = x_ref[...].astype(jnp.float32)            # (nb, M, G)
+    mask = mask_ref[...].astype(jnp.int32)        # (nb, 1, G)
+    gsq = gsq_ref[...]                            # (nb, 1, G) f32
+    gbg = gbg_ref[...]                            # (nb, 1, G) f32
+    nb, M, G = x.shape
+    m_idx = jax.lax.broadcasted_iota(jnp.int32, (nb, M, G), 1)
+    p = _softmax_tile(x)
+    t = _bit_targets_tile(mask, m_idx, num_classes)
+    r = p - t
+    c = jnp.sum(r * p, axis=1, keepdims=True)     # (nb, 1, G)
+    is_bg = (m_idx == num_classes - 1).astype(jnp.float32)
+    pbg = p[:, num_classes - 1 : num_classes, :]  # (nb, 1, G)
+    dx = gsq * 2.0 * p * (r - c) + (gbg * pbg) * (is_bg - p)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _geometry(n_rows: int):
+    rows_pad = -(-n_rows // ROW_BLOCK) * ROW_BLOCK
+    return rows_pad, rows_pad // ROW_BLOCK
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def grid_loss_terms(logits_mg, mask, num_classes: int, interpret: bool = False):
+    """(sq_cells (N, G), p_bg (N, G)) from (N, M, G) logits + (N, G) mask.
+
+    sq_cells[n, g] = sum_m (softmax(logits)[n,m,g] - onehot[n,m,g])^2;
+    p_bg is the background-class probability plane. Differentiable w.r.t.
+    logits_mg via the fused backward kernel.
+    """
+    out, _ = _fwd_impl(logits_mg, mask, num_classes, interpret)
+    return out
+
+
+def _fwd_impl(logits_mg, mask, num_classes, interpret):
+    n, M, G = logits_mg.shape
+    rows_pad, n_blocks = _geometry(n)
+    x = jnp.pad(logits_mg, ((0, rows_pad - n), (0, 0), (0, 0)))
+    mk = jnp.pad(mask.astype(jnp.int32), ((0, rows_pad - n), (0, 0)))
+    mk = mk[:, None, :]  # (N, 1, G)
+
+    sq, pbg = pl.pallas_call(
+        functools.partial(_fwd_kernel, num_classes=num_classes),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, 1, G), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, 1, G), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, mk)
+    return (sq[:n, 0, :], pbg[:n, 0, :]), (logits_mg, mask)
+
+
+def _vjp_fwd(logits_mg, mask, num_classes, interpret):
+    return _fwd_impl(logits_mg, mask, num_classes, interpret)
+
+
+def _vjp_bwd(num_classes, interpret, residuals, cotangents):
+    logits_mg, mask = residuals
+    g_sq, g_bg = cotangents
+    n, M, G = logits_mg.shape
+    rows_pad, n_blocks = _geometry(n)
+    x = jnp.pad(logits_mg, ((0, rows_pad - n), (0, 0), (0, 0)))
+    mk = jnp.pad(mask.astype(jnp.int32), ((0, rows_pad - n), (0, 0)))[:, None, :]
+    gs = jnp.pad(g_sq.astype(jnp.float32), ((0, rows_pad - n), (0, 0)))[:, None, :]
+    gb = jnp.pad(g_bg.astype(jnp.float32), ((0, rows_pad - n), (0, 0)))[:, None, :]
+
+    dx = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_classes=num_classes),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, M, G), logits_mg.dtype),
+        interpret=interpret,
+    )(x, mk, gs, gb)
+    return dx[:n], None
+
+
+grid_loss_terms.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_mse_cl_available(loss_type: str) -> bool:
+    """The fused path covers the softmax-MSE family (the default and the
+    flagship config); CE mode stays on the XLA path."""
+    return loss_type == "mse"

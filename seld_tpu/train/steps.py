@@ -69,8 +69,13 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                 dropout_rng=dropout_rng,
             )
             if bitmask_native:
+                # fused=None auto-selects the Pallas loss kernel on TPU;
+                # under a mesh the kernel is an opaque custom call GSPMD
+                # would have to replicate, so sharded steps pin the XLA
+                # path (single-chip/real-multichip perf work can revisit).
                 total, breakdown = loss_fn.from_bitmask(
-                    out, label_mask, example_mask
+                    out, label_mask, example_mask,
+                    fused=False if out_state_shardings is not None else None,
                 )
             else:
                 total, breakdown = loss_fn(out, targets, example_mask)

@@ -1,6 +1,7 @@
 """Pallas kernel correctness vs the jnp oracles (interpret mode on CPU;
 the same kernels compile natively on TPU — exercised by bench_kernels.py)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -185,3 +186,96 @@ def test_flash_attention_lse_is_correct(rng):
     np.testing.assert_allclose(
         np.asarray(lse)[:, :t, 0], want, rtol=1e-5, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused grid-loss kernel (seld_tpu/ops/loss_pallas.py), interpret mode
+# ---------------------------------------------------------------------------
+
+
+def _loss_case(seed, b=2, t=5, g=648, m=14):
+    rng = np.random.default_rng(seed)
+    logits = jnp.asarray(rng.standard_normal((b, t, g, m)), jnp.float32)
+    mask_np = np.where(
+        rng.random((b, t, g)) < 0.9, 0,
+        rng.integers(1, 2 ** (m - 1), (b, t, g)),
+    ).astype(np.uint16)
+    return logits, jnp.asarray(mask_np)
+
+
+def test_grid_loss_terms_forward_matches_jnp():
+    from seld_tpu.ops.loss_pallas import grid_loss_terms
+    from seld_tpu.targets.rasterize import decode_class_bitmask
+
+    logits, mask = _loss_case(0)
+    b, t, g, m = logits.shape
+    x = jnp.swapaxes(logits.reshape(b * t, g, m), 1, 2)
+    sq, pbg = grid_loss_terms(x, mask.reshape(b * t, g), m, True)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    targets = decode_class_bitmask(mask, m)
+    want_sq = jnp.sum((probs - targets) ** 2, axis=-1).reshape(b * t, g)
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(want_sq),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pbg).reshape(b, t, g), np.asarray(probs[..., -1]),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_grid_loss_terms_gradient_matches_jnp():
+    """d/dlogits of a combined functional of BOTH kernel outputs must
+    match the jnp softmax/square formulation."""
+    from seld_tpu.ops.loss_pallas import grid_loss_terms
+    from seld_tpu.targets.rasterize import decode_class_bitmask
+
+    logits, mask = _loss_case(1, b=2, t=3)
+    b, t, g, m = logits.shape
+    w = jnp.asarray(np.random.default_rng(2).standard_normal((b * t, g)),
+                    jnp.float32)
+
+    def fused(lg):
+        x = jnp.swapaxes(lg.reshape(b * t, g, m), 1, 2)
+        sq, pbg = grid_loss_terms(x, mask.reshape(b * t, g), m, True)
+        return jnp.sum(sq) * 0.3 + jnp.sum(pbg * w)
+
+    def oracle(lg):
+        probs = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+        targets = decode_class_bitmask(mask, m)
+        sq = jnp.sum((probs - targets) ** 2)
+        return sq * 0.3 + jnp.sum(probs[..., -1].reshape(b * t, g) * w)
+
+    gf = jax.grad(fused)(logits)
+    go = jax.grad(oracle)(logits)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(go),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_fused_loss_matches_xla_path():
+    """SELDLossFn.from_bitmask(fused='interpret') ~= the jnp path for the
+    MSE and 3-term configs (values + gradients)."""
+    from seld_tpu.config import GridConfig, LossConfig
+    from seld_tpu.losses import SELDLossFn
+
+    logits, mask = _loss_case(3, b=3, t=4)
+    em = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+    for use_aiur, use_cl in ((False, False), (True, True)):
+        fn = SELDLossFn(
+            LossConfig(loss_type="mse", use_aiur=use_aiur, use_cl=use_cl),
+            GridConfig(),
+        )
+        ref = fn.from_bitmask(logits, mask, em, fused=False)
+        got = fn.from_bitmask(logits, mask, em, fused="interpret")
+        np.testing.assert_allclose(np.asarray(got.total),
+                                   np.asarray(ref.total), rtol=1e-5)
+        for k in ref.breakdown:
+            np.testing.assert_allclose(
+                np.asarray(got.breakdown[k]), np.asarray(ref.breakdown[k]),
+                rtol=1e-5, atol=1e-7, err_msg=k,
+            )
+        gf = jax.grad(lambda lg: fn.from_bitmask(lg, mask, em,
+                                                 fused="interpret").total)(logits)
+        go = jax.grad(lambda lg: fn.from_bitmask(lg, mask, em,
+                                                 fused=False).total)(logits)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(go),
+                                   rtol=2e-4, atol=1e-7)
