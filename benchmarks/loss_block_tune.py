@@ -81,36 +81,40 @@ def main():
 
     results = {}
     for rb in (16, 32, 64, 128, 256):
-        loss_pallas.ROW_BLOCK = rb
-        state = create_train_state(model, opt, rng, mel)
-        step = make_step()
+      try:
+          loss_pallas.ROW_BLOCK = rb
+          state = create_train_state(model, opt, rng, mel)
+          step = make_step()
 
-        class C:
-            s = state
+          class C:
+              s = state
 
-        def once(i):
-            C.s, tot = step(C.s, mel + np.float32(i) * 1e-6, mask, em, rng)
-            return tot
+          def once(i):
+              C.s, tot = step(C.s, mel + np.float32(i) * 1e-6, mask, em, rng)
+              return tot
 
-        t0 = time.time()
-        float(once(0))
-        log(f"[rb{rb}] compile+first {time.time() - t0:.1f}s")
+          t0 = time.time()
+          float(once(0))
+          log(f"[rb{rb}] compile+first {time.time() - t0:.1f}s")
 
-        def run(n):
-            t0 = time.time()
-            out = None
-            for i in range(n):
-                out = once(i)
-            float(out)
-            return time.time() - t0
+          def run(n):
+              t0 = time.time()
+              out = None
+              for i in range(n):
+                  out = once(i)
+              float(out)
+              return time.time() - t0
 
-        best = float("inf")
-        for _ in range(3):
-            t1, t11 = run(1), run(11)
-            best = min(best, (t11 - t1) / 10)
-        results[rb] = round(best * 1e3, 2)
-        log(f"[rb{rb}] {best * 1e3:.2f} ms/step")
-        print(json.dumps({rb: results[rb]}), flush=True)
+          best = float("inf")
+          for _ in range(3):
+              t1, t11 = run(1), run(11)
+              best = min(best, (t11 - t1) / 10)
+          results[rb] = round(best * 1e3, 2)
+          log(f"[rb{rb}] {best * 1e3:.2f} ms/step")
+          print(json.dumps({rb: results[rb]}), flush=True)
+      except Exception as e:
+          results[rb] = f"failed: {type(e).__name__}: {str(e)[:120]}"
+          log(f"[rb{rb}] FAILED {e}")
 
     (RESULTS / "loss_block_tune.json").write_text(
         json.dumps(results, indent=2) + "\n")

@@ -112,6 +112,25 @@ def cmd_eval(cfg: Config, args, logger):
     return 0
 
 
+def cmd_score(cfg: Config, args, logger):
+    """Official DCASE2022 scoring of prediction CSVs against ground-truth
+    CSVs (the DCASE submission workflow; no model or audio needed)."""
+    from seld_tpu.eval.score import match_csv_dirs, score_csv_pairs
+
+    pairs = match_csv_dirs(args.pred_dir, args.gt_dir)
+    logger.info("Scoring %d CSV pair(s)", len(pairs))
+    result = score_csv_pairs(pairs, cfg, macro_over=args.macro_over)
+    logger.info(
+        "DCASE2022 (official): ER %.3f F %.3f LE_CD %.1f deg LR_CD %.3f | "
+        "SELD_error %.3f (%d files, Nref %d)",
+        result["ER"], result["F_macro"], result["LE_macro"],
+        result["LR_macro"], result["SELD_error"], result["n_files"],
+        result["Nref"],
+    )
+    print(json.dumps(result, indent=2))
+    return 0
+
+
 def cmd_verify(cfg: Config, args, logger):
     """Shape-contract verifier (the reference's verify_dims.py:10-114)."""
     import jax
@@ -310,6 +329,19 @@ def main(argv=None) -> int:
     p_exp.add_argument("--platforms", default=None,
                        help="comma list, e.g. tpu,cpu (default: current)")
     p_exp.set_defaults(fn=cmd_export)
+
+    p_score = sub.add_parser(
+        "score", parents=[common],
+        help="official DCASE2022 metrics for prediction CSVs vs ground truth",
+    )
+    p_score.add_argument("--pred-dir", required=True,
+                         help="directory of predicted STARSS22-format CSVs")
+    p_score.add_argument("--gt-dir", required=True,
+                         help="directory of ground-truth CSVs (matched by name)")
+    p_score.add_argument("--macro-over", choices=("all", "gt"), default="all",
+                         help="macro-average over all classes (official) or "
+                              "only classes present in the ground truth")
+    p_score.set_defaults(fn=cmd_score)
 
     p_info = sub.add_parser("info", parents=[common])
     p_info.set_defaults(fn=cmd_info)

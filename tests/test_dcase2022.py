@@ -412,3 +412,99 @@ def test_matches_official_oracle_randomized(block):
             got["classwise"]["LR"], want["lr_cls"], rtol=1e-9, atol=1e-12)
         assert got["classwise"]["Nref"] == want["Nref_cls"].tolist(), (
             f"seed {seed}")
+
+
+# ---------------------------------------------------------------------------
+# CSV scoring workflow (seld_tpu/eval/score.py + `seld_tpu score`)
+# ---------------------------------------------------------------------------
+
+
+def _write_csv(path, rows):
+    import numpy as np
+
+    np.savetxt(path, np.asarray(rows, dtype=np.int64), fmt="%d", delimiter=",")
+
+
+def test_score_csv_perfect_and_miss(tmp_path):
+    from seld_tpu.config import Config
+    from seld_tpu.eval.score import match_csv_dirs, score_csv_pairs
+
+    gt_dir = tmp_path / "gt"
+    pr_dir = tmp_path / "pred"
+    gt_dir.mkdir(), pr_dir.mkdir()
+    # two files; metadata frames at 100 ms (fanout 5 -> 20 ms labels)
+    rows_a = [[f, 2, 0, 30, 10] for f in range(12)]
+    rows_b = [[f, 7, 1, -120, -40] for f in range(4, 9)]
+    _write_csv(gt_dir / "a.csv", rows_a)
+    _write_csv(gt_dir / "b.csv", rows_b)
+    # perfect predictions
+    _write_csv(pr_dir / "a.csv", rows_a)
+    _write_csv(pr_dir / "b.csv", rows_b)
+    m = score_csv_pairs(match_csv_dirs(pr_dir, gt_dir), Config(),
+                        macro_over="gt")
+    assert m["ER"] == pytest.approx(0.0)
+    assert m["F_macro"] == pytest.approx(1.0)
+    # self-distance of a cell is arccos(1 - ulp) ~ 4e-7 deg, not exactly 0
+    assert m["LE_macro"] == pytest.approx(0.0, abs=1e-5)
+    assert m["n_files"] == 2
+
+    # miss one whole file -> its (segment, class) pairs become deletions
+    _write_csv(pr_dir / "b.csv", np.zeros((0, 5)))
+    m2 = score_csv_pairs(match_csv_dirs(pr_dir, gt_dir), Config(),
+                         macro_over="gt")
+    assert m2["FN"] >= 1 and m2["ER"] > 0.0
+
+
+def test_score_csv_segments_do_not_span_files(tmp_path):
+    """An event at the END of file A and one at the START of file B land
+    in different segments even though their frames are adjacent after
+    concatenation (per-file padding to whole segments)."""
+    from seld_tpu.config import Config
+    from seld_tpu.eval.score import match_csv_dirs, score_csv_pairs
+
+    gt_dir = tmp_path / "gt"
+    pr_dir = tmp_path / "pred"
+    gt_dir.mkdir(), pr_dir.mkdir()
+    # file a: class 3 in its final metadata frame (frame 9 -> labels 45-49)
+    _write_csv(gt_dir / "a.csv", [[9, 3, 0, 0, 0]])
+    # file b: class 3 in its first metadata frame at a DIFFERENT location
+    _write_csv(gt_dir / "b.csv", [[0, 3, 0, 90, 0]])
+    # predictions swap the locations: each file's segment must be scored
+    # independently (mislocalized in both -> 2 spatial FPs, 0 TPs)
+    _write_csv(pr_dir / "a.csv", [[9, 3, 0, 90, 0]])
+    _write_csv(pr_dir / "b.csv", [[0, 3, 0, 0, 0]])
+    m = score_csv_pairs(match_csv_dirs(pr_dir, gt_dir), Config())
+    assert m["Nref"] == 2
+    assert m["TP"] == 0 and m["FP_spatial"] == 2
+
+
+def test_score_csv_missing_prediction_is_error(tmp_path):
+    from seld_tpu.eval.score import match_csv_dirs
+
+    gt_dir = tmp_path / "gt"
+    pr_dir = tmp_path / "pred"
+    gt_dir.mkdir(), pr_dir.mkdir()
+    _write_csv(gt_dir / "a.csv", [[0, 1, 0, 0, 0]])
+    with pytest.raises(FileNotFoundError, match="predictions missing"):
+        match_csv_dirs(pr_dir, gt_dir)
+
+
+def test_score_cli_roundtrip(tmp_path, capsys):
+    """predict-emitted CSV format scores cleanly through the CLI."""
+    import json
+
+    from seld_tpu.cli import main
+
+    gt_dir = tmp_path / "gt"
+    pr_dir = tmp_path / "pred"
+    gt_dir.mkdir(), pr_dir.mkdir()
+    rows = [[f, 5, 0, -60, 20] for f in range(10)]
+    _write_csv(gt_dir / "clip.csv", rows)
+    _write_csv(pr_dir / "clip.csv", rows)
+    rc = main(["score", "--pred-dir", str(pr_dir), "--gt-dir", str(gt_dir),
+               "--macro-over", "gt"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    payload = json.loads(out[out.index("{"):])
+    assert payload["ER"] == pytest.approx(0.0)
+    assert payload["F_macro"] == pytest.approx(1.0)
