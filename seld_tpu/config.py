@@ -298,6 +298,12 @@ class TrainConfig:
     specaugment_time_width: int = 25  # frames (0.5 s at 50 fps)
     specaugment_freq_masks: int = 0
     specaugment_freq_width: int = 8  # mel bins
+    # FOA spatial augmentation (ACS): per-sample draw from the 16
+    # label-exact scene transforms (90-deg azimuth rotations, azimuth
+    # reflection, elevation flip) applied to features AND labels inside
+    # the jitted step. Requires features.feature_set="mel_iv" (signed
+    # direction information) and a grid model; seld_tpu/features/acs.py.
+    acs_augment: bool = False
     log_every_steps: int = 10
     # jax.profiler trace of the first N steps of the first epoch into
     # <output>/profile (TPU addition; the reference has no profiling,

@@ -38,7 +38,8 @@ def _apply(model, state: TrainState, mel, train: bool, dropout_rng=None):
 
 def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                     donate: bool = True, out_state_shardings=None,
-                    target_decoder=None, input_augment=None):
+                    target_decoder=None, input_augment=None,
+                    spatial_augment=None):
     """Returns step(state, mel, raw_targets, example_mask, rng) ->
     (state, metrics). `out_state_shardings` pins the output TrainState's
     shardings (e.g. ZeRO-sharded optimizer moments) so GSPMD keeps them
@@ -48,13 +49,19 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
     the uint16 bitmask directly (loss_fn.from_bitmask) — value-identical
     to decoding one-hot first, but the dense (B, T, G, M) targets never
     hit HBM. `input_augment` is an optional on-device (rng, mel) -> mel
-    hook (e.g. SpecAugment), train-side only."""
+    hook (e.g. SpecAugment), train-side only. `spatial_augment` is an
+    optional on-device (rng, mel, label_mask) -> (mel, label_mask) hook
+    transforming features AND labels together (e.g. the FOA ACS scene
+    transforms), applied before input_augment."""
     bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
         target_decoder = lambda m: decode_class_bitmask(m, num_classes)
 
     def step(state: TrainState, mel, label_mask, example_mask, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        if spatial_augment is not None:
+            sp_rng, dropout_rng = jax.random.split(dropout_rng)
+            mel, label_mask = spatial_augment(sp_rng, mel, label_mask)
         if input_augment is not None:
             aug_rng, dropout_rng = jax.random.split(dropout_rng)
             mel = input_augment(aug_rng, mel)

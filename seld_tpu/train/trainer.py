@@ -252,10 +252,28 @@ def train_model(
             cfg.train.specaugment_time_masks, cfg.train.specaugment_time_width,
             cfg.train.specaugment_freq_masks, cfg.train.specaugment_freq_width,
         )
+    spatial_augment = None
+    if cfg.train.acs_augment:
+        if accdoa_mode:
+            raise ValueError(
+                "train.acs_augment rotates grid labels; ACCDOA vector "
+                "targets are not supported (use a grid model)"
+            )
+        from seld_tpu.features.acs import make_acs_augment
+
+        # raises a named error unless feature_set carries signed
+        # direction information (mel_iv)
+        spatial_augment = make_acs_augment(
+            cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set
+        )
+        log.info(
+            "ACS spatial augmentation on: per-sample draw from the 16 "
+            "FOA scene transforms (features + labels)"
+        )
     train_step = make_train_step(
         model, loss_fn, optimizer, cfg.grid.num_classes,
         out_state_shardings=out_state_shardings, target_decoder=target_decoder,
-        input_augment=input_augment,
+        input_augment=input_augment, spatial_augment=spatial_augment,
     )
     eval_step = make_eval_step(
         model, loss_fn, cfg.grid.num_classes, target_decoder=target_decoder
