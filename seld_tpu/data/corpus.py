@@ -95,23 +95,26 @@ def _frame_view(wave: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
 
 _SPATIAL_CHUNK = 2048  # time frames per device batch for spatial feature sets
 _MIN_CHUNK = 128  # smallest device-batch tier (streaming pushes)
+_MID_CHUNK = 1024  # single intermediate tier
 
 
 def _pick_chunk(n: int, cap: int) -> int:
-    """Smallest power-of-two tier in [_MIN_CHUNK, cap] covering n.
+    """Smallest tier in {128, 1024, cap} covering n.
 
     The feature front-end pads inputs to a static device-batch shape so
     the jitted program is reused. A single cap-sized tier made streaming
     catastrophically slow (measured round 3: a 0.1 s push produces ~20
     STFT frames, but padded them to the 8192-frame corpus tier -> a
     31.5 MB host->device transfer and 400x wasted mel work per push,
-    ~540 ms/push through the tunnel). Tiering keeps corpus builds on the
-    big program while small/streaming inputs use right-sized ones; each
-    tier jit-caches independently (jax.jit keys on shape)."""
-    c = _MIN_CHUNK
-    while c < min(n, cap):
-        c *= 2
-    return min(c, cap)
+    ~540 ms/push through the tunnel). Exactly THREE tiers: streaming
+    pushes hit 128, clips hit 1024, corpus builds hit the cap — so a
+    fresh process compiles at most 3 feature programs (each remote
+    compile costs minutes through the tunnel), and no input pads worse
+    than the round-2 single-tier behavior."""
+    for c in (_MIN_CHUNK, _MID_CHUNK):
+        if n <= c <= cap:
+            return c
+    return cap
 
 
 @functools.lru_cache(maxsize=4)
