@@ -140,6 +140,56 @@ def acs_tables(n_el: int, n_az: int, feature_set: str = "mel_iv"):
     return cell_gather, ch_perm, ch_sign
 
 
+def vector_tables(feature_set: str = "mel_iv"):
+    """(perm (16, 3), sign (16, 3)) signed permutation of (x, y, z) DOA
+    vectors per transform — the same rotation the IV channels get."""
+    _, ch_perm, ch_sign = acs_tables(18, 36, feature_set)  # tables are
+    # grid-size independent for the channel part; 18x36 keys the cache
+    return ch_perm[:, 4:7] - 4, ch_sign[:, 4:7]
+
+
+def make_acs_augment_accdoa(feature_set: str = "mel_iv",
+                            multi: bool = False):
+    """ACS hook for ACCDOA-family targets:
+    (rng, feats, targets) -> (feats, targets), with targets
+    (B, T, C, 3) single-ACCDOA xyz vectors or (B, T, 6, 4, C) ADPIT
+    slots ([activity, x, y, z] on axis -2). The features transform
+    exactly as in make_acs_augment; the target vectors rotate with the
+    same signed permutation."""
+    import jax
+    import jax.numpy as jnp
+
+    _, ch_perm, ch_sign = acs_tables(18, 36, feature_set)
+    vperm, vsign = vector_tables(feature_set)
+    cp = jnp.asarray(ch_perm)
+    cs = jnp.asarray(ch_sign)
+    if multi:  # prepend the untouched activity channel
+        vperm = np.concatenate([np.zeros((N_TRANSFORMS, 1), vperm.dtype),
+                                vperm + 1], axis=1)
+        vsign = np.concatenate([np.ones((N_TRANSFORMS, 1), vsign.dtype),
+                                vsign], axis=1)
+    vp = jnp.asarray(vperm)
+    vs = jnp.asarray(vsign)
+
+    def augment(rng, feats, targets):
+        b = feats.shape[0]
+        t = jax.random.randint(rng, (b,), 0, N_TRANSFORMS)
+        feats = jnp.take_along_axis(
+            feats, cp[t][:, None, :, None], axis=2
+        ) * cs[t][:, None, :, None]
+        if multi:  # (B, T, 6, 4, C): permute/sign axis 3
+            targets = jnp.take_along_axis(
+                targets, vp[t][:, None, None, :, None], axis=3
+            ) * vs[t][:, None, None, :, None]
+        else:  # (B, T, C, 3): permute/sign the last axis
+            targets = jnp.take_along_axis(
+                targets, vp[t][:, None, None, :], axis=3
+            ) * vs[t][:, None, None, :]
+        return feats, targets
+
+    return augment
+
+
 def make_acs_augment(n_el: int, n_az: int, feature_set: str = "mel_iv"):
     """Build the jit-friendly per-sample hook:
     (rng, feats (B,T,C,F), mask (B,T,G)) -> (feats, mask)."""

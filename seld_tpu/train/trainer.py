@@ -254,21 +254,26 @@ def train_model(
         )
     spatial_augment = None
     if cfg.train.acs_augment:
+        # both constructors raise a named error unless feature_set
+        # carries signed direction information (mel_iv)
         if accdoa_mode:
-            raise ValueError(
-                "train.acs_augment rotates grid labels; ACCDOA vector "
-                "targets are not supported (use a grid model)"
-            )
-        from seld_tpu.features.acs import make_acs_augment
+            from seld_tpu.features.acs import make_acs_augment_accdoa
+            from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
 
-        # raises a named error unless feature_set carries signed
-        # direction information (mel_iv)
-        spatial_augment = make_acs_augment(
-            cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set
-        )
+            spatial_augment = make_acs_augment_accdoa(
+                cfg.features.feature_set,
+                multi=cfg.model.model_type in MULTI_ACCDOA_MODELS,
+            )
+        else:
+            from seld_tpu.features.acs import make_acs_augment
+
+            spatial_augment = make_acs_augment(
+                cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set
+            )
         log.info(
             "ACS spatial augmentation on: per-sample draw from the 16 "
-            "FOA scene transforms (features + labels)"
+            "FOA scene transforms (features + %s)",
+            "ACCDOA vectors" if accdoa_mode else "grid labels",
         )
     train_step = make_train_step(
         model, loss_fn, optimizer, cfg.grid.num_classes,

@@ -167,3 +167,77 @@ def test_trainer_integration(tmp_path):
     bad_c = synthetic_corpus(bad, n_files=1, seconds=2.0, seed=0)
     with pytest.raises(ValueError, match="signed spatial features"):
         train_model(bad, bad_c, bad_c, workdir=tmp_path / "ckpt2")
+
+
+def test_accdoa_vector_rotation_matches_angle_transform():
+    from seld_tpu.features.acs import vector_tables
+
+    vp, vs = vector_tables()
+    rng = np.random.default_rng(3)
+    for t in range(N_TRANSFORMS):
+        for _ in range(10):
+            az = float(rng.uniform(-170, 170))
+            el = float(rng.uniform(-80, 80))
+            d = np.array([
+                np.cos(np.deg2rad(el)) * np.cos(np.deg2rad(az)),
+                np.cos(np.deg2rad(el)) * np.sin(np.deg2rad(az)),
+                np.sin(np.deg2rad(el)),
+            ])
+            got = vs[t] * d[vp[t]]
+            az2, el2 = transform_angles(az, el, t)
+            want = np.array([
+                np.cos(np.deg2rad(el2)) * np.cos(np.deg2rad(az2)),
+                np.cos(np.deg2rad(el2)) * np.sin(np.deg2rad(az2)),
+                np.sin(np.deg2rad(el2)),
+            ])
+            np.testing.assert_allclose(got, want, atol=1e-12, err_msg=f"t={t}")
+
+
+def test_accdoa_and_adpit_augment_shapes_and_activity():
+    from seld_tpu.features.acs import make_acs_augment_accdoa
+
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(rng.standard_normal((4, 6, 7, 64)), jnp.float32)
+    # single ACCDOA: unit vectors for one active class
+    acc = np.zeros((4, 6, 13, 3), np.float32)
+    acc[:, :, 5] = [0.6, 0.8, 0.0]
+    aug = make_acs_augment_accdoa("mel_iv", multi=False)
+    f2, a2 = aug(jax.random.PRNGKey(1), feats, jnp.asarray(acc))
+    a2 = np.asarray(a2)
+    # norms preserved; only class 5 active
+    np.testing.assert_allclose(np.linalg.norm(a2[:, :, 5], axis=-1), 1.0,
+                               rtol=1e-6)
+    assert np.abs(a2[:, :, :5]).max() == 0.0
+
+    # ADPIT: activity channel must never change
+    adp = np.zeros((4, 6, 6, 4, 13), np.float32)
+    adp[:, :, 0, 0, 5] = 1.0             # activity
+    adp[:, :, 0, 1:4, 5] = np.array([0.6, 0.8, 0.0])[:, None][:, 0]
+    adp[:, :, 0, 1, 5], adp[:, :, 0, 2, 5], adp[:, :, 0, 3, 5] = 0.6, 0.8, 0.0
+    aug_m = make_acs_augment_accdoa("mel_iv", multi=True)
+    f3, m3 = aug_m(jax.random.PRNGKey(2), feats, jnp.asarray(adp))
+    m3 = np.asarray(m3)
+    np.testing.assert_array_equal(m3[:, :, 0, 0, 5], adp[:, :, 0, 0, 5])
+    np.testing.assert_allclose(
+        np.linalg.norm(m3[:, :, 0, 1:4, 5], axis=-1), 1.0, rtol=1e-6)
+
+
+def test_trainer_integration_accdoa(tmp_path):
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.train import train_model
+
+    cfg = parse_overrides(Config(), [
+        "model.model_type=accdoa_conformer",
+        "model.conf_d_model=32", "model.conf_n_heads=4",
+        "model.conf_n_layers=1", "model.compute_dtype=float32",
+        "features.feature_set=mel_iv", "targets.accdoa=true",
+        "window.window_seconds=1.0", "window.hop_seconds=0.5",
+        "train.batch_size=4", "train.num_epochs=1",
+        "train.acs_augment=true",
+        f"data.base_path={tmp_path}",
+    ])
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
+    _, history = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    assert np.isfinite(history["train_losses"][0])
