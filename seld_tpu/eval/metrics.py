@@ -289,19 +289,42 @@ def _hungarian_mean_distance(gt_doas: np.ndarray, pred_doas: np.ndarray) -> floa
     return float(cost[rows, cols].mean())
 
 
-def _sparse_frame_class_groups(grid: np.ndarray, num_classes: int):
-    """Group a (F, G) argmax grid's active cells by (frame, class).
+def _sparse_frame_class_groups(grid: np.ndarray, num_classes: int,
+                               bitmask: bool = False):
+    """Group active cells by (frame, class).
+
+    grid: (F, G) argmax class grid (background = num_classes - 1), or —
+    with ``bitmask=True`` — a (F, G) uint16 class bitmask, which
+    preserves co-located different-class events (a cell can contribute
+    to several classes; CSV-derived ground truth needs this, while model
+    outputs are argmax grids by construction).
 
     Returns (keys, starts, counts, cells): ``keys`` are the sorted unique
     ``frame * num_classes + class`` values, group g's cells (ascending
     cell index — the canonical DOA-row order) are
     ``cells[starts[g] : starts[g] + counts[g]]``.
     """
-    bg = num_classes - 1
-    f, cell = np.nonzero(grid != bg)
-    cls = grid[f, cell].astype(np.int64)
-    # nonzero is row-major (sorted by frame, then cell), and keys sort by
-    # (frame, class), so one stable sort on class within frames suffices.
+    if bitmask:
+        f, cell = np.nonzero(grid != 0)
+        vals = grid[f, cell].astype(np.int64)
+        fs, cells, clss = [], [], []
+        for bit in range(num_classes - 1):
+            sel = (vals >> bit) & 1 == 1
+            if sel.any():
+                fs.append(f[sel])
+                cells.append(cell[sel])
+                clss.append(np.full(int(sel.sum()), bit, np.int64))
+        if fs:
+            f = np.concatenate(fs)
+            cell = np.concatenate(cells)
+            cls = np.concatenate(clss)
+        else:
+            f = cell = cls = np.zeros(0, np.int64)
+    else:
+        bg = num_classes - 1
+        f, cell = np.nonzero(grid != bg)
+        cls = grid[f, cell].astype(np.int64)
+    # keys sort by (frame, class) with cells ascending within groups.
     order = np.lexsort((cell, cls, f))
     key = f[order] * num_classes + cls[order]
     ukey, starts, counts = np.unique(key, return_index=True, return_counts=True)
@@ -317,6 +340,7 @@ def dcase2022_metrics(
     doa_threshold_deg: float = 20.0,
     frames_per_segment: int = 50,  # 1 s at 50 fps
     macro_over: str = "all",
+    bitmask: bool = False,
 ) -> dict:
     """Official DCASE2022 SELD metrics from argmax class grids.
 
@@ -359,6 +383,9 @@ def dcase2022_metrics(
     Inputs are argmax class grids (N, T, G) with background =
     num_classes - 1; active cells' centers are the DOA sets (multiple
     cells of one class in a frame = multiple simultaneous sources).
+    With ``bitmask=True`` the inputs are uint16 class bitmasks instead,
+    preserving co-located different-class events (the CSV scorer's
+    ground truth; model outputs are argmax grids by construction).
     """
     if macro_over not in ("all", "gt"):
         raise ValueError(f"macro_over must be 'all' or 'gt', got {macro_over!r}")
@@ -369,8 +396,10 @@ def dcase2022_metrics(
     n_segments = -(-n_frames // frames_per_segment)
     dtab = _cell_distance_table(n_el, n_az)
 
-    t_keys, t_starts, t_counts, t_cells = _sparse_frame_class_groups(true, C)
-    p_keys, p_starts, p_counts, p_cells = _sparse_frame_class_groups(pred, C)
+    t_keys, t_starts, t_counts, t_cells = _sparse_frame_class_groups(
+        true, C, bitmask=bitmask)
+    p_keys, p_starts, p_counts, p_cells = _sparse_frame_class_groups(
+        pred, C, bitmask=bitmask)
 
     # (frame, class) pairs active in both: the Hungarian sites.
     m_keys, ti, pi = np.intersect1d(

@@ -6,8 +6,8 @@ CSVs without re-running any model. The reference has no scorer at all
 ref trainer.py:541-556); this module closes that workflow:
 
   pred/gt CSV rows (frame, class, source, azimuth, elevation; 100 ms
-  metadata frames)  ->  rasterized 20 ms argmax class grids (the
-  framework's native representation, seld_tpu.targets.rasterize)  ->
+  metadata frames)  ->  rasterized 20 ms uint16 class-bitmask grids
+  (seld_tpu.targets.rasterize; multi-hot cells preserved)  ->
   ``dcase2022_metrics`` (official-exact bookkeeping, cross-validated in
   tests/test_dcase2022.py).
 
@@ -31,54 +31,41 @@ from seld_tpu.targets.rasterize import (
 )
 
 
-def _bitmask_to_argmax_grid(mask: np.ndarray, num_classes: int) -> np.ndarray:
-    """(T, G) uint16 bitmask -> (T, G) int argmax class grid (lowest set
-    bit wins — identical to argmax over the decoded one-hot; background
-    = num_classes - 1 where no bit is set)."""
-    m = mask.astype(np.int64)
-    lsb = m & -m
-    v = lsb - 1
-    v = v - ((v >> 1) & 0x5555)
-    v = (v & 0x3333) + ((v >> 2) & 0x3333)
-    v = (v + (v >> 4)) & 0x0F0F
-    labels = (v + (v >> 8)) & 0x1F
-    return np.where(m == 0, num_classes - 1, labels).astype(np.int8)
-
-
-def _csv_to_grid(path, cfg: Config, total_label_frames: int) -> np.ndarray:
-    frames, classes, _src, az, el = load_metadata_csv(path)
-    mask = encode_events_to_bitmask(
-        frames, classes, az, el, total_label_frames,
-        n_el=cfg.grid.n_el, n_az=cfg.grid.n_az, fanout=cfg.targets.fanout,
-    )
-    return _bitmask_to_argmax_grid(mask, cfg.grid.num_classes)
-
-
 def score_csv_pairs(pairs, cfg: Config, frames_per_segment: int = 50,
                     macro_over: str = "all") -> dict:
     """Official DCASE2022 metrics over (pred_csv, gt_csv) pairs.
 
-    Each file contributes its own whole 1 s segments (grids padded to a
-    segment multiple so segments never span files), then every count
-    pools across files exactly like the official per-file accumulation.
+    CSV events rasterize to uint16 class BITMASK grids and score through
+    ``dcase2022_metrics(bitmask=True)`` — co-located different-class
+    events in one grid cell are preserved exactly (an argmax grid would
+    drop all but the lowest class). Each file contributes its own whole
+    1 s segments (grids padded to a segment multiple so segments never
+    span files), then every count pools across files exactly like the
+    official per-file accumulation.
     """
     pred_grids, true_grids = [], []
     for pred_csv, gt_csv in pairs:
-        t_max = 0
-        for p in (pred_csv, gt_csv):
-            frames = load_metadata_csv(p)[0]
-            if frames.size:
-                t_max = max(t_max, (int(frames.max()) + 1) * cfg.targets.fanout)
+        rows = {p: load_metadata_csv(p) for p in (pred_csv, gt_csv)}
+        t_max = max(
+            ((int(r[0].max()) + 1) * cfg.targets.fanout
+             for r in rows.values() if r[0].size), default=0,
+        )
         t_lab = max(-(-max(t_max, 1) // frames_per_segment)
                     * frames_per_segment, frames_per_segment)
-        pred_grids.append(_csv_to_grid(pred_csv, cfg, t_lab))
-        true_grids.append(_csv_to_grid(gt_csv, cfg, t_lab))
+        for p, grids in ((pred_csv, pred_grids), (gt_csv, true_grids)):
+            frames, classes, _src, az, el = rows[p]
+            grids.append(encode_events_to_bitmask(
+                frames, classes, az, el, t_lab,
+                n_el=cfg.grid.n_el, n_az=cfg.grid.n_az,
+                fanout=cfg.targets.fanout,
+            ))
     result = dcase2022_metrics(
         np.concatenate(pred_grids, axis=0)[None],
         np.concatenate(true_grids, axis=0)[None],
         n_el=cfg.grid.n_el, n_az=cfg.grid.n_az,
         num_classes=cfg.grid.num_classes,
         frames_per_segment=frames_per_segment, macro_over=macro_over,
+        bitmask=True,
     )
     result["n_files"] = len(pred_grids)
     return result

@@ -121,7 +121,13 @@ def acs_tables(n_el: int, n_az: int, feature_set: str = "mel_iv"):
         az2, el2 = transform_angles(az_grid, el_grid, t)
         i2, j2 = polar_to_grid(az2, el2, n_el, n_az)
         fwd = (np.asarray(i2, np.int64) * n_az + np.asarray(j2, np.int64))
-        assert len(np.unique(fwd)) == g, f"transform {t} not a bijection"
+        if len(np.unique(fwd)) != g:
+            raise ValueError(
+                f"ACS transform {t} is not a bijection on the "
+                f"{n_el}x{n_az} grid — 90-deg rotations need the azimuth "
+                "cell width to divide 90 (e.g. n_az=36) and reflections "
+                "need symmetric cell centers"
+            )
         inv = np.empty(g, np.int64)
         inv[fwd] = np.arange(g)  # new cell c holds old cell inv[c]
         cell_gather[t] = inv

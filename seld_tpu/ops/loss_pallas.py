@@ -171,8 +171,3 @@ def _vjp_bwd(num_classes, interpret, residuals, cotangents):
 
 grid_loss_terms.defvjp(_vjp_fwd, _vjp_bwd)
 
-
-def fused_mse_cl_available(loss_type: str) -> bool:
-    """The fused path covers the softmax-MSE family (the default and the
-    flagship config); CE mode stays on the XLA path."""
-    return loss_type == "mse"

@@ -113,10 +113,12 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
 
 
 def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
-                   return_logits: bool = False, target_decoder=None):
+                   return_logits: bool = False, target_decoder=None,
+                   sharded: bool = False):
     """Returns step(state, mel, raw_targets, example_mask) -> metrics
     (and logits when return_logits). Bitmask-capable losses consume the
-    raw uint16 masks directly (see make_train_step)."""
+    raw uint16 masks directly (see make_train_step); `sharded=True` pins
+    the Pallas loss kernel off (same GSPMD rule as the train step)."""
     bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
         target_decoder = lambda m: decode_class_bitmask(m, num_classes)
@@ -124,7 +126,10 @@ def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
     def step(state: TrainState, mel, label_mask, example_mask):
         out, _ = _apply(model, state, mel, train=False)
         if bitmask_native:
-            total, breakdown = loss_fn.from_bitmask(out, label_mask, example_mask)
+            total, breakdown = loss_fn.from_bitmask(
+                out, label_mask, example_mask,
+                fused=False if sharded else None,
+            )
         else:
             total, breakdown = loss_fn(out, target_decoder(label_mask),
                                        example_mask)

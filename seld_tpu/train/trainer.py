@@ -281,7 +281,8 @@ def train_model(
         input_augment=input_augment, spatial_augment=spatial_augment,
     )
     eval_step = make_eval_step(
-        model, loss_fn, cfg.grid.num_classes, target_decoder=target_decoder
+        model, loss_fn, cfg.grid.num_classes, target_decoder=target_decoder,
+        sharded=mesh is not None,
     )
 
     plateau = ReduceLROnPlateau(

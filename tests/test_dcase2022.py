@@ -508,3 +508,70 @@ def test_score_cli_roundtrip(tmp_path, capsys):
     payload = json.loads(out[out.index("{"):])
     assert payload["ER"] == pytest.approx(0.0)
     assert payload["F_macro"] == pytest.approx(1.0)
+
+
+def test_bitmask_metrics_preserve_colocated_classes():
+    """bitmask=True input keeps co-located different-class events that an
+    argmax grid would collapse — and agrees with the oracle fed the same
+    multi-hot content."""
+    gt_bits = np.zeros((1, 50, G), np.uint16)
+    # classes 2 AND 7 in the SAME cell for 10 frames
+    gt_bits[0, 0:10, cell(5, 5)] = (1 << 2) | (1 << 7)
+    m = dcase2022_metrics(gt_bits, gt_bits, bitmask=True, macro_over="gt")
+    assert m["Nref"] == 2 and m["TP"] == 2  # both classes scored
+    assert m["ER"] == pytest.approx(0.0)
+    assert m["F_macro"] == pytest.approx(1.0)
+
+    # argmax collapse would see only class 2
+    gt_argmax = np.full((1, 50, G), BG, np.int8)
+    gt_argmax[0, 0:10, cell(5, 5)] = 2
+    m2 = dcase2022_metrics(gt_argmax, gt_argmax)
+    assert m2["Nref"] == 1
+
+    # miss one of the two co-located classes -> FN for it
+    pred_bits = np.zeros((1, 50, G), np.uint16)
+    pred_bits[0, 0:10, cell(5, 5)] = 1 << 2
+    m3 = dcase2022_metrics(pred_bits, gt_bits, bitmask=True)
+    assert m3["TP"] == 1 and m3["FN"] == 1
+
+
+def test_bitmask_metrics_match_argmax_when_single_class():
+    """With at most one class per cell, bitmask and argmax inputs are the
+    same content and must produce identical scores."""
+    rng = np.random.default_rng(7)
+    bits = np.zeros((2, 60, G), np.uint16)
+    am = np.full((2, 60, G), BG, np.int8)
+    for _ in range(25):
+        n = int(rng.integers(0, 2))
+        f0 = int(rng.integers(0, 50))
+        c = int(rng.integers(0, 13))
+        g = int(rng.integers(0, G))
+        bits[n, f0 : f0 + 8, g] = 1 << c
+        am[n, f0 : f0 + 8, g] = c
+    pred_bits, pred_am = bits.copy(), am.copy()
+    pred_bits[0, :, : G // 2] = 0
+    pred_am[0, :, : G // 2] = BG
+    mb = dcase2022_metrics(pred_bits, bits, bitmask=True)
+    ma = dcase2022_metrics(pred_am, am)
+    for k in ("ER", "F_macro", "LE_macro", "LR_macro", "Nref", "TP", "FP",
+              "FN", "FP_spatial", "S", "D", "I"):
+        assert mb[k] == pytest.approx(ma[k]), k
+
+
+def test_score_csv_colocated_multiclass(tmp_path):
+    """Two different-class events at the same DOA and frame survive CSV
+    scoring (the argmax route would drop one)."""
+    from seld_tpu.config import Config
+    from seld_tpu.eval.score import match_csv_dirs, score_csv_pairs
+
+    gt_dir = tmp_path / "gt"
+    pr_dir = tmp_path / "pred"
+    gt_dir.mkdir(), pr_dir.mkdir()
+    rows = [[f, 2, 0, 30, 10] for f in range(10)] + \
+           [[f, 7, 1, 30, 10] for f in range(10)]
+    _write_csv(gt_dir / "a.csv", rows)
+    _write_csv(pr_dir / "a.csv", rows)
+    m = score_csv_pairs(match_csv_dirs(pr_dir, gt_dir), Config(),
+                        macro_over="gt")
+    assert m["Nref"] == 2 and m["TP"] == 2
+    assert m["F_macro"] == pytest.approx(1.0)
