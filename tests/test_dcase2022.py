@@ -575,3 +575,118 @@ def test_score_csv_colocated_multiclass(tmp_path):
                         macro_over="gt")
     assert m["Nref"] == 2 and m["TP"] == 2
     assert m["F_macro"] == pytest.approx(1.0)
+
+
+def _oracle_frames_bits(bits):
+    """Oracle-side conversion for uint16 bitmask grids: every set bit of
+    every cell contributes (class -> DOA) — multi-hot cells preserved."""
+    out = []
+    for f in range(bits.shape[0]):
+        d = {}
+        for c_idx in np.nonzero(bits[f] != 0)[0]:
+            v = int(bits[f, c_idx])
+            el = -85.0 + 10.0 * (c_idx // N_AZ)
+            az = -175.0 + 10.0 * (c_idx % N_AZ)
+            for cls in range(NB_CLASSES):
+                if (v >> cls) & 1:
+                    d.setdefault(cls, []).append([el, az])
+        out.append(d)
+    return out
+
+
+def oracle_dcase2022_bits(pred_bits, gt_bits, thresh=20.0):
+    """Literal official oracle over bitmask grids (reuses the segment/
+    update/compute restatement via monkey-free composition)."""
+    # reuse the scoring core by temporarily substituting the frame builder
+    pred_frames = _oracle_frames_bits(np.asarray(pred_bits).reshape(-1, G))
+    gt_frames = _oracle_frames_bits(np.asarray(gt_bits).reshape(-1, G))
+    return _oracle_from_frames(pred_frames, gt_frames, thresh)
+
+
+def _oracle_from_frames(pred_frames, gt_frames, thresh=20.0):
+    from scipy.optimize import linear_sum_assignment
+
+    pred_blocks = _oracle_segment_labels(pred_frames)
+    gt_blocks = _oracle_segment_labels(gt_frames)
+    TP = np.zeros(NB_CLASSES, int)
+    FP = np.zeros(NB_CLASSES, int)
+    FP_sp = np.zeros(NB_CLASSES, int)
+    FN = np.zeros(NB_CLASSES, int)
+    Nref = np.zeros(NB_CLASSES, int)
+    total_DE = np.zeros(NB_CLASSES, float)
+    DE_TP = np.zeros(NB_CLASSES, int)
+    DE_FN = np.zeros(NB_CLASSES, int)
+    S = D = I = 0
+    for b in range(len(gt_blocks)):
+        loc_FN = loc_FP = 0
+        for c in range(NB_CLASSES):
+            in_gt = c in gt_blocks[b]
+            in_pred = c in pred_blocks[b]
+            if in_gt:
+                Nref[c] += 1
+            if in_gt and in_pred:
+                mtd, mtc = {}, {}
+                gt_ind = gt_blocks[b][c][0][0]
+                pr_ind = pred_blocks[b][c][0][0]
+                for gi, gv in enumerate(gt_ind):
+                    if gv in pr_ind:
+                        cost = _oracle_distance_matrix(
+                            gt_blocks[b][c][0][1][gi],
+                            pred_blocks[b][c][0][1][pr_ind.index(gv)])
+                        rows, cols = linear_sum_assignment(cost)
+                        for r, cc in zip(rows, cols):
+                            mtd.setdefault(int(r), []).append(cost[r, cc])
+                            mtc.setdefault(int(r), []).append(cc)
+                if not mtd:
+                    loc_FN += 1
+                    FN[c] += 1
+                    DE_FN[c] += 1
+                else:
+                    for tid in mtd:
+                        avg = sum(mtd[tid]) / len(mtc[tid])
+                        total_DE[c] += avg
+                        DE_TP[c] += 1
+                        if avg <= thresh:
+                            TP[c] += 1
+                        else:
+                            loc_FP += 1
+                            FP_sp[c] += 1
+            elif in_gt:
+                loc_FN += 1
+                FN[c] += 1
+                DE_FN[c] += 1
+            elif in_pred:
+                loc_FP += 1
+                FP[c] += 1
+        S += min(loc_FP, loc_FN)
+        D += max(0, loc_FN - loc_FP)
+        I += max(0, loc_FP - loc_FN)
+    return {"S": S, "D": D, "I": I, "Nref": int(Nref.sum()),
+            "TP": int(TP.sum()), "FP": int(FP.sum()),
+            "FP_spatial": int(FP_sp.sum()), "FN": int(FN.sum())}
+
+
+def test_bitmask_metrics_match_official_oracle_randomized():
+    """dcase2022_metrics(bitmask=True) agrees with the literal oracle on
+    randomized MULTI-HOT grids (co-located different-class events)."""
+    for seed in range(40):
+        rng = np.random.default_rng(1000 + seed)
+        n_frames = int(rng.integers(30, 140))
+        gt = np.zeros((n_frames, G), np.uint16)
+        pred = np.zeros((n_frames, G), np.uint16)
+        for _ in range(int(rng.integers(1, 8))):
+            c = int(rng.integers(0, NB_CLASSES))
+            f0 = int(rng.integers(0, n_frames))
+            f1 = min(n_frames, f0 + int(rng.integers(1, 50)))
+            cell_i = int(rng.integers(0, G))
+            gt[f0:f1, cell_i] |= np.uint16(1 << c)
+            if rng.random() < 0.4:  # co-located second class
+                c2 = int(rng.integers(0, NB_CLASSES))
+                gt[f0:f1, cell_i] |= np.uint16(1 << c2)
+            if rng.random() < 0.8:  # prediction, jittered cell
+                pc = int(np.clip(cell_i + rng.integers(-3, 4), 0, G - 1))
+                pred[f0:f1, pc] |= np.uint16(1 << c)
+        want = oracle_dcase2022_bits(pred, gt)
+        got = dcase2022_metrics(pred, gt, bitmask=True)
+        for k in want:
+            assert got[k] == want[k], f"seed {seed}: {k} {got[k]} != {want[k]}"
