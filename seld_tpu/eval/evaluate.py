@@ -129,11 +129,10 @@ def evaluate_model(
             logits = model.apply(state.variables(), mel, train=False)
             # bitmask-native loss + argmax labels: value-identical to the
             # dense one-hot route without materializing (B, T, G, M).
-            # Under a mesh the Pallas loss kernel is pinned off (opaque
-            # custom call GSPMD would replicate) — same rule as steps.py.
+            # Under a mesh the fused kernel runs in shard_map over the
+            # data axis (same rule as steps.py).
             total, breakdown = loss_fn.from_bitmask(
-                logits, label_mask, example_mask,
-                fused=False if mesh is not None else None,
+                logits, label_mask, example_mask, mesh=mesh,
             )
             pred_cls = jnp.argmax(logits, axis=-1).astype(jnp.int8)
             true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)

@@ -305,7 +305,7 @@ class SELDLossFn:
         return LossOutput(total, breakdown)
 
     def from_bitmask(self, logits, label_mask, example_mask=None,
-                     fused=None) -> LossOutput:
+                     fused=None, mesh=None) -> LossOutput:
         """Composite loss straight from the (B, T, G) uint16 bitmask.
 
         Value-identical to ``__call__(logits,
@@ -329,7 +329,7 @@ class SELDLossFn:
         if fused and cfg.loss_type == "mse":
             return self._from_bitmask_fused(
                 logits, label_mask, example_mask,
-                interpret=(fused == "interpret"),
+                interpret=(fused == "interpret"), mesh=mesh,
             )
         needs_probs = cfg.loss_type == "mse" or cfg.use_cl
         probs = (
@@ -363,7 +363,7 @@ class SELDLossFn:
         return LossOutput(total, breakdown)
 
     def _from_bitmask_fused(self, logits, label_mask, example_mask=None,
-                            interpret: bool = False) -> LossOutput:
+                            interpret: bool = False, mesh=None) -> LossOutput:
         """MSE-family composite via the fused Pallas softmax-region kernel
         (one pass computes the squared-error row sums and the background
         plane; AIUR's zero-gradient argmax stays in XLA)."""
@@ -376,7 +376,7 @@ class SELDLossFn:
             logits.reshape(b * t, g, m).astype(jnp.float32), 1, 2
         )  # (N, M, G): classes on sublanes, cells on lanes
         sq, pbg = grid_loss_terms(
-            x, label_mask.reshape(b * t, g), nc, interpret
+            x, label_mask.reshape(b * t, g), nc, interpret, mesh
         )
         em = _example_weights(example_mask, b)
         per_example = sq.reshape(b, t * g).sum(axis=1) / (t * g * m)

@@ -86,33 +86,64 @@ def _bwd_kernel(x_ref, mask_ref, gsq_ref, gbg_ref, dx_ref, *,
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
-def _geometry(n_rows: int):
-    rows_pad = -(-n_rows // ROW_BLOCK) * ROW_BLOCK
+def _geometry(n_rows: int, n_shards: int = 1):
+    """Pad rows so every shard gets a whole number of ROW_BLOCK blocks."""
+    unit = ROW_BLOCK * n_shards
+    rows_pad = -(-n_rows // unit) * unit
     return rows_pad, rows_pad // ROW_BLOCK
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def grid_loss_terms(logits_mg, mask, num_classes: int, interpret: bool = False):
+def _shard_rows(mesh):
+    """(n_shards, wrapper) for running a rows-independent callable under
+    shard_map over the mesh's data axis (the kernel is per-(b, t)-row
+    independent, so batch sharding splits the row dim contiguously and
+    needs no collectives). mesh=None -> identity."""
+    if mesh is None:
+        return 1, lambda fn, n_in, n_out: fn
+    from jax.sharding import PartitionSpec as P
+
+    from seld_tpu.parallel.mesh import DATA_AXIS
+
+    row_spec = P(DATA_AXIS, None, None)
+
+    def wrap(fn, n_in, n_out):
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(row_spec,) * n_in,
+            out_specs=(row_spec,) * n_out if n_out > 1 else row_spec,
+            check_vma=False,
+        )
+
+    return mesh.shape[DATA_AXIS], wrap
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def grid_loss_terms(logits_mg, mask, num_classes: int, interpret: bool = False,
+                    mesh=None):
     """(sq_cells (N, G), p_bg (N, G)) from (N, M, G) logits + (N, G) mask.
 
     sq_cells[n, g] = sum_m (softmax(logits)[n,m,g] - onehot[n,m,g])^2;
     p_bg is the background-class probability plane. Differentiable w.r.t.
-    logits_mg via the fused backward kernel.
+    logits_mg via the fused backward kernel. With `mesh`, both kernels
+    run under shard_map over the data axis (row-sharded, collective-free)
+    instead of appearing to GSPMD as an opaque replicated custom call.
     """
-    out, _ = _fwd_impl(logits_mg, mask, num_classes, interpret)
+    out, _ = _fwd_impl(logits_mg, mask, num_classes, interpret, mesh)
     return out
 
 
-def _fwd_impl(logits_mg, mask, num_classes, interpret):
+def _fwd_impl(logits_mg, mask, num_classes, interpret, mesh):
     n, M, G = logits_mg.shape
-    rows_pad, n_blocks = _geometry(n)
+    n_shards, wrap = _shard_rows(mesh)
+    rows_pad, n_blocks = _geometry(n, n_shards)
     x = jnp.pad(logits_mg, ((0, rows_pad - n), (0, 0), (0, 0)))
     mk = jnp.pad(mask.astype(jnp.int32), ((0, rows_pad - n), (0, 0)))
     mk = mk[:, None, :]  # (N, 1, G)
+    shard_rows = rows_pad // n_shards
 
-    sq, pbg = pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(_fwd_kernel, num_classes=num_classes),
-        grid=(n_blocks,),
+        grid=(shard_rows // ROW_BLOCK,),
         in_specs=[
             pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -126,31 +157,34 @@ def _fwd_impl(logits_mg, mask, num_classes, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rows_pad, 1, G), jnp.float32),
-            jax.ShapeDtypeStruct((rows_pad, 1, G), jnp.float32),
+            jax.ShapeDtypeStruct((shard_rows, 1, G), jnp.float32),
+            jax.ShapeDtypeStruct((shard_rows, 1, G), jnp.float32),
         ],
         interpret=interpret,
-    )(x, mk)
+    )
+    sq, pbg = wrap(call, 2, 2)(x, mk)
     return (sq[:n, 0, :], pbg[:n, 0, :]), (logits_mg, mask)
 
 
-def _vjp_fwd(logits_mg, mask, num_classes, interpret):
-    return _fwd_impl(logits_mg, mask, num_classes, interpret)
+def _vjp_fwd(logits_mg, mask, num_classes, interpret, mesh):
+    return _fwd_impl(logits_mg, mask, num_classes, interpret, mesh)
 
 
-def _vjp_bwd(num_classes, interpret, residuals, cotangents):
+def _vjp_bwd(num_classes, interpret, mesh, residuals, cotangents):
     logits_mg, mask = residuals
     g_sq, g_bg = cotangents
     n, M, G = logits_mg.shape
-    rows_pad, n_blocks = _geometry(n)
+    n_shards, wrap = _shard_rows(mesh)
+    rows_pad, n_blocks = _geometry(n, n_shards)
     x = jnp.pad(logits_mg, ((0, rows_pad - n), (0, 0), (0, 0)))
     mk = jnp.pad(mask.astype(jnp.int32), ((0, rows_pad - n), (0, 0)))[:, None, :]
     gs = jnp.pad(g_sq.astype(jnp.float32), ((0, rows_pad - n), (0, 0)))[:, None, :]
     gb = jnp.pad(g_bg.astype(jnp.float32), ((0, rows_pad - n), (0, 0)))[:, None, :]
+    shard_rows = rows_pad // n_shards
 
-    dx = pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(_bwd_kernel, num_classes=num_classes),
-        grid=(n_blocks,),
+        grid=(shard_rows // ROW_BLOCK,),
         in_specs=[
             pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -163,9 +197,10 @@ def _vjp_bwd(num_classes, interpret, residuals, cotangents):
         ],
         out_specs=pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, M, G), logits_mg.dtype),
+        out_shape=jax.ShapeDtypeStruct((shard_rows, M, G), logits_mg.dtype),
         interpret=interpret,
-    )(x, mk, gs, gb)
+    )
+    dx = wrap(call, 4, 1)(x, mk, gs, gb)
     return dx[:n], None
 
 

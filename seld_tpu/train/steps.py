@@ -36,6 +36,18 @@ def _apply(model, state: TrainState, mel, train: bool, dropout_rng=None):
     return model.apply(variables, mel, **kwargs), state.batch_stats
 
 
+def _mesh_of(shardings):
+    """Mesh of a NamedSharding pytree (None when unsharded)."""
+    if shardings is None:
+        return None
+    for leaf in jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: hasattr(x, "mesh")
+    ):
+        if hasattr(leaf, "mesh"):
+            return leaf.mesh
+    return None
+
+
 def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                     donate: bool = True, out_state_shardings=None,
                     target_decoder=None, input_augment=None,
@@ -56,6 +68,7 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
     bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
         target_decoder = lambda m: decode_class_bitmask(m, num_classes)
+    step_mesh = _mesh_of(out_state_shardings)
 
     def step(state: TrainState, mel, label_mask, example_mask, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -77,12 +90,11 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
             )
             if bitmask_native:
                 # fused=None auto-selects the Pallas loss kernel on TPU;
-                # under a mesh the kernel is an opaque custom call GSPMD
-                # would have to replicate, so sharded steps pin the XLA
-                # path (single-chip/real-multichip perf work can revisit).
+                # under a mesh the kernel runs inside shard_map over the
+                # data axis (row-sharded, collective-free) instead of
+                # appearing to GSPMD as an opaque replicated custom call.
                 total, breakdown = loss_fn.from_bitmask(
-                    out, label_mask, example_mask,
-                    fused=False if out_state_shardings is not None else None,
+                    out, label_mask, example_mask, mesh=step_mesh,
                 )
             else:
                 total, breakdown = loss_fn(out, targets, example_mask)
@@ -114,11 +126,11 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
 
 def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
                    return_logits: bool = False, target_decoder=None,
-                   sharded: bool = False):
+                   mesh=None):
     """Returns step(state, mel, raw_targets, example_mask) -> metrics
     (and logits when return_logits). Bitmask-capable losses consume the
-    raw uint16 masks directly (see make_train_step); `sharded=True` pins
-    the Pallas loss kernel off (same GSPMD rule as the train step)."""
+    raw uint16 masks directly (see make_train_step); under a mesh the
+    fused loss kernel runs in shard_map over the data axis."""
     bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
         target_decoder = lambda m: decode_class_bitmask(m, num_classes)
@@ -127,8 +139,7 @@ def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
         out, _ = _apply(model, state, mel, train=False)
         if bitmask_native:
             total, breakdown = loss_fn.from_bitmask(
-                out, label_mask, example_mask,
-                fused=False if sharded else None,
+                out, label_mask, example_mask, mesh=mesh,
             )
         else:
             total, breakdown = loss_fn(out, target_decoder(label_mask),

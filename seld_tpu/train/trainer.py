@@ -282,7 +282,7 @@ def train_model(
     )
     eval_step = make_eval_step(
         model, loss_fn, cfg.grid.num_classes, target_decoder=target_decoder,
-        sharded=mesh is not None,
+        mesh=mesh,
     )
 
     plateau = ReduceLROnPlateau(

@@ -279,3 +279,92 @@ def test_fused_loss_matches_xla_path():
                                                  fused=False).total)(logits)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(go),
                                    rtol=2e-4, atol=1e-7)
+
+
+def test_fused_loss_under_mesh_matches_unsharded():
+    """The fused loss kernel runs under shard_map over the data axis of a
+    mesh (row-sharded, collective-free) — values and gradients must match
+    the unsharded interpret run on the 8-virtual-device mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from seld_tpu.config import GridConfig, LossConfig
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    logits, mask = _loss_case(5, b=4, t=4)
+    em = jnp.ones((4,), jnp.float32)
+    fn = SELDLossFn(LossConfig(loss_type="mse", use_cl=True), GridConfig())
+
+    ref = fn.from_bitmask(logits, mask, em, fused="interpret")
+    lg = jax.device_put(logits, NamedSharding(mesh, P("data")))
+    mk = jax.device_put(mask, NamedSharding(mesh, P("data")))
+    got = jax.jit(
+        lambda l, m: fn.from_bitmask(l, m, em, fused="interpret", mesh=mesh)
+    )(lg, mk)
+    np.testing.assert_allclose(np.asarray(got.total), np.asarray(ref.total),
+                               rtol=1e-6)
+
+    g_ref = jax.grad(lambda l: fn.from_bitmask(l, mask, em,
+                                               fused="interpret").total)(logits)
+    g_mesh = jax.jit(jax.grad(
+        lambda l: fn.from_bitmask(l, mk, em, fused="interpret",
+                                  mesh=mesh).total
+    ))(lg)
+    np.testing.assert_allclose(np.asarray(g_mesh), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_train_step_mesh_uses_fused_loss_consistently():
+    """A sharded make_train_step with the fused-interpret loss matches the
+    unsharded XLA-loss step's loss value (the shard_map wiring end to
+    end through out_state_shardings -> _mesh_of)."""
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.models import build_model
+    from seld_tpu.parallel import (
+        batch_sharding, make_mesh, shard_variables, state_shardings,
+    )
+    from seld_tpu.train import create_train_state, make_optimizer, make_train_step
+
+    cfg = parse_overrides(Config(), [
+        "model.model_type=crnn", "model.crnn_cnn_channels=8,16",
+        "model.crnn_rnn_hidden=16", "model.crnn_rnn_layers=1",
+        "model.compute_dtype=float32",
+        "window.window_seconds=1.0", "window.hop_seconds=0.5",
+        "train.batch_size=8",
+    ])
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = build_model(cfg.model, cfg.grid)
+
+    class FusedInterpretLoss(SELDLossFn):
+        def from_bitmask(self, logits, label_mask, example_mask=None,
+                         fused=None, mesh=None):
+            return super().from_bitmask(
+                logits, label_mask, example_mask,
+                fused="interpret" if mesh is not None else False, mesh=mesh,
+            )
+
+    loss_fn = FusedInterpretLoss(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    mel_np, mask_np = corpus.gather(np.arange(8) % len(corpus))
+    mel, mask = jnp.asarray(mel_np), jnp.asarray(mask_np)
+    em = jnp.ones((8,), jnp.float32)
+
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
+    ref_step = make_train_step(model, SELDLossFn(cfg.loss, cfg.grid), opt,
+                               14, donate=False)
+    _, ref_metrics = ref_step(state, mel, mask, em, jax.random.PRNGKey(7))
+
+    state_m = shard_variables(state, mesh)
+    shardings = state_shardings(state_m, mesh)
+    step = make_train_step(model, loss_fn, opt, 14, donate=False,
+                           out_state_shardings=shardings)
+    melz = jax.device_put(mel, batch_sharding(mesh, mel.ndim))
+    maskz = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
+    emz = jax.device_put(em, batch_sharding(mesh, 1))
+    _, metrics = step(state_m, melz, maskz, emz, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-4)
