@@ -11,14 +11,35 @@ the default.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax.numpy as jnp
 
 
 FLASH_MIN_SEQ_LEN = 512  # flash kernel wins above this on v5e (2.8x @ 2048)
 
+# Trace-time mesh context: flax modules have no mesh handle, so the
+# jitted train/eval steps set this while tracing and the flash dispatch
+# below wraps the kernel in shard_map over the data axis (per-(b, h)
+# independent -> row sharding, no collectives; GSPMD otherwise treats
+# the Pallas call as an opaque custom call it must replicate).
+_MESH = None
+
+
+@contextlib.contextmanager
+def attention_mesh(mesh):
+    """Scope a mesh for flash-attention dispatch during step tracing."""
+    global _MESH
+    prev, _MESH = _MESH, mesh
+    try:
+        yield
+    finally:
+        _MESH = prev
+
 
 def multi_head_attention(q, k, v, *, scale: float | None = None, dtype=None,
-                         use_flash: bool | None = None):
+                         use_flash: bool | None = None,
+                         interpret: bool = False):
     """q, k, v: (B, H, T, Dh) -> (B, H, T, Dh).
 
     Softmax is computed in float32 regardless of input dtype (bf16-safe),
@@ -35,9 +56,33 @@ def multi_head_attention(q, k, v, *, scale: float | None = None, dtype=None,
             jax.default_backend() == "tpu" and q.shape[-2] >= FLASH_MIN_SEQ_LEN
         )
     if use_flash:
+        import jax
+
         from seld_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
+        mesh = _MESH
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from seld_tpu.parallel.mesh import DATA_AXIS
+
+            b, h, t, d = q.shape
+            n = mesh.shape[DATA_AXIS]
+            if (b * h) % n == 0:
+                spec = P(DATA_AXIS, None, None, None)
+                fn = jax.shard_map(
+                    lambda q3, k3, v3: flash_attention(
+                        q3, k3, v3, scale=scale, interpret=interpret
+                    ),
+                    mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+                    check_vma=False,
+                )
+                rs = lambda x: x.reshape(b * h, 1, t, d)
+                return fn(rs(q), rs(k), rs(v)).reshape(b, h, t, d)
+            # (b*h) not divisible by the data axis: the exact einsum path
+            # below is mesh-friendly (GSPMD shards plain einsums fine)
+        else:
+            return flash_attention(q, k, v, scale=scale, interpret=interpret)
 
     if scale is None:
         scale = q.shape[-1] ** -0.5

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax
 
 from seld_tpu.losses import SELDLossFn
+from seld_tpu.ops.attention import attention_mesh
 from seld_tpu.targets.rasterize import decode_class_bitmask
 from seld_tpu.train.state import TrainState
 
@@ -81,13 +82,14 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
         targets = None if bitmask_native else target_decoder(label_mask)
 
         def loss_of(params):
-            out, new_stats = _apply(
-                model,
-                state.replace(params=params),
-                mel,
-                train=True,
-                dropout_rng=dropout_rng,
-            )
+            with attention_mesh(step_mesh):
+                out, new_stats = _apply(
+                    model,
+                    state.replace(params=params),
+                    mel,
+                    train=True,
+                    dropout_rng=dropout_rng,
+                )
             if bitmask_native:
                 # fused=None auto-selects the Pallas loss kernel on TPU;
                 # under a mesh the kernel runs inside shard_map over the
@@ -136,7 +138,8 @@ def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
         target_decoder = lambda m: decode_class_bitmask(m, num_classes)
 
     def step(state: TrainState, mel, label_mask, example_mask):
-        out, _ = _apply(model, state, mel, train=False)
+        with attention_mesh(mesh):
+            out, _ = _apply(model, state, mel, train=False)
         if bitmask_native:
             total, breakdown = loss_fn.from_bitmask(
                 out, label_mask, example_mask, mesh=mesh,

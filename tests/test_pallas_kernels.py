@@ -368,3 +368,50 @@ def test_train_step_mesh_uses_fused_loss_consistently():
     _, metrics = step(state_m, melz, maskz, emz, jax.random.PRNGKey(7))
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(ref_metrics["loss"]), rtol=2e-4)
+
+
+def test_flash_attention_under_mesh_matches_einsum():
+    """multi_head_attention with a scoped mesh runs the flash kernel
+    inside shard_map over (b*h) rows; values must match the einsum path
+    (and the (b*h)-indivisible case must fall back cleanly)."""
+    from seld_tpu.ops.attention import attention_mesh, multi_head_attention
+    from seld_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    rng = np.random.default_rng(11)
+    b, h, t, d = 2, 4, 512, 64  # b*h = 8, divisible by 4
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+               for _ in range(3))
+    want = multi_head_attention(q, k, v, use_flash=False)
+
+    # inputs need no pre-sharding: the shard_map inside the op
+    # repartitions its (b*h, 1, t, d) view over the data axis
+    with attention_mesh(mesh):
+        got = jax.jit(lambda a, bb, c: multi_head_attention(
+            a, bb, c, use_flash=True, interpret=True))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+    # gradients flow through the shard_mapped custom-vjp kernel
+    def loss_mesh(a):
+        with attention_mesh(mesh):
+            return jnp.sum(multi_head_attention(
+                a, k, v, use_flash=True, interpret=True) ** 2)
+
+    def loss_ref(a):
+        return jnp.sum(multi_head_attention(a, k, v, use_flash=False) ** 2)
+
+    g_mesh = jax.jit(jax.grad(loss_mesh))(q)
+    g_ref = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(g_mesh), np.asarray(g_ref),
+                               rtol=3e-4, atol=3e-5)
+
+    # indivisible (b*h=3) -> exact einsum fallback, still correct
+    q2, k2, v2 = (jnp.asarray(rng.standard_normal((1, 3, 512, 64)),
+                              jnp.float32) for _ in range(3))
+    with attention_mesh(mesh):
+        got2 = multi_head_attention(q2, k2, v2, use_flash=True,
+                                    interpret=True)
+    want2 = multi_head_attention(q2, k2, v2, use_flash=False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-4, atol=2e-5)
