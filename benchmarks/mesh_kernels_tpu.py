@@ -71,6 +71,8 @@ def main():
         "compile_run_s": round(time.time() - t0, 1),
     }
     log(f"fused loss under shard_map: {results['fused_loss_shardmap']}")
+    (RESULTS / "mesh_kernels_tpu.json").write_text(
+        json.dumps(results, indent=2) + "\n")  # incremental: keep evidence
     assert ok_loss and ok_grad
 
     # --- flash attention under shard_map ---

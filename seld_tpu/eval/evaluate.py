@@ -110,7 +110,10 @@ def evaluate_model(
 
         @jax.jit
         def infer_step(state, mel, label_mask, acc_targets, example_mask):
-            vectors = model.apply(state.variables(), mel, train=False)
+            from seld_tpu.ops.attention import attention_mesh
+
+            with attention_mesh(mesh):
+                vectors = model.apply(state.variables(), mel, train=False)
             total, breakdown = acc_loss_fn(vectors, acc_targets, example_mask)
             pred_cls = decode(
                 vectors, cfg.grid.n_el, cfg.grid.n_az, num_classes
@@ -126,7 +129,10 @@ def evaluate_model(
 
         @jax.jit
         def infer_step(state, mel, label_mask, acc_targets, example_mask):
-            logits = model.apply(state.variables(), mel, train=False)
+            from seld_tpu.ops.attention import attention_mesh
+
+            with attention_mesh(mesh):
+                logits = model.apply(state.variables(), mel, train=False)
             # bitmask-native loss + argmax labels: value-identical to the
             # dense one-hot route without materializing (B, T, G, M).
             # Under a mesh the fused kernel runs in shard_map over the
@@ -230,11 +236,14 @@ def evaluate_model(
         # ACCDOA outputs decode to class grids first and render as one-hot
         sel_windows = sorted({d["window_idx"] for d in chosen})
         mel_sel, mask_sel = test_corpus.gather(np.asarray(sel_windows))
-        out_sel = np.asarray(
-            jax.jit(lambda s, x: model.apply(s.variables(), x, train=False))(
-                state, jnp.asarray(mel_sel)
+        from seld_tpu.ops.attention import attention_mesh
+
+        with attention_mesh(mesh):
+            out_sel = np.asarray(
+                jax.jit(lambda s, x: model.apply(s.variables(), x, train=False))(
+                    state, jnp.asarray(mel_sel)
+                )
             )
-        )
         if accdoa_mode:
             cls_sel = np.asarray(
                 decode(jnp.asarray(out_sel), cfg.grid.n_el, cfg.grid.n_az,

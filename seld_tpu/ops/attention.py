@@ -20,21 +20,25 @@ FLASH_MIN_SEQ_LEN = 512  # flash kernel wins above this on v5e (2.8x @ 2048)
 
 # Trace-time mesh context: flax modules have no mesh handle, so the
 # jitted train/eval steps set this while tracing and the flash dispatch
-# below wraps the kernel in shard_map over the data axis (per-(b, h)
+# below wraps the kernel in shard_map over both mesh axes (per-(b, h)
 # independent -> row sharding, no collectives; GSPMD otherwise treats
-# the Pallas call as an opaque custom call it must replicate).
-_MESH = None
+# the Pallas call as an opaque custom call it must replicate). A
+# ContextVar so concurrent traces in different threads cannot see each
+# other's mesh; any jit site that wants mesh-aware flash MUST trace
+# inside attention_mesh(...) (steps.py and evaluate.py do).
+import contextvars
+
+_MESH = contextvars.ContextVar("seld_tpu_attention_mesh", default=None)
 
 
 @contextlib.contextmanager
 def attention_mesh(mesh):
     """Scope a mesh for flash-attention dispatch during step tracing."""
-    global _MESH
-    prev, _MESH = _MESH, mesh
+    token = _MESH.set(mesh)
     try:
         yield
     finally:
-        _MESH = prev
+        _MESH.reset(token)
 
 
 def multi_head_attention(q, k, v, *, scale: float | None = None, dtype=None,
@@ -56,20 +60,21 @@ def multi_head_attention(q, k, v, *, scale: float | None = None, dtype=None,
             jax.default_backend() == "tpu" and q.shape[-2] >= FLASH_MIN_SEQ_LEN
         )
     if use_flash:
-        import jax
-
         from seld_tpu.ops.flash_attention import flash_attention
 
-        mesh = _MESH
+        mesh = _MESH.get()
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
-            from seld_tpu.parallel.mesh import DATA_AXIS
+            from seld_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
             b, h, t, d = q.shape
-            n = mesh.shape[DATA_AXIS]
+            # shard the merged (b*h) rows over BOTH axes: batch shards
+            # ride "data" and head shards ride "model" (the attention
+            # projections are head-sharded under TP), so no all-gather
+            n = mesh.shape[DATA_AXIS] * mesh.shape[MODEL_AXIS]
             if (b * h) % n == 0:
-                spec = P(DATA_AXIS, None, None, None)
+                spec = P((DATA_AXIS, MODEL_AXIS), None, None, None)
                 fn = jax.shard_map(
                     lambda q3, k3, v3: flash_attention(
                         q3, k3, v3, scale=scale, interpret=interpret

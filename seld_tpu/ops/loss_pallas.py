@@ -86,18 +86,16 @@ def _bwd_kernel(x_ref, mask_ref, gsq_ref, gbg_ref, dx_ref, *,
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
-def _geometry(n_rows: int, n_shards: int = 1):
-    """Pad rows so every shard gets a whole number of ROW_BLOCK blocks."""
-    unit = ROW_BLOCK * n_shards
-    rows_pad = -(-n_rows // unit) * unit
-    return rows_pad, rows_pad // ROW_BLOCK
-
-
 def _shard_rows(mesh):
     """(n_shards, wrapper) for running a rows-independent callable under
     shard_map over the mesh's data axis (the kernel is per-(b, t)-row
     independent, so batch sharding splits the row dim contiguously and
-    needs no collectives). mesh=None -> identity."""
+    needs no collectives). mesh=None -> identity.
+
+    The ROW_BLOCK padding happens INSIDE the mapped callable (per shard):
+    the global arrays are padded only to a multiple of n_shards, so
+    shard boundaries coincide with the natural batch sharding and GSPMD
+    inserts no resharding collectives around the kernel."""
     if mesh is None:
         return 1, lambda fn, n_in, n_out: fn
     from jax.sharding import PartitionSpec as P
@@ -117,6 +115,25 @@ def _shard_rows(mesh):
     return mesh.shape[DATA_AXIS], wrap
 
 
+def _with_local_row_pad(kernel_of_rows, n_out):
+    """Wrap an (arrays sharing a leading row dim) -> outputs callable so
+    rows pad to a ROW_BLOCK multiple locally and outputs slice back.
+    Shapes are static per shard, so the pallas grid stays static."""
+    def fn(*arrays):
+        r = arrays[0].shape[0]
+        r_pad = -(-r // ROW_BLOCK) * ROW_BLOCK
+        padded = [
+            jnp.pad(a, ((0, r_pad - r),) + ((0, 0),) * (a.ndim - 1))
+            for a in arrays
+        ]
+        out = kernel_of_rows(r_pad)(*padded)
+        if n_out == 1:
+            return out[:r]
+        return tuple(o[:r] for o in out)
+
+    return fn
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def grid_loss_terms(logits_mg, mask, num_classes: int, interpret: bool = False,
                     mesh=None):
@@ -125,8 +142,10 @@ def grid_loss_terms(logits_mg, mask, num_classes: int, interpret: bool = False,
     sq_cells[n, g] = sum_m (softmax(logits)[n,m,g] - onehot[n,m,g])^2;
     p_bg is the background-class probability plane. Differentiable w.r.t.
     logits_mg via the fused backward kernel. With `mesh`, both kernels
-    run under shard_map over the data axis (row-sharded, collective-free)
-    instead of appearing to GSPMD as an opaque replicated custom call.
+    run under shard_map over the data axis — rows pad to ROW_BLOCK
+    multiples PER SHARD so shard boundaries coincide with the natural
+    batch sharding (no resharding collectives) — instead of appearing
+    to GSPMD as an opaque replicated custom call.
     """
     out, _ = _fwd_impl(logits_mg, mask, num_classes, interpret, mesh)
     return out
@@ -135,34 +154,35 @@ def grid_loss_terms(logits_mg, mask, num_classes: int, interpret: bool = False,
 def _fwd_impl(logits_mg, mask, num_classes, interpret, mesh):
     n, M, G = logits_mg.shape
     n_shards, wrap = _shard_rows(mesh)
-    rows_pad, n_blocks = _geometry(n, n_shards)
-    x = jnp.pad(logits_mg, ((0, rows_pad - n), (0, 0), (0, 0)))
-    mk = jnp.pad(mask.astype(jnp.int32), ((0, rows_pad - n), (0, 0)))
+    rows = -(-n // n_shards) * n_shards  # equal shards; block pad is local
+    x = jnp.pad(logits_mg, ((0, rows - n), (0, 0), (0, 0)))
+    mk = jnp.pad(mask.astype(jnp.int32), ((0, rows - n), (0, 0)))
     mk = mk[:, None, :]  # (N, 1, G)
-    shard_rows = rows_pad // n_shards
 
-    call = pl.pallas_call(
-        functools.partial(_fwd_kernel, num_classes=num_classes),
-        grid=(shard_rows // ROW_BLOCK,),
-        in_specs=[
-            pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((shard_rows, 1, G), jnp.float32),
-            jax.ShapeDtypeStruct((shard_rows, 1, G), jnp.float32),
-        ],
-        interpret=interpret,
-    )
-    sq, pbg = wrap(call, 2, 2)(x, mk)
+    def call_of(r_pad):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, num_classes=num_classes),
+            grid=(r_pad // ROW_BLOCK,),
+            in_specs=[
+                pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((r_pad, 1, G), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, 1, G), jnp.float32),
+            ],
+            interpret=interpret,
+        )
+
+    sq, pbg = wrap(_with_local_row_pad(call_of, 2), 2, 2)(x, mk)
     return (sq[:n, 0, :], pbg[:n, 0, :]), (logits_mg, mask)
 
 
@@ -175,32 +195,33 @@ def _vjp_bwd(num_classes, interpret, mesh, residuals, cotangents):
     g_sq, g_bg = cotangents
     n, M, G = logits_mg.shape
     n_shards, wrap = _shard_rows(mesh)
-    rows_pad, n_blocks = _geometry(n, n_shards)
-    x = jnp.pad(logits_mg, ((0, rows_pad - n), (0, 0), (0, 0)))
-    mk = jnp.pad(mask.astype(jnp.int32), ((0, rows_pad - n), (0, 0)))[:, None, :]
-    gs = jnp.pad(g_sq.astype(jnp.float32), ((0, rows_pad - n), (0, 0)))[:, None, :]
-    gb = jnp.pad(g_bg.astype(jnp.float32), ((0, rows_pad - n), (0, 0)))[:, None, :]
-    shard_rows = rows_pad // n_shards
+    rows = -(-n // n_shards) * n_shards
+    x = jnp.pad(logits_mg, ((0, rows - n), (0, 0), (0, 0)))
+    mk = jnp.pad(mask.astype(jnp.int32), ((0, rows - n), (0, 0)))[:, None, :]
+    gs = jnp.pad(g_sq.astype(jnp.float32), ((0, rows - n), (0, 0)))[:, None, :]
+    gb = jnp.pad(g_bg.astype(jnp.float32), ((0, rows - n), (0, 0)))[:, None, :]
 
-    call = pl.pallas_call(
-        functools.partial(_bwd_kernel, num_classes=num_classes),
-        grid=(shard_rows // ROW_BLOCK,),
-        in_specs=[
-            pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((shard_rows, M, G), logits_mg.dtype),
-        interpret=interpret,
-    )
-    dx = wrap(call, 4, 1)(x, mk, gs, gb)
+    def call_of(r_pad):
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, num_classes=num_classes),
+            grid=(r_pad // ROW_BLOCK,),
+            in_specs=[
+                pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLOCK, 1, G), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ROW_BLOCK, M, G), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((r_pad, M, G), logits_mg.dtype),
+            interpret=interpret,
+        )
+
+    dx = wrap(_with_local_row_pad(call_of, 1), 4, 1)(x, mk, gs, gb)
     return dx[:n], None
 
 
