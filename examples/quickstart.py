@@ -59,7 +59,9 @@ def main():
     mel, mask = train_c.gather(np.arange(cfg.train.batch_size))
     variables = init_variables(model, jax.random.PRNGKey(0), jnp.asarray(mel))
     logits = model.apply(variables, jnp.asarray(mel), train=False)
-    targets = decode_class_bitmask(jnp.asarray(mask), cfg.grid.num_classes)
+    targets = decode_class_bitmask(
+        jnp.asarray(mask), cfg.grid.num_classes, class_major=True
+    )  # dense targets in the repo's class-major (B, T, M, G) layout
     total, breakdown = SELDLossFn(cfg.loss, cfg.grid)(logits, targets)
     logger.info(
         "untrained losses: total %.4f | %s",

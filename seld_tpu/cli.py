@@ -150,8 +150,8 @@ def cmd_verify(cfg: Config, args, logger):
             expect = (b, t, 3, cfg.grid.num_classes - 1, 3)
         elif "accdoa" in model_type:
             expect = (b, t, cfg.grid.num_classes - 1, 3)
-        else:
-            expect = (b, t, cfg.grid.n_cells, cfg.grid.num_classes)
+        else:  # grid models: class-major (B, T, M, G)
+            expect = (b, t, cfg.grid.num_classes, cfg.grid.n_cells)
         mcfg = ModelConfig(model_type=model_type, compute_dtype="float32")
         model = build_model(mcfg, cfg.grid)
         variables = init_variables(model, jax.random.PRNGKey(0), x)
@@ -249,7 +249,7 @@ def cmd_import_torch(cfg: Config, args, logger):
     n_ch = feature_channels(cfg.features.feature_set, cfg.model.n_channels)
     x = jnp.zeros((1, 8, n_ch, cfg.model.n_mels), jnp.float32)
     out = model.apply(variables, x, train=False)
-    assert out.shape == (1, 8, cfg.grid.n_cells, cfg.grid.num_classes)
+    assert out.shape == (1, 8, cfg.grid.num_classes, cfg.grid.n_cells)
 
     optimizer = make_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
     state = TrainState(
@@ -268,6 +268,17 @@ def cmd_import_torch(cfg: Config, args, logger):
         "Imported %s (%s) -> %s", args.torch_checkpoint,
         cfg.model.model_type, cfg.data.checkpoint_path,
     )
+    return 0
+
+
+def cmd_migrate_ckpt(cfg: Config, args, logger):
+    from seld_tpu.tools.migrate_ckpt import migrate_checkpoint_tree
+
+    summary = migrate_checkpoint_tree(args.checkpoint_dir, args.output_dir)
+    for sub, entries in summary.items():
+        for step, n in entries:
+            logger.info("migrated %s step %d (%d leaves permuted)", sub, step, n)
+    logger.info("migrated checkpoints written to %s", args.output_dir)
     return 0
 
 
@@ -342,6 +353,18 @@ def main(argv=None) -> int:
                          help="macro-average over all classes (official) or "
                               "only classes present in the ground truth")
     p_score.set_defaults(fn=cmd_score)
+
+    p_mig = sub.add_parser(
+        "migrate-ckpt", parents=[common],
+        help="upgrade pre-round-3 class-minor GridHead checkpoints to the "
+             "class-major (B, T, M, G) layout (pure column permutation; "
+             "migrated models emit identical values)",
+    )
+    p_mig.add_argument("--checkpoint-dir", required=True,
+                       help="checkpoint tree written before the layout switch")
+    p_mig.add_argument("--output-dir", required=True,
+                       help="destination for the migrated checkpoint tree")
+    p_mig.set_defaults(fn=cmd_migrate_ckpt)
 
     p_info = sub.add_parser("info", parents=[common])
     p_info.set_defaults(fn=cmd_info)

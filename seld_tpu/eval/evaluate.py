@@ -134,13 +134,15 @@ def evaluate_model(
             with attention_mesh(mesh):
                 logits = model.apply(state.variables(), mel, train=False)
             # bitmask-native loss + argmax labels: value-identical to the
-            # dense one-hot route without materializing (B, T, G, M).
+            # dense one-hot route without materializing (B, T, M, G).
             # Under a mesh the fused kernel runs in shard_map over the
             # data axis (same rule as steps.py).
             total, breakdown = loss_fn.from_bitmask(
                 logits, label_mask, example_mask, mesh=mesh,
             )
-            pred_cls = jnp.argmax(logits, axis=-1).astype(jnp.int8)
+            # class-major logits (B, T, M, G): per-cell class = argmax
+            # over the class axis
+            pred_cls = jnp.argmax(logits, axis=2).astype(jnp.int8)
             true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)
             return {"loss": total, **breakdown}, pred_cls, true_cls
 
@@ -249,11 +251,15 @@ def evaluate_model(
                 decode(jnp.asarray(out_sel), cfg.grid.n_el, cfg.grid.n_az,
                        num_classes)
             )  # (N, T, G) int8
-            logits_sel = np.eye(num_classes, dtype=np.float32)[cls_sel]
+            # render as class-major one-hot (N, T, M, G) for the viz
+            logits_sel = np.moveaxis(
+                np.eye(num_classes, dtype=np.float32)[cls_sel], -1, 2
+            )
         else:
-            logits_sel = out_sel
+            logits_sel = out_sel  # class-major (N, T, M, G)
         dense_sel = np.asarray(
-            decode_class_bitmask(jnp.asarray(mask_sel), num_classes)
+            decode_class_bitmask(jnp.asarray(mask_sel), num_classes,
+                                 class_major=True)
         )
         row_of = {w: i for i, w in enumerate(sel_windows)}
         for k, d in enumerate(chosen):

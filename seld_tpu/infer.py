@@ -138,16 +138,17 @@ class SELDPredictor:
                 return decode_accdoa_to_grid_jnp(
                     out, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes
                 )
-            return jnp.argmax(out, axis=-1).astype(jnp.int8)
+            # class-major grid logits (B, win, M, G)
+            return jnp.argmax(out, axis=2).astype(jnp.int8)
 
         @jax.jit
-        def forward_probs(state, mel):  # (B, win, C, F) -> (B, win, G, M) f16
+        def forward_probs(state, mel):  # (B, win, C, F) -> (B, win, M, G) f16
             assert not self.accdoa_mode, (
                 "overlapped probability averaging applies to grid models; "
                 "ACCDOA predictions use overlap=0"
             )
             logits = self.model.apply(state.variables(), mel, train=False)
-            return jax.nn.softmax(logits, axis=-1).astype(jnp.float16)
+            return jax.nn.softmax(logits, axis=2).astype(jnp.float16)
 
         self._forward = forward
         self._forward_probs = forward_probs
@@ -155,25 +156,28 @@ class SELDPredictor:
     def _batched(self, windows, fn):
         """Run fn over static-shape window batches, yielding valid rows.
 
-        Full batches use `batch_windows`; a partial batch pads only to
-        the next power of two (not all the way to batch_windows) — the
-        window forward is per-row independent (eval-mode BN), so results
-        are identical, and a streaming session emitting one window at a
-        time transfers/computes a 1-window program instead of an 8x
-        padded one (measured 8.2 MB -> 1 MB per push through the
-        tunnel). Each tier jit-caches independently."""
+        EVERY batch (including partials) is zero-padded to the full
+        `batch_windows` shape so the forward runs through ONE executable
+        regardless of how windows arrive. This is load-bearing for the
+        streaming bit-equality contract: XLA executables for different
+        batch shapes accumulate matmuls in different orders (~1e-6 f32
+        logit noise measured between the batch-1 and batch-8 programs),
+        so per-window results are only deterministic across the offline
+        and streaming paths if both use the same batch shape. At a fixed
+        shape the forward is row-wise content-independent (eval-mode BN;
+        verified bitwise for all grid backbones), so the padding rows
+        cannot perturb the valid rows. A single shape also means a
+        single (slow, remote) TPU compile instead of one per pow-2 tier.
+        Lower streaming push latency => construct the predictor with a
+        smaller batch_windows (applies consistently to both paths)."""
         bw = self.batch_windows
         for start in range(0, windows.shape[0], bw):
             chunk = windows[start : start + bw]
             n_valid = chunk.shape[0]
             if n_valid < bw:
-                tier = 1
-                while tier < n_valid:
-                    tier *= 2
-                tier = min(tier, bw)
                 chunk = np.concatenate([
                     chunk,
-                    np.zeros((tier - n_valid, *chunk.shape[1:]), chunk.dtype),
+                    np.zeros((bw - n_valid, *chunk.shape[1:]), chunk.dtype),
                 ])
             yield np.asarray(fn(self.state, jnp.asarray(chunk)))[:n_valid]
 
@@ -184,8 +188,9 @@ class SELDPredictor:
         overlap in (0, 1) strides windows at hop = win*(1-overlap) and
         AVERAGES the class probabilities over overlapping coverage before
         the argmax — smoother decisions at window boundaries, at the cost
-        of 1/(1-overlap) more compute and a host-side (T, G, M) float32
-        probability accumulator (~110 MB per audio minute).
+        of 1/(1-overlap) more compute and a host-side class-major
+        (T, M, G) float32 probability accumulator (~110 MB per audio
+        minute).
         """
         if overlap < 0.0:
             raise ValueError(f"overlap must be in [0, 1), got {overlap}")
@@ -231,18 +236,18 @@ class SELDPredictor:
         windows = np.stack([mel[s : s + win] for s in starts])
 
         g, m = cfg.grid.n_cells, cfg.grid.num_classes
-        prob_sum = np.zeros((t_total + max(pad_t, 0), g, m), np.float32)
+        prob_sum = np.zeros((t_total + max(pad_t, 0), m, g), np.float32)
         count = np.zeros((t_total + max(pad_t, 0), 1, 1), np.float32)
         row = 0
         for probs in self._batched(windows, self._forward_probs):
-            for p in probs:  # (win, G, M)
+            for p in probs:  # class-major (win, M, G)
                 s = starts[row]
                 prob_sum[s : s + win] += p.astype(np.float32)
                 count[s : s + win] += 1.0
                 row += 1
         avg = prob_sum[:t_total] / np.maximum(count[:t_total], 1.0)
         return Prediction(
-            classes=np.argmax(avg, axis=-1).astype(np.int8),
+            classes=np.argmax(avg, axis=1).astype(np.int8),
             n_el=cfg.grid.n_el,
             n_az=cfg.grid.n_az,
             num_classes=m,

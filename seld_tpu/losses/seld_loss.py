@@ -19,6 +19,12 @@ Parity contracts (ref: loss.py:6-172):
     event frames (ref loss.py:89-146). The circular-pad stencil is
     expressed as jnp.roll sums — exact and vectorized.
 
+Layout: all dense operands (logits, one-hot targets, probabilities)
+are CLASS-MAJOR (B, T, M, G) — softmax/argmax reduce over axis -2 with
+grid cells on the minor (lane) axis; the reference's class-minor
+(B, T, G, M) math is reproduced value-identically (tested against
+class-minor oracles restated in tests/test_losses.py).
+
 Activation modes: the reference's modular path uses only the class term
 (ref loss.py:149-166); its gaussian monolith activates all three
 (ref smrl_seld_gaussian.py:1059-1070). LossConfig.use_aiur / use_cl select
@@ -57,13 +63,13 @@ def _example_weights(example_mask, batch: int):
 def class_ce_loss(logits, targets, class_weights=None, example_mask=None):
     """Weighted cross entropy with argmax-collapsed targets.
 
-    logits, targets: (B, ..., M). Matches torch
+    logits, targets: class-major (B, ..., M, G). Matches torch
     nn.CrossEntropyLoss(weight=w) normalization:
     sum(w_y * nll_y) / sum(w_y).
     """
-    labels = jnp.argmax(targets, axis=-1)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    labels = jnp.argmax(targets, axis=-2)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-2)
+    nll = -jnp.take_along_axis(logp, labels[..., None, :], axis=-2)[..., 0, :]
     w = jnp.ones_like(nll) if class_weights is None else class_weights[labels]
     em = _example_weights(example_mask, logits.shape[0])
     em = em.reshape((-1,) + (1,) * (nll.ndim - 1))
@@ -72,8 +78,8 @@ def class_ce_loss(logits, targets, class_weights=None, example_mask=None):
 
 def class_mse_loss(logits, targets, example_mask=None):
     """softmax(logits) vs one-hot targets, mean over every element
-    (ref loss.py:44-54)."""
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    (ref loss.py:44-54). Class-major (B, T, M, G) operands."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
     sq = jnp.square(probs - targets)
     em = _example_weights(example_mask, logits.shape[0])
     per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=-1)
@@ -81,11 +87,12 @@ def class_mse_loss(logits, targets, example_mask=None):
 
 
 def aiur_loss(logits, targets, example_mask=None):
-    """1 - mean frame IoU of non-background argmax masks (ref loss.py:56-87)."""
-    m = logits.shape[-1]
+    """1 - mean frame IoU of non-background argmax masks (ref loss.py:56-87).
+    Class-major (B, T, M, G) operands."""
+    m = logits.shape[-2]
     bg = m - 1
-    pred_mask = (jnp.argmax(logits, axis=-1) != bg).astype(jnp.float32)  # (B,T,G)
-    true_mask = (jnp.argmax(targets, axis=-1) != bg).astype(jnp.float32)
+    pred_mask = (jnp.argmax(logits, axis=-2) != bg).astype(jnp.float32)  # (B,T,G)
+    true_mask = (jnp.argmax(targets, axis=-2) != bg).astype(jnp.float32)
     intersection = jnp.sum(pred_mask * true_mask, axis=-1)  # (B,T)
     union = jnp.sum(pred_mask, -1) + jnp.sum(true_mask, -1) - intersection
     iou = intersection / (union + 1e-8)
@@ -96,18 +103,19 @@ def aiur_loss(logits, targets, example_mask=None):
 
 def converging_localization_loss(logits_or_probs, targets, n_el: int, n_az: int,
                                  from_logits: bool = True, example_mask=None):
-    """Attention-weighted localization convergence term (ref loss.py:89-146)."""
-    b, t, g, m = targets.shape
+    """Attention-weighted localization convergence term (ref loss.py:89-146).
+    Class-major (B, T, M, G) operands."""
+    b, t, m, g = targets.shape
     probs = (
-        jax.nn.softmax(logits_or_probs.astype(jnp.float32), axis=-1)
+        jax.nn.softmax(logits_or_probs.astype(jnp.float32), axis=-2)
         if from_logits
         else logits_or_probs.astype(jnp.float32)
     )
-    pred = probs.reshape(b, t, n_el, n_az, m)
-    true = targets.reshape(b, t, n_el, n_az, m).astype(jnp.float32)
+    pred = probs.reshape(b, t, m, n_el, n_az)
+    true = targets.reshape(b, t, m, n_el, n_az).astype(jnp.float32)
 
-    true_nonbg = jnp.sum(true[..., :-1], axis=-1)  # (B,T,I,J)
-    pred_nonbg = jnp.sum(pred[..., :-1], axis=-1)
+    true_nonbg = jnp.sum(true[:, :, :-1], axis=2)  # (B,T,I,J)
+    pred_nonbg = jnp.sum(pred[:, :, :-1], axis=2)
 
     is_event = true_nonbg > 0.01
     n_bac = jnp.sum(~is_event, axis=(2, 3), keepdims=True).astype(jnp.float32)
@@ -144,7 +152,7 @@ class LossOutput(NamedTuple):
 # Bitmask-native terms (round 3 train-step optimization)
 #
 # The labels travel as (B, T, G) uint16 class bitmasks (4.6 MB at the
-# flagship batch); decoding them to dense one-hot (B, T, G, M) float32
+# flagship batch); decoding them to dense one-hot (B, T, M, G) float32
 # (232 MB) before the loss made XLA materialize the decode once for its
 # many consumers — ~2 ms/step of pure HBM traffic in the profiled step
 # (benchmarks/results/train_step_profile.json). Each term below consumes
@@ -162,12 +170,13 @@ class LossOutput(NamedTuple):
 
 
 def _bit_targets(mask, num_classes: int):
-    """On-the-fly one-hot expression (single-consumer; fuses)."""
+    """On-the-fly CLASS-MAJOR one-hot: mask (..., G) -> (..., M, G)
+    (single-consumer; fuses)."""
     m = mask.astype(jnp.int32)
-    event_bits = jnp.arange(num_classes - 1, dtype=jnp.int32)
-    onehot = ((m[..., None] >> event_bits) & 1).astype(jnp.float32)
-    background = (m == 0).astype(jnp.float32)[..., None]
-    return jnp.concatenate([onehot, background], axis=-1)
+    event_bits = jnp.arange(num_classes - 1, dtype=jnp.int32)[:, None]
+    onehot = ((m[..., None, :] >> event_bits) & 1).astype(jnp.float32)
+    background = (m == 0).astype(jnp.float32)[..., None, :]
+    return jnp.concatenate([onehot, background], axis=-2)
 
 
 def _bit_labels(mask, num_classes: int):
@@ -189,7 +198,7 @@ def class_mse_loss_bits(logits, mask, num_classes: int, example_mask=None,
                         probs=None):
     """Bitmask-native class_mse_loss (identical values)."""
     if probs is None:
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
     sq = jnp.square(probs - _bit_targets(mask, num_classes))
     em = _example_weights(example_mask, logits.shape[0])
     per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=-1)
@@ -200,8 +209,8 @@ def class_ce_loss_bits(logits, mask, num_classes: int, class_weights=None,
                        example_mask=None):
     """Bitmask-native class_ce_loss (identical values)."""
     labels = _bit_labels(mask, num_classes)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-2)
+    nll = -jnp.take_along_axis(logp, labels[..., None, :], axis=-2)[..., 0, :]
     w = jnp.ones_like(nll) if class_weights is None else class_weights[labels]
     em = _example_weights(example_mask, logits.shape[0])
     em = em.reshape((-1,) + (1,) * (nll.ndim - 1))
@@ -210,9 +219,9 @@ def class_ce_loss_bits(logits, mask, num_classes: int, class_weights=None,
 
 def aiur_loss_bits(logits, mask, example_mask=None):
     """Bitmask-native aiur_loss (identical values)."""
-    m = logits.shape[-1]
+    m = logits.shape[-2]
     bg = m - 1
-    pred_mask = (jnp.argmax(logits, axis=-1) != bg).astype(jnp.float32)
+    pred_mask = (jnp.argmax(logits, axis=-2) != bg).astype(jnp.float32)
     true_mask = (mask != 0).astype(jnp.float32)  # == argmax(onehot) != bg
     intersection = jnp.sum(pred_mask * true_mask, axis=-1)
     union = jnp.sum(pred_mask, -1) + jnp.sum(true_mask, -1) - intersection
@@ -233,8 +242,8 @@ def converging_localization_loss_bits(logits, mask, n_el: int, n_az: int,
     b, t, g = mask.shape
     if pred_nonbg is None:
         if probs is None:
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        pred_nonbg = jnp.sum(probs[..., :-1], axis=-1)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
+        pred_nonbg = jnp.sum(probs[:, :, :-1], axis=2)
     pred_nonbg = pred_nonbg.reshape(b, t, n_el, n_az)
     true_nonbg = _popcount16(mask.astype(jnp.int32)).astype(jnp.float32)
     true_nonbg = true_nonbg.reshape(b, t, n_el, n_az)
@@ -310,7 +319,7 @@ class SELDLossFn:
 
         Value-identical to ``__call__(logits,
         decode_class_bitmask(label_mask))`` but never materializes the
-        dense (B, T, G, M) one-hot targets, and computes the probs
+        dense (B, T, M, G) one-hot targets, and computes the probs
         softmax once across MSE/CL — the jitted train/eval steps use
         this path (see the module comment above the *_bits terms).
 
@@ -333,7 +342,7 @@ class SELDLossFn:
             )
         needs_probs = cfg.loss_type == "mse" or cfg.use_cl
         probs = (
-            jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
             if needs_probs else None
         )
         if cfg.loss_type == "mse":
@@ -371,10 +380,10 @@ class SELDLossFn:
 
         cfg = self.cfg
         nc = self.grid.num_classes
-        b, t, g, m = logits.shape
-        x = jnp.swapaxes(
-            logits.reshape(b * t, g, m).astype(jnp.float32), 1, 2
-        )  # (N, M, G): classes on sublanes, cells on lanes
+        b, t, m, g = logits.shape
+        # Class-major logits feed the kernel directly — no transpose
+        # (the pre-layout-switch path paid two ~145 MB swapaxes here).
+        x = logits.reshape(b * t, m, g).astype(jnp.float32)
         sq, pbg = grid_loss_terms(
             x, label_mask.reshape(b * t, g), nc, interpret, mesh
         )

@@ -3,7 +3,7 @@
 Capability parity with ref model_conformer.py:116-215: the CRNN's CNN
 encoder, linear projection to d_model=256, N=2 ConformerBlocks (half-step
 FFNs, 4-head MHSA, depthwise-conv module k=31), and the shared FC head.
-Contract: (B, T, C, F) -> (B, T, G, M) float32 logits.
+Contract: (B, T, C, F) -> (B, T, M, G) float32 logits (class-major).
 """
 
 from __future__ import annotations

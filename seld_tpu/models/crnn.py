@@ -9,7 +9,8 @@ TPU design notes: the GRU recurrence is a `lax.scan` under the hood
 (flax nn.RNN), the one inherently sequential op in the framework
 (SURVEY §5 long-context note). Each scan step is a (B, 3H) x (H, 3H)
 matmul — MXU work — and the CNN encoder and head amortize the scan.
-Layout is NHWC; contract: (B, T, C, F) -> (B, T, G, M) float32 logits.
+Layout is NHWC; contract: (B, T, C, F) -> (B, T, M, G) float32 logits
+(class-major).
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ class BiGRU(nn.Module):
 
 
 class SELDCRNN(nn.Module):
-    """(B, T, C, F) -> (B, T, G, M) logits."""
+    """(B, T, C, F) -> (B, T, M, G) logits (class-major)."""
 
     grid_size: tuple[int, int] = (18, 36)
     num_classes: int = 14

@@ -168,7 +168,11 @@ class CSPDarkNet(nn.Module):
 
 
 class SELDCSPDarkNet(nn.Module):
-    """(B, T, C, F) -> (B, T, G, M) logits (ref model.py:112-221)."""
+    """(B, T, C, F) -> (B, T, M, G) class-major logits (ref
+    model.py:112-221 emits (..., G, M)). The per-cell classifier computes
+    (B*T, G, M) naturally; one output transpose re-emits the repo-wide
+    class-major layout (the same transpose every model paid inside the
+    fused-loss path before the layout switch)."""
 
     grid_size: tuple[int, int] = (18, 36)
     num_classes: int = 14
@@ -224,4 +228,5 @@ class SELDCSPDarkNet(nn.Module):
         y = nn.relu(y).astype(self.dtype)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.num_classes, name="cls2", **dkw)(y)
-        return y.reshape(b, t, g, self.num_classes).astype(jnp.float32)
+        y = y.reshape(b, t, g, self.num_classes).astype(jnp.float32)
+        return jnp.swapaxes(y, 2, 3)  # (B, T, M, G) class-major

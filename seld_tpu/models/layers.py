@@ -235,10 +235,21 @@ class ConformerBlock(nn.Module):
 
 
 class GridHead(nn.Module):
-    """Linear -> LayerNorm -> ReLU -> Dropout -> Linear to G*M logits,
-    reshaped to (B, T, G, M) — the FC head shared by CRNN / Conformer /
-    ResNet-Conformer (ref model_crnn.py:77-83, model_conformer.py:173-179,
-    resnet50_model.py:157-163 differ only in the hidden width)."""
+    """Linear -> LayerNorm -> ReLU -> Dropout -> Linear to (M, G) logits,
+    emitted CLASS-MAJOR as (B, T, M, G) — the FC head shared by CRNN /
+    Conformer / ResNet-Conformer (ref model_crnn.py:77-83,
+    model_conformer.py:173-179, resnet50_model.py:157-163 differ only in
+    the hidden width; the reference reshapes to (..., G, M)).
+
+    Layout rationale (TPU): every loss/softmax reduction runs over the
+    class axis M=14. With M minor (the reference layout) those
+    reductions use 14/128 lanes and the fused Pallas loss kernel needs
+    two ~145 MB transposes per step; class-major puts G=648 on lanes
+    (~84% util) and the kernel consumes the head output directly. The
+    final layer is a DenseGeneral with kernel (hidden, M, G) so tensor
+    parallelism can shard the G axis (grid cells) — softmax over M stays
+    shard-local under TP. Old (hidden, G*M) checkpoints are upgraded by
+    `seld_tpu migrate-ckpt`."""
 
     hidden: int
     grid_cells: int
@@ -255,11 +266,11 @@ class GridHead(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, param_dtype=self.param_dtype)(y)
         y = nn.relu(y).astype(self.dtype)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.Dense(
-            self.grid_cells * self.num_classes,
+        y = nn.DenseGeneral(
+            features=(self.num_classes, self.grid_cells),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="logits",
         )(y)
         # Logits in float32 for a numerically stable loss.
-        return y.reshape(b, t, self.grid_cells, self.num_classes).astype(jnp.float32)
+        return y.astype(jnp.float32)

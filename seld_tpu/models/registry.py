@@ -2,7 +2,8 @@
 
 Replaces the reference's if/elif dispatch on Config.MODEL_TYPE
 (ref trainer.py:50-95) with a declarative registry; every backbone shares
-the (B, T, C, F) -> (B, T, G, M) contract (ref verify_dims.py:14-23).
+the (B, T, C, F) -> (B, T, M, G) class-major contract (ref
+verify_dims.py:14-23 uses (..., G, M)).
 """
 
 from __future__ import annotations

@@ -119,7 +119,7 @@ class ResNet50Encoder(nn.Module):
 
 
 class SELDResNetConformer(nn.Module):
-    """(B, T, C, F) -> (B, T, G, M) logits (ref resnet50_model.py:122-204)."""
+    """(B, T, C, F) -> (B, T, M, G) class-major logits (ref resnet50_model.py:122-204 emits (..., G, M))."""
 
     grid_size: tuple[int, int] = (18, 36)
     num_classes: int = 14

@@ -2,7 +2,7 @@
 
 Why: the measured flagship train step spends 6.8 ms (MSE) / 7.8 ms
 (3-term) of ~31 ms in the loss region (benchmarks/results/loss_cost.json)
-— XLA materializes several full (B, T, G, M) float32 tensors for the
+— XLA materializes several full (B, T, M, G) float32 tensors for the
 softmax, the squared error, and their backward. This kernel computes the
 whole per-cell region in ONE pass over the logits:
 
@@ -17,10 +17,12 @@ where r = p - t, c = sum_m r_m p_m (softmax Jacobian applied to both
 outputs).
 
 Layout: the kernel wants classes on SUBLANES and grid cells on LANES —
-(B*T, M, G) — because softmax reduces over M: with the model's native
-(B, T, G, M) the M axis would sit on 14/128 lanes (11% utilization).
-One cheap XLA transpose (145 MB at HBM bandwidth) in, one out for the
-gradient; M=14 pads to 16 sublanes and G=648 to 768 lanes (~74% util).
+(B*T, M, G) — because softmax reduces over M: class-minor (..., G, M)
+would put M on 14/128 lanes (11% utilization). Since the round-3
+class-major layout switch the models emit (B, T, M, G) natively, so the
+kernel consumes a pure reshape of the head output (the two ~145 MB
+transposes the class-minor layout needed are gone, forward and
+backward); M=14 pads to 16 sublanes and G=648 to 768 lanes (~84% util).
 
 The XLA (jnp) path in seld_tpu.losses stays the reference semantics and
 the CPU/test oracle; interpret-mode parity is pinned in

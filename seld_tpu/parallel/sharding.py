@@ -7,7 +7,9 @@ transformer-ish layers:
   * attention output kernel: shard the input dim           -> P("model", None)
   * FFN up-projection / GLU pointwise: shard output dim    -> P(None, "model")
   * FFN down-projection: shard input dim                   -> P("model", None)
-  * grid-head logits kernel (-> G*M = 9072 wide): shard output dim
+  * grid-head logits DenseGeneral kernel (hidden, M, G): shard the G
+    (grid-cell) axis — the class-major output (B, T, M, G) lands
+    sharded over cells, so the loss softmax over M stays shard-local
   * everything else (convs, norms, GRU cells): replicated
 
 Column-then-row sharded pairs need no collective between them; XLA inserts

@@ -66,7 +66,8 @@ class StreamingSession:
         else:
             self.whop = None
         self._next_start = 0  # next window start (overlap mode)
-        self._prob = None  # (pending, G, M) f32 accumulator (overlap mode)
+        self._prob = None  # class-major (pending, M, G) f32 accumulator
+        # (overlap mode)
         self._pcount = None  # (pending, 1, 1) f32 coverage counts
 
     # -- mel-frame production ------------------------------------------------
@@ -208,11 +209,11 @@ class StreamingSession:
                 list(self.p._batched(windows, self.p._forward_probs)), axis=0
             )
             # grow the accumulator to cover the touched frames
-            g, m = probs.shape[2], probs.shape[3]
+            m, g = probs.shape[2], probs.shape[3]
             have = (self._prob.shape[0] if self._prob is not None else 0)
             grow = need_through - self._emitted_frames - have
             if grow > 0:
-                z = np.zeros((grow, g, m), np.float32)
+                z = np.zeros((grow, m, g), np.float32)
                 zc = np.zeros((grow, 1, 1), np.float32)
                 self._prob = z if self._prob is None else np.concatenate(
                     [self._prob, z])
@@ -234,7 +235,7 @@ class StreamingSession:
         if n_emit > 0 and self._prob is not None:
             n_emit = min(n_emit, self._prob.shape[0])
             avg = self._prob[:n_emit] / np.maximum(self._pcount[:n_emit], 1.0)
-            classes = np.argmax(avg, axis=-1).astype(np.int8)
+            classes = np.argmax(avg, axis=1).astype(np.int8)
             frags.append((self._emitted_frames, classes))
             self._emitted_frames += n_emit
             self._prob = self._prob[n_emit:]

@@ -79,17 +79,22 @@ def bitmask_to_dense(mask: np.ndarray, num_classes: int = 14) -> np.ndarray:
     return np.concatenate([onehot, background], axis=-1)
 
 
-def decode_class_bitmask(mask, num_classes: int = 14):
+def decode_class_bitmask(mask, num_classes: int = 14, class_major: bool = False):
     """On-device (jit-friendly) bitmask -> dense one-hot decoder.
 
-    mask: integer array (..., G). Returns float32 (..., G, num_classes).
-    Background (last class) = 1 where no event bit is set, matching
-    ref dataset.py:113-117.
+    mask: integer array (..., G). Returns float32 (..., G, num_classes),
+    or the repo's class-major (..., num_classes, G) loss layout when
+    `class_major=True`. Background (last class) = 1 where no event bit
+    is set, matching ref dataset.py:113-117.
     """
     import jax.numpy as jnp
 
     m = mask.astype(jnp.int32)
     event_bits = jnp.arange(num_classes - 1, dtype=jnp.int32)
+    if class_major:
+        onehot = ((m[..., None, :] >> event_bits[:, None]) & 1).astype(jnp.float32)
+        background = (m == 0).astype(jnp.float32)[..., None, :]
+        return jnp.concatenate([onehot, background], axis=-2)
     onehot = ((m[..., None] >> event_bits) & 1).astype(jnp.float32)
     background = (m == 0).astype(jnp.float32)[..., None]
     return jnp.concatenate([onehot, background], axis=-1)

@@ -113,10 +113,28 @@ def _cnn_encoder(t: _Tree, n_blocks: int = 4):
         t.bn(f"CNNEncoder_0/ConvBlock_{i}/BatchNorm_0", f"cnn_blocks.{i}.bn")
 
 
-def _grid_head(t: _Tree, torch_prefix: str):
+def _grid_head(t: _Tree, torch_prefix: str, num_classes: int = 14):
     t.linear("GridHead_0/Dense_0", f"{torch_prefix}.0")
     t.norm("GridHead_0/LayerNorm_0", f"{torch_prefix}.1")
-    t.linear("GridHead_0/logits", f"{torch_prefix}.4")
+    # Final layer: the torch head emits G*M columns ordered grid-major
+    # (the reference reshapes to (..., G, M)); the flax GridHead is a
+    # DenseGeneral with class-major kernel (hidden, M, G) — permute the
+    # columns so converted models emit identical values in the new
+    # layout (output[..., m, g] == torch output[..., g, m]).
+    w = t._get(f"{torch_prefix}.4.weight")  # (G*M, hidden)
+    b = t._get(f"{torch_prefix}.4.bias")  # (G*M,)
+    gm, hidden = w.shape
+    g = gm // num_classes
+    t.p(
+        "GridHead_0/logits/kernel",
+        np.ascontiguousarray(
+            w.T.reshape(hidden, g, num_classes).transpose(0, 2, 1)
+        ).astype(np.float32),
+    )
+    t.p(
+        "GridHead_0/logits/bias",
+        np.ascontiguousarray(b.reshape(g, num_classes).T).astype(np.float32),
+    )
 
 
 def _conformer_blocks(t: _Tree, n_layers: int):

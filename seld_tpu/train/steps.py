@@ -60,7 +60,7 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
     loss's format (ACCDOA passes vectors through). With the default
     decoder and a bitmask-capable loss (SELDLossFn), the loss consumes
     the uint16 bitmask directly (loss_fn.from_bitmask) — value-identical
-    to decoding one-hot first, but the dense (B, T, G, M) targets never
+    to decoding one-hot first, but the dense (B, T, M, G) targets never
     hit HBM. `input_augment` is an optional on-device (rng, mel) -> mel
     hook (e.g. SpecAugment), train-side only. `spatial_augment` is an
     optional on-device (rng, mel, label_mask) -> (mel, label_mask) hook
@@ -68,7 +68,9 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
     transforms), applied before input_augment."""
     bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
-        target_decoder = lambda m: decode_class_bitmask(m, num_classes)
+        target_decoder = lambda m: decode_class_bitmask(
+            m, num_classes, class_major=True
+        )
     step_mesh = _mesh_of(out_state_shardings)
 
     def step(state: TrainState, mel, label_mask, example_mask, rng):
@@ -135,7 +137,9 @@ def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
     fused loss kernel runs in shard_map over the data axis."""
     bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
-        target_decoder = lambda m: decode_class_bitmask(m, num_classes)
+        target_decoder = lambda m: decode_class_bitmask(
+            m, num_classes, class_major=True
+        )
 
     def step(state: TrainState, mel, label_mask, example_mask):
         with attention_mesh(mesh):

@@ -455,7 +455,8 @@ def train_model(
                         lambda s, x: model.apply(s.variables(), x, train=False)
                     )(eval_state(), mel)
                     targets = decode_class_bitmask(
-                        jnp.asarray(batch.label_mask), cfg.grid.num_classes
+                        jnp.asarray(batch.label_mask), cfg.grid.num_classes,
+                        class_major=True,
                     )
                     visualize_loss_components(
                         logits, targets,

@@ -4,7 +4,8 @@ Capability parity with ref visualization.py (Agg backend, PNG artifacts):
   * plot_loss_curves — train/test curves with best-epoch markers
     (ref visualization.py:262-306)
   * visualize_grid_predictions — GT / prediction / difference class grids
-    for one frame with per-frame accuracy (ref visualization.py:308-394)
+    for one frame with per-frame accuracy (ref visualization.py:308-394);
+    all grid inputs use the repo's class-major (..., M, G) layout
   * visualize_loss_components — dashboard of the loss internals: GT/pred
     activity, event masks, AIUR intersection/union, CL attention map and
     contribution (ref visualization.py:12-260)
@@ -48,9 +49,9 @@ def plot_loss_curves(train_losses, test_losses, save_path=None):
 
 
 def _class_grid(labels_or_logits, n_el, n_az):
-    """(G, M) -> (I, J) argmax class map."""
-    g = labels_or_logits.reshape(n_el, n_az, -1)
-    return np.argmax(g, axis=-1)
+    """Class-major (M, G) -> (I, J) argmax class map."""
+    g = labels_or_logits.reshape(-1, n_el, n_az)
+    return np.argmax(g, axis=0)
 
 
 def visualize_grid_predictions(
@@ -62,7 +63,8 @@ def visualize_grid_predictions(
     title_prefix: str = "",
     save_path=None,
 ):
-    """3-panel GT / prediction / agreement plot for one frame's (G, M)."""
+    """3-panel GT / prediction / agreement plot for one frame's
+    class-major (M, G) labels/logits."""
     n_el, n_az = grid_size
     gt = _class_grid(np.asarray(ground_truth), n_el, n_az)
     pred = _class_grid(np.asarray(predictions), n_el, n_az)
@@ -121,24 +123,24 @@ def visualize_loss_components(
     """
     import jax.nn
 
-    logits = np.asarray(logits)
+    logits = np.asarray(logits)   # class-major (B, T, M, G)
     labels = np.asarray(labels)
-    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
-    m = labels.shape[-1]
+    probs = np.asarray(jax.nn.softmax(logits, axis=2))
+    m = labels.shape[2]
 
     if frame_idx is None:
         # frame with the most non-background GT cells (ref :49-61)
-        counts = (np.argmax(labels, -1) != m - 1).sum(-1)  # (B, T)
+        counts = (np.argmax(labels, 2) != m - 1).sum(-1)  # (B, T)
         b, t = np.unravel_index(int(np.argmax(counts)), counts.shape)
     else:
         b, t = 0, frame_idx
 
-    true = labels[b, t].reshape(n_el, n_az, m)
-    pred = probs[b, t].reshape(n_el, n_az, m)
-    true_act = true[..., :-1].sum(-1)
-    pred_act = pred[..., :-1].sum(-1)
-    true_cls = np.argmax(true, -1)
-    pred_cls = np.argmax(pred, -1)
+    true = labels[b, t].reshape(m, n_el, n_az)
+    pred = probs[b, t].reshape(m, n_el, n_az)
+    true_act = true[:-1].sum(0)
+    pred_act = pred[:-1].sum(0)
+    true_cls = np.argmax(true, 0)
+    pred_cls = np.argmax(pred, 0)
     true_mask = (true_cls != m - 1).astype(float)
     pred_mask = (pred_cls != m - 1).astype(float)
     inter = true_mask * pred_mask
@@ -197,7 +199,7 @@ def visualize_loss_components(
         f"active cells:     {int(pred_mask.sum())}\n"
         f"background cells: {int((1 - pred_mask).sum())}\n"
         f"activity range:   [{pred_act.min():.3f}, {pred_act.max():.3f}]\n"
-        f"confidence:       {pred.max(-1).mean():.3f}",
+        f"confidence:       {pred.max(0).mean():.3f}",
         fontsize=10, va="center", family="monospace",
     )
 

@@ -20,6 +20,12 @@ B, T, I, J, M = 2, 3, 18, 36, 14
 G = I * J
 
 
+def cm(a):
+    """Class-minor (..., G, M) oracle layout -> the library's class-major
+    (..., M, G)."""
+    return np.ascontiguousarray(np.swapaxes(a, -1, -2))
+
+
 def random_batch(rng, peaked=True):
     logits = rng.standard_normal((B, T, G, M)).astype(np.float32)
     labels = np.zeros((B, T, G, M), np.float32)
@@ -86,26 +92,26 @@ def torch_cl(logits, labels):
 
 def test_ce_matches_torch(rng):
     logits, labels = random_batch(rng)
-    got = float(class_ce_loss(logits, labels))
+    got = float(class_ce_loss(cm(logits), cm(labels)))
     assert got == pytest.approx(torch_ce(logits, labels), rel=1e-5)
 
 
 def test_weighted_ce_matches_torch(rng):
     logits, labels = random_batch(rng)
     w = np.asarray(make_class_weights(M, 0.05))
-    got = float(class_ce_loss(logits, labels, class_weights=np.asarray(w)))
+    got = float(class_ce_loss(cm(logits), cm(labels), class_weights=np.asarray(w)))
     assert got == pytest.approx(torch_ce(logits, labels, w), rel=1e-5)
 
 
 def test_mse_matches_torch(rng):
     logits, labels = random_batch(rng)
-    got = float(class_mse_loss(logits, labels))
+    got = float(class_mse_loss(cm(logits), cm(labels)))
     assert got == pytest.approx(torch_mse(logits, labels), rel=1e-5)
 
 
 def test_aiur_matches_torch(rng):
     logits, labels = random_batch(rng)
-    got = float(aiur_loss(logits, labels))
+    got = float(aiur_loss(cm(logits), cm(labels)))
     assert got == pytest.approx(torch_aiur(logits, labels), rel=1e-5)
 
 
@@ -115,12 +121,12 @@ def test_aiur_empty_vs_empty_is_perfect():
     logits[..., M - 1] = 10.0
     labels = np.zeros((1, 1, G, M), np.float32)
     labels[..., M - 1] = 1.0
-    assert float(aiur_loss(logits, labels)) == pytest.approx(0.0, abs=1e-6)
+    assert float(aiur_loss(cm(logits), cm(labels))) == pytest.approx(0.0, abs=1e-6)
 
 
 def test_cl_matches_torch(rng):
     logits, labels = random_batch(rng)
-    got = float(converging_localization_loss(logits, labels, I, J))
+    got = float(converging_localization_loss(cm(logits), cm(labels), I, J))
     assert got == pytest.approx(torch_cl(logits, labels), rel=1e-4, abs=1e-7)
 
 
@@ -128,7 +134,7 @@ def test_cl_no_event_frames_is_zero():
     logits = np.random.default_rng(1).standard_normal((1, 2, G, M)).astype(np.float32)
     labels = np.zeros((1, 2, G, M), np.float32)
     labels[..., M - 1] = 1.0
-    got = float(converging_localization_loss(logits, labels, I, J))
+    got = float(converging_localization_loss(cm(logits), cm(labels), I, J))
     assert got == pytest.approx(0.0, abs=1e-6)
 
 
@@ -137,7 +143,7 @@ def test_composite_modes(rng):
     grid = GridConfig()
     # modular mode: class term only (ref loss.py:166)
     fn = SELDLossFn(LossConfig(loss_type="mse"), grid)
-    total, bd = fn(logits, labels)
+    total, bd = fn(cm(logits), cm(labels))
     assert set(bd) == {"class_mse"}
     assert float(total) == pytest.approx(float(bd["class_mse"]))
     # monolith mode: all three (ref smrl_seld_gaussian.py:1059-1070)
@@ -145,7 +151,7 @@ def test_composite_modes(rng):
         LossConfig(loss_type="mse", use_aiur=True, use_cl=True, w_aiur=1.0, w_cl=1.0),
         grid,
     )
-    total3, bd3 = fn3(logits, labels)
+    total3, bd3 = fn3(cm(logits), cm(labels))
     assert set(bd3) == {"class_mse", "aiur", "cl"}
     expected = float(bd3["class_mse"]) + float(bd3["aiur"]) + float(bd3["cl"])
     assert float(total3) == pytest.approx(expected, rel=1e-6)
@@ -157,13 +163,13 @@ def test_loss_weights_scale_terms(rng):
     base = SELDLossFn(
         LossConfig(loss_type="mse", use_aiur=True, use_cl=True), GridConfig()
     )
-    _, bd = base(logits, labels)
+    _, bd = base(cm(logits), cm(labels))
     weighted = SELDLossFn(
         LossConfig(loss_type="mse", use_aiur=True, use_cl=True,
                    w_class=2.0, w_aiur=0.5, w_cl=0.25),
         GridConfig(),
     )
-    total, _ = weighted(logits, labels)
+    total, _ = weighted(cm(logits), cm(labels))
     expect = 2.0 * float(bd["class_mse"]) + 0.5 * float(bd["aiur"]) \
         + 0.25 * float(bd["cl"])
     assert float(total) == pytest.approx(expect, rel=1e-6)
@@ -177,7 +183,9 @@ def test_loss_is_differentiable(rng):
     fn = SELDLossFn(
         LossConfig(loss_type="mse", use_aiur=True, use_cl=True), GridConfig()
     )
-    g = jax.grad(lambda lo: fn(lo, jnp.asarray(labels)).total)(jnp.asarray(logits))
+    g = jax.grad(lambda lo: fn(lo, jnp.asarray(cm(labels))).total)(
+        jnp.asarray(cm(logits))
+    )
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).sum()) > 0.0
 
@@ -189,18 +197,18 @@ def test_example_masking_equals_unpadded(rng):
     fn = SELDLossFn(
         LossConfig(loss_type="ce", use_aiur=True, use_cl=True), GridConfig()
     )
-    want, _ = fn(logits[:1], labels[:1])
+    want, _ = fn(cm(logits[:1]), cm(labels[:1]))
     padded_logits = np.concatenate([logits[:1], logits[1:]], axis=0)
     padded_labels = np.concatenate([labels[:1], labels[1:]], axis=0)
     mask = np.array([1.0, 0.0], np.float32)
-    got, _ = fn(padded_logits, padded_labels, example_mask=mask)
+    got, _ = fn(cm(padded_logits), cm(padded_labels), example_mask=mask)
     assert float(got) == pytest.approx(float(want), rel=1e-6)
 
 
 def test_ce_mode_uses_background_downweight(rng):
     logits, labels = random_batch(rng)
     fn = SELDLossFn(LossConfig(loss_type="ce"), GridConfig())
-    total, bd = fn(logits, labels)
+    total, bd = fn(cm(logits), cm(labels))
     w = np.asarray(make_class_weights(M, 0.05))
     assert float(total) == pytest.approx(torch_ce(logits, labels, w), rel=1e-5)
 
@@ -215,7 +223,7 @@ def test_bitmask_native_terms_match_dense(rng):
     from seld_tpu.targets.rasterize import decode_class_bitmask
 
     b, t, g, m = 3, 7, 648, 14
-    logits = jnp.asarray(rng.standard_normal((b, t, g, m)), jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((b, t, m, g)), jnp.float32)
     # random multi-hot bitmasks incl. empty cells and multi-class cells
     mask_np = np.where(
         rng.random((b, t, g)) < 0.9, 0,
@@ -229,7 +237,9 @@ def test_bitmask_native_terms_match_dense(rng):
             cfg = LossConfig(loss_type=loss_type, use_aiur=use_aiur,
                              use_cl=use_cl)
             fn = SELDLossFn(cfg, GridConfig())
-            dense = fn(logits, decode_class_bitmask(mask, m), em)
+            dense = fn(
+                logits, decode_class_bitmask(mask, m, class_major=True), em
+            )
             bits = fn.from_bitmask(logits, mask, em)
             np.testing.assert_array_equal(
                 np.asarray(dense.total), np.asarray(bits.total),

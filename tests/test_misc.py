@@ -48,10 +48,10 @@ def test_plot_loss_curves_artifact(tmp_path):
                      save_path=tmp_path / "curves.png")
     assert (tmp_path / "curves.png").stat().st_size > 0
 
-    gt = np.zeros((648, 14), np.float32)
-    gt[:, 13] = 1.0
-    gt[100, 13], gt[100, 3] = 0.0, 1.0
-    pred = np.random.default_rng(0).standard_normal((648, 14)).astype(np.float32)
+    gt = np.zeros((14, 648), np.float32)  # class-major (M, G)
+    gt[13, :] = 1.0
+    gt[13, 100], gt[3, 100] = 0.0, 1.0
+    pred = np.random.default_rng(0).standard_normal((14, 648)).astype(np.float32)
     visualize_grid_predictions(gt, pred, save_path=tmp_path / "grid.png")
     assert (tmp_path / "grid.png").stat().st_size > 0
 
@@ -65,12 +65,12 @@ def test_loss_components_dashboard_panels(tmp_path):
     from seld_tpu.viz import visualize_loss_components
 
     rng = np.random.default_rng(0)
-    logits = rng.standard_normal((2, 6, 648, 14)).astype("float32")
-    labels = np.zeros((2, 6, 648, 14), "float32")
-    labels[..., -1] = 1.0
+    logits = rng.standard_normal((2, 6, 14, 648)).astype("float32")
+    labels = np.zeros((2, 6, 14, 648), "float32")  # class-major (B,T,M,G)
+    labels[:, :, -1, :] = 1.0
     for cell, cls in [(100, 2), (101, 2), (300, 5)]:
-        labels[1, 4, cell] = 0.0
-        labels[1, 4, cell, cls] = 1.0
+        labels[1, 4, :, cell] = 0.0
+        labels[1, 4, cls, cell] = 1.0
 
     fig = visualize_loss_components(logits, labels, epoch=3)
     try:

@@ -1,6 +1,7 @@
 """Model contract tests — the pytest upgrade of the reference's
 verify_dims.py (ref verify_dims.py:10-114): every backbone maps
-(B, T, C, F) -> (B, T, G, M) float32 logits, trains with mutable batch
+(B, T, C, F) -> (B, T, M, G) class-major float32 logits, trains with
+mutable batch
 stats, and (where the reference is importable) matches its parameter
 count within tolerance."""
 
@@ -44,7 +45,7 @@ def test_output_contract(model_type):
     x = jnp.zeros((B, T, C, F), jnp.float32)
     model = make_model(model_type)
     out, variables, _ = init_and_apply(model, x)
-    assert out.shape == (B, T, G, M)
+    assert out.shape == (B, T, M, G)
     assert out.dtype == jnp.float32
     assert bool(jnp.isfinite(out).all())
 
@@ -54,7 +55,7 @@ def test_train_mode_updates_batch_stats(model_type):
     x = jnp.asarray(np.random.default_rng(0).standard_normal((B, 10, C, F)), jnp.float32)
     model = make_model(model_type)
     out, variables, updates = init_and_apply(model, x, train=True)
-    assert out.shape == (B, 10, G, M)
+    assert out.shape == (B, 10, M, G)
     if "batch_stats" in variables:
         # running stats must actually move for BN-bearing models
         old = jax.tree_util.tree_leaves(variables["batch_stats"])
@@ -69,7 +70,7 @@ def test_full_window_shape_crnn():
     x = jnp.zeros((1, 250, C, F), jnp.float32)
     model = make_model("crnn")
     out, _, _ = init_and_apply(model, x)
-    assert out.shape == (1, 250, G, M)
+    assert out.shape == (1, 250, M, G)
 
 
 def test_bf16_compute_dtype():

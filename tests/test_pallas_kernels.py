@@ -194,8 +194,9 @@ def test_flash_attention_lse_is_correct(rng):
 
 
 def _loss_case(seed, b=2, t=5, g=648, m=14):
+    # class-major logits (b, t, m, g) — the models' native layout
     rng = np.random.default_rng(seed)
-    logits = jnp.asarray(rng.standard_normal((b, t, g, m)), jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((b, t, m, g)), jnp.float32)
     mask_np = np.where(
         rng.random((b, t, g)) < 0.9, 0,
         rng.integers(1, 2 ** (m - 1), (b, t, g)),
@@ -208,17 +209,17 @@ def test_grid_loss_terms_forward_matches_jnp():
     from seld_tpu.targets.rasterize import decode_class_bitmask
 
     logits, mask = _loss_case(0)
-    b, t, g, m = logits.shape
-    x = jnp.swapaxes(logits.reshape(b * t, g, m), 1, 2)
+    b, t, m, g = logits.shape
+    x = logits.reshape(b * t, m, g)
     sq, pbg = grid_loss_terms(x, mask.reshape(b * t, g), m, True)
 
-    probs = jax.nn.softmax(logits, axis=-1)
-    targets = decode_class_bitmask(mask, m)
-    want_sq = jnp.sum((probs - targets) ** 2, axis=-1).reshape(b * t, g)
+    probs = jax.nn.softmax(logits, axis=2)
+    targets = decode_class_bitmask(mask, m, class_major=True)
+    want_sq = jnp.sum((probs - targets) ** 2, axis=2).reshape(b * t, g)
     np.testing.assert_allclose(np.asarray(sq), np.asarray(want_sq),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(pbg).reshape(b, t, g), np.asarray(probs[..., -1]),
+        np.asarray(pbg).reshape(b, t, g), np.asarray(probs[:, :, -1]),
         rtol=1e-5, atol=1e-7,
     )
 
@@ -230,20 +231,20 @@ def test_grid_loss_terms_gradient_matches_jnp():
     from seld_tpu.targets.rasterize import decode_class_bitmask
 
     logits, mask = _loss_case(1, b=2, t=3)
-    b, t, g, m = logits.shape
+    b, t, m, g = logits.shape
     w = jnp.asarray(np.random.default_rng(2).standard_normal((b * t, g)),
                     jnp.float32)
 
     def fused(lg):
-        x = jnp.swapaxes(lg.reshape(b * t, g, m), 1, 2)
+        x = lg.reshape(b * t, m, g)
         sq, pbg = grid_loss_terms(x, mask.reshape(b * t, g), m, True)
         return jnp.sum(sq) * 0.3 + jnp.sum(pbg * w)
 
     def oracle(lg):
-        probs = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
-        targets = decode_class_bitmask(mask, m)
+        probs = jax.nn.softmax(lg.astype(jnp.float32), axis=2)
+        targets = decode_class_bitmask(mask, m, class_major=True)
         sq = jnp.sum((probs - targets) ** 2)
-        return sq * 0.3 + jnp.sum(probs[..., -1].reshape(b * t, g) * w)
+        return sq * 0.3 + jnp.sum(probs[:, :, -1].reshape(b * t, g) * w)
 
     gf = jax.grad(fused)(logits)
     go = jax.grad(oracle)(logits)

@@ -51,7 +51,10 @@ def test_partition_rules():
     assert param_partition_spec("block_0/MultiHeadSelfAttention_0/w_o/kernel", 2) == P("model", None)
     assert param_partition_spec("block_1/FeedForward_0/Dense_0/kernel", 2) == P(None, "model")
     assert param_partition_spec("block_1/FeedForward_0/Dense_1/kernel", 2) == P("model", None)
-    assert param_partition_spec("GridHead_0/logits/kernel", 2) == P(None, "model")
+    # DenseGeneral kernel (hidden, M, G): shard the grid-cell axis
+    assert param_partition_spec("GridHead_0/logits/kernel", 3) == P(
+        None, None, "model"
+    )
     assert param_partition_spec("stem/kernel", 4) == P()
     assert param_partition_spec("BatchNorm_0/scale", 1) == P()
 
@@ -137,8 +140,11 @@ def test_tp_params_actually_sharded(tmp_path):
     for key_path, leaf in flat:
         path = "/".join(getattr(k, "key", str(k)) for k in key_path)
         spec = leaf.sharding.spec
-        if "w_q/kernel" in path or "logits/kernel" in path:
+        if "w_q/kernel" in path:
             assert spec == P(None, "model"), path
+            tp_shards += 1
+        if "logits/kernel" in path:
+            assert spec == P(None, None, "model"), path
             tp_shards += 1
         if "w_o/kernel" in path:
             assert spec == P("model", None), path
@@ -249,7 +255,10 @@ def test_batchnorm_is_sync_bn_under_dp(tmp_path):
         dp_leaf = dp_stats
         for k in key_path:
             dp_leaf = dp_leaf[getattr(k, "key", k)]
+        # Tolerance: f32 reduction reassociation feeds back through the
+        # weight updates over the multi-step run (~2e-6 absolute drift
+        # observed); per-replica BN would diverge at percent level.
         np.testing.assert_allclose(
-            np.asarray(dp_leaf), np.asarray(leaf), rtol=1e-5, atol=1e-6,
+            np.asarray(dp_leaf), np.asarray(leaf), rtol=1e-4, atol=1e-5,
             err_msg="/".join(getattr(k, "key", str(k)) for k in key_path),
         )

@@ -90,3 +90,80 @@ def test_replot_from_metrics_jsonl(tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "best test 0.220000 @ epoch 5" in printed
     assert "class_mse" in printed and printed.count("\n") >= 6
+
+
+def test_migrate_ckpt_roundtrip(tiny_crnn_ckpt, tmp_path):
+    """`seld_tpu migrate-ckpt` upgrades a pre-round-3 class-minor
+    checkpoint to the class-major GridHead layout with bit-identical
+    model outputs. Simulated by inverse-permuting a fresh checkpoint's
+    head leaves into the legacy (hidden, G*M) Dense layout (the exact
+    on-disk format the old code wrote), migrating it back, and comparing
+    predictor outputs bitwise. Also pins idempotence: migrating an
+    already-class-major tree permutes nothing."""
+    import orbax.checkpoint as ocp
+
+    from seld_tpu.infer import SELDPredictor
+    from seld_tpu.tools.migrate_ckpt import migrate_checkpoint_tree
+
+    def downgrade(tree, in_head=False):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                if in_head and k == "logits" and isinstance(v, dict):
+                    leaf = dict(v)
+                    kern = np.asarray(leaf["kernel"])  # (hidden, M, G)
+                    h, m, g = kern.shape
+                    leaf["kernel"] = np.ascontiguousarray(
+                        kern.transpose(0, 2, 1).reshape(h, g * m)
+                    )
+                    bias = np.asarray(leaf["bias"])  # (M, G)
+                    leaf["bias"] = np.ascontiguousarray(bias.T.reshape(-1))
+                    out[k] = leaf
+                else:
+                    out[k] = downgrade(v, in_head or k == "GridHead_0")
+            return out
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(downgrade(v, in_head) for v in tree)
+        return tree
+
+    legacy = tmp_path / "legacy"
+    for sub in ("best", "rolling"):
+        src = ocp.CheckpointManager(tiny_crnn_ckpt.absolute() / sub)
+        dst = ocp.CheckpointManager(legacy / sub)
+        try:
+            for step in src.all_steps():
+                r = src.restore(step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(),
+                    meta=ocp.args.JsonRestore(),
+                ))
+                dst.save(step, args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(downgrade(r["state"])),
+                    meta=ocp.args.JsonSave(r["meta"]),
+                ))
+            dst.wait_until_finished()
+        finally:
+            src.close()
+            dst.close()
+
+    migrated = tmp_path / "migrated"
+    summary = migrate_checkpoint_tree(legacy, migrated)
+    assert all(n > 0 for _, n in summary["best"] + summary["rolling"])
+
+    p_orig = SELDPredictor(tiny_crnn_ckpt, batch_windows=1)
+    p_migr = SELDPredictor(migrated, batch_windows=1)
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    mel = jnp.asarray(
+        rng.standard_normal(
+            (1, p_orig.win, 4, p_orig.cfg.model.n_mels)
+        ).astype(np.float32)
+    )
+    a = np.asarray(p_orig._forward(p_orig.state, mel))
+    b = np.asarray(p_migr._forward(p_migr.state, mel))
+    assert np.array_equal(a, b), "migrated checkpoint must be output-identical"
+
+    # idempotence: a class-major tree passes through with zero permutes
+    again = tmp_path / "again"
+    summary2 = migrate_checkpoint_tree(migrated, again)
+    assert all(n == 0 for _, n in summary2["best"] + summary2["rolling"])

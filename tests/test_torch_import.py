@@ -81,8 +81,11 @@ def test_converted_weights_match_torch_outputs(model_type, tol):
             variables, jnp.asarray(x)
         )
     )
-    assert got.shape == want.shape == (2, 6, 648, 14)
-    np.testing.assert_allclose(got, want, atol=tol, rtol=1e-3)
+    # flax emits the repo's class-major (B, T, M, G); torch is (..., G, M)
+    assert got.shape == (2, 6, 14, 648) and want.shape == (2, 6, 648, 14)
+    np.testing.assert_allclose(
+        np.swapaxes(got, -1, -2), want, atol=tol, rtol=1e-3
+    )
 
 
 def test_cli_import_torch_then_predict(tmp_path):
