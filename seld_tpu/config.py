@@ -335,6 +335,15 @@ class MeshConfig:
     # ZeRO-1: shard Adam moments over the data axis (saves ~2/3 of
     # optimizer memory per chip at the cost of an update all-gather).
     shard_opt_state: bool = False
+    # ZeRO-3 / FSDP: additionally shard the PARAMETERS (and therefore
+    # their gradients and moments) over the data axis. GSPMD inserts the
+    # per-layer all-gather before each use and reduce-scatters the
+    # gradients — full-state memory drops ~linearly with the data-axis
+    # size, paid for with ICI traffic each step. Small leaves (norms,
+    # biases) stay replicated. Composes with tensor parallelism (TP
+    # rules take precedence) and implies shard_opt_state for the
+    # FSDP-sharded leaves.
+    shard_params: bool = False
 
 
 @dataclass(frozen=True)

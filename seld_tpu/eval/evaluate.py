@@ -84,7 +84,10 @@ def evaluate_model(
     if mesh is not None:
         from seld_tpu.parallel import shard_variables
 
-        state = shard_variables(state, mesh)
+        # FSDP (mesh.shard_params) applies to eval too: params stay
+        # 1/n_data per chip and GSPMD gathers them per use.
+        state = shard_variables(state, mesh,
+                                shard_params=cfg.mesh.shard_params)
 
     num_classes = cfg.grid.num_classes
     from seld_tpu.models.registry import ACCDOA_MODELS

@@ -21,6 +21,7 @@ from __future__ import annotations
 import re
 
 import jax
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from seld_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -65,24 +66,39 @@ def path_of(key_path) -> str:
     )
 
 
-def _tree_paths_specs(tree, n_data_zero: int = 0):
+# FSDP shards only leaves at least this large: gathering a tiny norm
+# scale costs a collective launch for no memory win (standard FSDP
+# practice: small leaves stay replicated).
+FSDP_MIN_LEAF_ELEMENTS = 2**15
+
+
+def _tree_paths_specs(tree, n_data_zero: int = 0, n_data_fsdp: int = 0):
     """(treedef, specs). With n_data_zero > 0, optimizer-moment leaves
     (paths containing /mu/ or /nu/) that the TP rules leave replicated are
     sharded over the data axis instead (ZeRO-1 for Adam state: saves 2/3
     of optimizer memory per chip; XLA inserts the all-gather when moments
-    meet replicated params in the update)."""
+    meet replicated params in the update).
+
+    With n_data_fsdp > 0 (ZeRO-3 / FSDP), EVERY large leaf the TP rules
+    leave replicated — parameters included, not just moments — is
+    sharded over the data axis: GSPMD all-gathers each parameter just
+    before its use in the forward/backward and reduce-scatters its
+    gradient, so full-state memory scales ~1/n_data. Leaves smaller than
+    FSDP_MIN_LEAF_ELEMENTS (norm scales, biases, BN statistics) stay
+    replicated — a collective per tiny leaf costs more than it saves."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     specs = []
     for key_path, leaf in flat:
         path = path_of(key_path)
-        spec = param_partition_spec(path, getattr(leaf, "ndim", 0))
-        if (
-            n_data_zero > 1
-            and spec == P()
-            and ("/mu/" in path or "/nu/" in path)
-            and getattr(leaf, "ndim", 0) >= 1
-        ):
-            spec = _zero_spec(leaf.shape, n_data_zero)
+        ndim = getattr(leaf, "ndim", 0)
+        spec = param_partition_spec(path, ndim)
+        if spec == P() and ndim >= 1:
+            is_moment = "/mu/" in path or "/nu/" in path
+            size = int(np.prod(leaf.shape))
+            if n_data_fsdp > 1 and size >= FSDP_MIN_LEAF_ELEMENTS:
+                spec = _zero_spec(leaf.shape, n_data_fsdp)
+            elif n_data_zero > 1 and is_moment:
+                spec = _zero_spec(leaf.shape, n_data_zero)
         specs.append(spec)
     return treedef, specs
 
@@ -116,10 +132,15 @@ def _validate_specs(tree, mesh, treedef, specs) -> None:
         )
 
 
-def shard_variables(tree, mesh, zero_opt_state: bool = False):
-    """Place a variables/params/state pytree onto the mesh per the rules."""
-    n_zero = mesh.shape[DATA_AXIS] if zero_opt_state else 0
-    treedef, specs = _tree_paths_specs(tree, n_zero)
+def shard_variables(tree, mesh, zero_opt_state: bool = False,
+                    shard_params: bool = False):
+    """Place a variables/params/state pytree onto the mesh per the rules.
+    `shard_params` enables ZeRO-3/FSDP sharding of large replicated
+    leaves over the data axis (see _tree_paths_specs)."""
+    n = mesh.shape[DATA_AXIS]
+    treedef, specs = _tree_paths_specs(
+        tree, n if zero_opt_state else 0, n if shard_params else 0
+    )
     _validate_specs(tree, mesh, treedef, specs)
     leaves = treedef.flatten_up_to(tree)
     placed = [
@@ -129,10 +150,13 @@ def shard_variables(tree, mesh, zero_opt_state: bool = False):
     return jax.tree_util.tree_unflatten(treedef, placed)
 
 
-def state_shardings(tree, mesh, zero_opt_state: bool = False):
+def state_shardings(tree, mesh, zero_opt_state: bool = False,
+                    shard_params: bool = False):
     """NamedSharding pytree mirroring `tree` (for jit in/out_shardings)."""
-    n_zero = mesh.shape[DATA_AXIS] if zero_opt_state else 0
-    treedef, specs = _tree_paths_specs(tree, n_zero)
+    n = mesh.shape[DATA_AXIS]
+    treedef, specs = _tree_paths_specs(
+        tree, n if zero_opt_state else 0, n if shard_params else 0
+    )
     _validate_specs(tree, mesh, treedef, specs)
     return jax.tree_util.tree_unflatten(
         treedef, [NamedSharding(mesh, s) for s in specs]

@@ -160,8 +160,11 @@ def train_model(
     out_state_shardings = None
     if mesh is not None:
         zero = cfg.mesh.shard_opt_state
-        state = shard_variables(state, mesh, zero_opt_state=zero)
-        out_state_shardings = state_shardings(state, mesh, zero_opt_state=zero)
+        fsdp = cfg.mesh.shard_params
+        state = shard_variables(state, mesh, zero_opt_state=zero,
+                                shard_params=fsdp)
+        out_state_shardings = state_shardings(state, mesh, zero_opt_state=zero,
+                                              shard_params=fsdp)
 
     log.info("Model %s: %s parameters", cfg.model.model_type, f"{param_count(state):,}")
     log.info(

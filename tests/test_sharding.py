@@ -59,7 +59,7 @@ def test_partition_rules():
     assert param_partition_spec("BatchNorm_0/scale", 1) == P()
 
 
-def run_steps(cfg, mesh, corpus, n_steps=2):
+def run_steps(cfg, mesh, corpus, n_steps=2, shard_params=False):
     model = build_model(cfg.model, cfg.grid)
     loss_fn = SELDLossFn(cfg.loss, cfg.grid)
     opt = make_optimizer(1e-3)
@@ -68,7 +68,7 @@ def run_steps(cfg, mesh, corpus, n_steps=2):
     em = jnp.ones((8,), jnp.float32)
     state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
     if mesh is not None:
-        state = shard_variables(state, mesh)
+        state = shard_variables(state, mesh, shard_params=shard_params)
         mel = jax.device_put(mel, batch_sharding(mesh, mel.ndim))
         mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
         em = jax.device_put(em, batch_sharding(mesh, 1))
@@ -105,6 +105,64 @@ def test_tp4_step_matches_single_device(tmp_path):
     _, base = run_steps(cfg, None, corpus)
     _, dptp4 = run_steps(cfg, make_mesh(n_data=2, n_model=4), corpus)
     np.testing.assert_allclose(dptp4, base, rtol=2e-4)
+
+
+def test_fsdp_step_matches_single_device(tmp_path, monkeypatch):
+    """ZeRO-3/FSDP (mesh.shard_params): large replicated leaves shard
+    over the data axis — params, gradients, and moments live 1/n_data
+    per chip while GSPMD all-gathers each param at its use — and the
+    losses stay identical to the single-device run. The size floor is
+    lowered so the tiny test model has FSDP-eligible leaves."""
+    from seld_tpu.parallel import sharding as sh
+
+    monkeypatch.setattr(sh, "FSDP_MIN_LEAF_ELEMENTS", 512)
+    cfg = small_cfg(tmp_path)
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+
+    _, base = run_steps(cfg, None, corpus)
+    s_fsdp, fsdp = run_steps(
+        cfg, make_mesh(n_data=8, n_model=1), corpus, shard_params=True
+    )
+    np.testing.assert_allclose(fsdp, base, rtol=2e-4)
+
+    # dp x tp composition: TP rules take precedence, the rest shards FSDP
+    _, both = run_steps(
+        cfg, make_mesh(n_data=4, n_model=2), corpus, shard_params=True
+    )
+    np.testing.assert_allclose(both, base, rtol=2e-4)
+
+
+def test_fsdp_placement(tmp_path, monkeypatch):
+    """shard_variables(shard_params=True) must actually shard large
+    replicated leaves (params AND their Adam moments) over the data
+    axis, and leave small leaves (BN scale/stats) replicated."""
+    from seld_tpu.parallel import sharding as sh
+    from seld_tpu.parallel.sharding import path_of
+
+    monkeypatch.setattr(sh, "FSDP_MIN_LEAF_ELEMENTS", 512)
+    cfg = small_cfg(tmp_path)
+    mesh = make_mesh(n_data=8, n_model=1)
+    model = build_model(cfg.model, cfg.grid)
+    mel = jnp.zeros((8, 50, 4, 64), jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
+    placed = shard_variables(state, mesh, shard_params=True)
+
+    def spec_by_suffix(tree, suffix):
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            if path_of(kp).endswith(suffix):
+                return leaf.sharding.spec, leaf.shape
+        raise AssertionError(f"no leaf matching {suffix}")
+
+    # a conv kernel >= the floor: sharded over 'data' on some dim
+    spec, shape = spec_by_suffix(placed.params, "ConvBlock_1/Conv_0/kernel")
+    assert "data" in str(spec), (spec, shape)
+    # its Adam first moment mirrors the param sharding
+    mspec, _ = spec_by_suffix(placed.opt_state, "ConvBlock_1/Conv_0/kernel")
+    assert mspec == spec
+    # small norm leaves stay replicated
+    bspec, bshape = spec_by_suffix(placed.params, "BatchNorm_0/scale")
+    assert "data" not in str(bspec), (bspec, bshape)
 
 
 def test_indivisible_tp_raises_named_error(tmp_path):
