@@ -324,17 +324,23 @@ class SELDLossFn:
         this path (see the module comment above the *_bits terms).
 
         `fused` selects the Pallas softmax-region kernel
-        (seld_tpu.ops.loss_pallas): None = auto (TPU backend, MSE mode —
-        the measured 6.8 ms/step loss region collapses to one fused
-        pass), True/False force it, "interpret" runs the kernel in
-        interpret mode (CPU tests). The fused path is numerically
-        equivalent, not bit-identical (different reduction order/
-        pred_nonbg formulation); the jnp path remains the oracle."""
+        (seld_tpu.ops.loss_pallas): None = auto, True forces it,
+        "interpret" runs the kernel in interpret mode (CPU tests). Auto
+        now resolves to the XLA (jnp) path everywhere: with the
+        class-major (B, T, M, G) layout the jnp softmax/MSE region is
+        lane-efficient and XLA fuses it into the surrounding step BETTER
+        than the custom-call boundary allows — measured on chip at b16
+        flagship: 25.4-26.5 ms/step XLA vs ~29.8 fused (the kernel won
+        only under the old class-minor layout, 27.3 vs 28.3;
+        benchmarks/results/step_layout_ab.json + step_fused_confirm.json).
+        The kernel stays maintained and opt-in for future layouts. The
+        fused path is numerically equivalent, not bit-identical
+        (different reduction order/pred_nonbg formulation); the jnp path
+        remains the oracle."""
         cfg = self.cfg
         nc = self.grid.num_classes
         if fused is None:
-            fused = (cfg.loss_type == "mse"
-                     and jax.default_backend() == "tpu")
+            fused = False
         if fused and cfg.loss_type == "mse":
             return self._from_bitmask_fused(
                 logits, label_mask, example_mask,

@@ -27,6 +27,16 @@ backward); M=14 pads to 16 sublanes and G=648 to 768 lanes (~84% util).
 The XLA (jnp) path in seld_tpu.losses stays the reference semantics and
 the CPU/test oracle; interpret-mode parity is pinned in
 tests/test_pallas_kernels.py.
+
+STATUS (post-layout-switch): OPT-IN, no longer the default. The kernel
+beat XLA only while the head was class-minor and XLA paid the 145 MB
+transposes (27.3 vs 28.3 ms/step). With class-major logits the jnp
+softmax region is lane-efficient and XLA fuses it into the surrounding
+backward better than the custom-call boundary allows — measured b16
+flagship: 25.4-26.5 ms/step XLA vs ~29.8 fused
+(benchmarks/results/step_layout_ab.json, step_fused_confirm.json).
+SELDLossFn.from_bitmask(fused=True) keeps it exercised; tests pin
+values and gradients.
 """
 
 from __future__ import annotations
