@@ -175,6 +175,13 @@ def cmd_predict(cfg: Config, args, logger):
     from seld_tpu.infer import SELDPredictor
 
     predictor = SELDPredictor(cfg.data.checkpoint_path, cfg)
+    if args.int8:
+        # self-calibration on the inputs being served: PTQ activation
+        # scales from the first clip(s), then int8 inference throughout
+        from seld_tpu.data.audio import load_wav
+
+        calib = [load_wav(w)[0] for w in args.wavs[: max(1, args.int8_calib)]]
+        predictor.quantize(calib_waves=calib)
     out_dir = Path(args.out or cfg.data.output_path) / "predictions"
     for wav in args.wavs:
         csv_out = out_dir / f"{Path(wav).stem}.csv"
@@ -324,6 +331,15 @@ def main(argv=None) -> int:
         help="window overlap in [0,1): average class probabilities over "
         "overlapping windows before the argmax (smoother boundaries, "
         "1/(1-overlap)x compute; grid models only; composes with --stream)",
+    )
+    p_pred.add_argument(
+        "--int8", action="store_true",
+        help="int8 post-training-quantized inference (v5e MXU int8 "
+        "path); activation scales self-calibrate on the input clips",
+    )
+    p_pred.add_argument(
+        "--int8-calib", type=int, default=1,
+        help="number of input clips used for int8 calibration",
     )
     p_pred.add_argument("--out", default=None)
     p_pred.set_defaults(fn=cmd_predict)

@@ -152,6 +152,81 @@ class SELDPredictor:
 
         self._forward = forward
         self._forward_probs = forward_probs
+        self.quantized = False
+
+    def quantize(self, calib_waves=None, calib_mel=None):
+        """Switch this predictor to int8 post-training-quantized serving
+        (seld_tpu.quant): trunk convs, denses, and the grid head run
+        s8 x s8 -> s32 on the MXU; activation scales are calibrated on
+        `calib_waves` (raw (C, N) float32 waveforms) and/or `calib_mel`
+        ((B, win, C, F) feature batches). Streaming keeps its bitwise
+        stream==offline contract in int8 mode (the quantized forward is
+        still row-wise content-independent at the fixed batch shape)."""
+        from seld_tpu.quant import quantize_model, quantized_apply
+
+        cfg = self.cfg
+        batches = []
+        if calib_waves is not None:
+            win = self.win
+            for wave in calib_waves:
+                mel = compute_mel_features(np.asarray(wave, np.float32),
+                                           cfg.features)
+                n = max(mel.shape[0] // win, 1)
+                pad = n * win - mel.shape[0]
+                if pad > 0:
+                    mel = np.concatenate(
+                        [mel, np.zeros((pad, *mel.shape[1:]), mel.dtype)]
+                    )
+                batches.append(
+                    mel[: n * win].reshape(n, win, *mel.shape[1:])
+                )
+        if calib_mel is not None:
+            batches.extend(np.asarray(b, np.float32) for b in calib_mel)
+        if not batches:
+            raise ValueError(
+                "int8 quantization needs calibration data: pass "
+                "calib_waves and/or calib_mel"
+            )
+        variables = self.state.variables()
+        self._quant_tree = quantize_model(self.model, variables, batches)
+
+        grid_cfg = cfg.grid
+
+        @jax.jit
+        def forward_q(state, mel):
+            out = quantized_apply(
+                self.model, state.variables(), self._quant_tree, mel
+            )
+            if self.accdoa_mode:
+                from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
+
+                if cfg.model.model_type in MULTI_ACCDOA_MODELS:
+                    from seld_tpu.accdoa import (
+                        decode_multi_accdoa_to_grid_jnp as decode_jnp,
+                    )
+                else:
+                    from seld_tpu.accdoa import decode_accdoa_to_grid_jnp as decode_jnp
+                return decode_jnp(
+                    out, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes
+                )
+            return jnp.argmax(out, axis=2).astype(jnp.int8)
+
+        @jax.jit
+        def forward_probs_q(state, mel):
+            assert not self.accdoa_mode
+            logits = quantized_apply(
+                self.model, state.variables(), self._quant_tree, mel
+            )
+            return jax.nn.softmax(logits, axis=2).astype(jnp.float16)
+
+        self._forward = forward_q
+        self._forward_probs = forward_probs_q
+        self.quantized = True
+        get_logger().info(
+            "Predictor: int8 PTQ enabled (%d quantized layers, %d "
+            "calibration batches)", len(self._quant_tree), len(batches)
+        )
+        return self
 
     def _batched(self, windows, fn):
         """Run fn over static-shape window batches, yielding valid rows.

@@ -1,0 +1,179 @@
+"""Int8 PTQ serving path (seld_tpu/quant.py): exactness on grid-aligned
+values, coverage/exclusion rules, calibration, and end-to-end closeness
+on a trained checkpoint. The reference has no quantization story."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from seld_tpu.config import Config, parse_overrides
+from seld_tpu.models import build_model, init_variables
+from seld_tpu.quant import (
+    build_quant_tree,
+    calibrate_activation_scales,
+    quantize_model,
+    quantized_apply,
+)
+
+
+def test_int8_exact_on_grid_aligned_values():
+    """With weights and inputs exactly representable on the int8 grid,
+    the quantized conv+dense pipeline must reproduce the float output
+    EXACTLY (symmetric quantization keeps zero and the grid exact)."""
+
+    class C(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(8, (1, 3), padding=1, strides=(1, 2), name="c")(x)
+
+    class D(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.DenseGeneral(features=(2, 3), name="d")(x)
+
+    rng = np.random.default_rng(0)
+    for m, shape, n_out in ((C(), (2, 1, 7, 4), 1), (D(), (2, 5), 2)):
+        # single layers only: chaining would push intermediate values
+        # outside the +-127 grid and clip
+        x = rng.integers(-40, 41, shape).astype(np.float32)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        # integer weights with absmax exactly 127 in EVERY output
+        # channel (s_w is per-channel), so s_w = 1 and w_q == w exactly
+        def int_weights(a, n_out=n_out):
+            w = rng.integers(-127, 128, a.shape).astype(np.float32)
+            if w.ndim > 1:  # kernel: reduce dims lead, channels trail
+                n_ch = int(np.prod(w.shape[-n_out:]))
+                w.reshape(-1, n_ch)[0, :] = 127.0
+            return jnp.asarray(w)
+
+        v = jax.tree_util.tree_map(int_weights, v)
+        qt = quantize_model(m, v, [x])
+        # force s_x = 1 so integer inputs land exactly on the grid
+        for q in qt.values():
+            q["s_x"] = jnp.float32(1.0)
+            np.testing.assert_array_equal(np.asarray(q["s_w"]), 1.0)
+        ref = np.asarray(m.apply(v, jnp.asarray(x)))
+        got = np.asarray(quantized_apply(m, v, qt, jnp.asarray(x)))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_eligibility_rules():
+    """Depthwise convs (conformer conv module) and recurrent-gate
+    denses (GRU under nn.scan) must NOT be quantized; trunk convs,
+    denses, and the class-major DenseGeneral head must be."""
+    for model_type, present, absent in (
+        (
+            "conformer",
+            # the conv module's GLU pointwise DENSES do quantize; only
+            # its depthwise Conv stays float
+            ["GridHead_0/logits", "GridHead_0/Dense_0",
+             "ConformerConvModule_0/Dense_0"],
+            ["ConformerConvModule_0/Conv_0"],
+        ),
+        ("crnn", ["GridHead_0/logits"], ["BiGRU", "rnn", "cell"]),
+    ):
+        cfg = parse_overrides(
+            Config(),
+            [
+                f"model.model_type={model_type}",
+                "model.compute_dtype=float32",
+                "model.crnn_cnn_channels=8,16",
+                "model.conf_d_model=32",
+                "model.conf_n_layers=1",
+            ],
+        )
+        model = build_model(cfg.model, cfg.grid)
+        x = np.random.default_rng(0).standard_normal(
+            (2, 10, 4, 64)
+        ).astype(np.float32)
+        v = init_variables(model, jax.random.PRNGKey(0), jnp.asarray(x))
+        qt = quantize_model(model, v, [x])
+        paths = "\n".join(qt)
+        for frag in present:
+            assert frag in paths, (model_type, frag, paths)
+        for frag in absent:
+            assert frag not in paths, (model_type, frag)
+        # depthwise conformer conv: its kernel exists in params but not qt
+        if model_type == "conformer":
+            flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+            assert any(
+                "ConformerConvModule" in "/".join(
+                    str(getattr(k, "key", k)) for k in kp
+                )
+                for kp, _ in flat
+            )
+
+
+def test_calibration_scale_tracks_input_range():
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(4, name="d")(x)
+
+    m = M()
+    x1 = np.ones((2, 8), np.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x1))
+    s_small = calibrate_activation_scales(m, v, [x1])["d"]
+    s_big = calibrate_activation_scales(m, v, [x1, 10.0 * x1])["d"]
+    assert s_big == pytest.approx(10 * s_small, rel=1e-6)
+    # scales feed the tree builder
+    qt = build_quant_tree(m, v, {"d": s_big})
+    assert qt["d"]["w_q"].dtype == jnp.int8
+    with pytest.raises(ValueError):
+        calibrate_activation_scales(m, v, [])
+
+
+def test_quantized_flagship_close_and_jittable():
+    """The full ResNet50-Conformer quantizes end-to-end; the jitted
+    quantized forward stays close to f32 (scale-level check, not a
+    trained-accuracy claim) and is deterministic."""
+    cfg = parse_overrides(Config(), ["model.compute_dtype=float32"])
+    model = build_model(cfg.model, cfg.grid)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 10, 4, 64)).astype(np.float32)
+    v = init_variables(model, jax.random.PRNGKey(0), jnp.asarray(x))
+    qt = quantize_model(model, v, [x])
+    assert len(qt) > 60  # the whole trunk + head is covered
+    f = jax.jit(lambda v, q, x: quantized_apply(model, v, q, x))
+    got = np.asarray(f(v, qt, jnp.asarray(x)))
+    ref = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.15, rel
+    again = np.asarray(f(v, qt, jnp.asarray(x)))
+    np.testing.assert_array_equal(got, again)
+
+
+def test_quantized_predictor_end_to_end(tiny_crnn_ckpt):
+    """SELDPredictor.quantize(): self-calibrated int8 serving produces
+    near-identical predictions to the float path on a trained
+    checkpoint, and streaming stays bit-equal to offline in int8 mode."""
+    from seld_tpu.data.audio import load_wav
+    from seld_tpu.data.synthetic import synthetic_raw_files
+    from seld_tpu.infer import SELDPredictor
+    from seld_tpu.stream import stream_predict
+    from seld_tpu.train.checkpoint import load_checkpoint_config
+
+    cfg = load_checkpoint_config(tiny_crnn_ckpt)
+    p_f32 = SELDPredictor(tiny_crnn_ckpt, batch_windows=2)
+    wavs, _ = synthetic_raw_files(
+        tiny_crnn_ckpt.parent / "qwav", cfg, n_files=1, seconds=3.0
+    )
+    wave, _ = load_wav(wavs[0])
+
+    p_int8 = SELDPredictor(tiny_crnn_ckpt, batch_windows=2)
+    p_int8.quantize(calib_waves=[wave])
+    ref = p_f32.predict_waveform(wave)
+    got = p_int8.predict_waveform(wave)
+    agree = float((ref.classes == got.classes).mean())
+    assert agree > 0.97, agree
+
+    # int8 streaming is bit-equal to int8 offline (same contract as f32)
+    chunks = [wave[:, i : i + 6000] for i in range(0, wave.shape[1], 6000)]
+    st = stream_predict(p_int8, chunks)
+    assert np.array_equal(st.classes, got.classes)
