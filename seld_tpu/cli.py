@@ -203,9 +203,15 @@ def cmd_export(cfg: Config, args, logger):
         platforms = tuple(
             p.strip() for p in args.platforms.split(",") if p.strip()
         ) or None
+    calib_waves = None
+    if args.int8_calib_wavs:
+        from seld_tpu.data.audio import load_wav
+
+        calib_waves = [load_wav(w)[0] for w in args.int8_calib_wavs]
     out = export_serving(
         cfg.data.checkpoint_path, args.out,
         batch_windows=args.batch_windows, platforms=platforms, cfg=cfg,
+        int8_calib_waves=calib_waves,
     )
     logger.info("Serving artifact written: %s", out)
     return 0
@@ -355,6 +361,11 @@ def main(argv=None) -> int:
     p_exp.add_argument("--batch-windows", type=int, default=8)
     p_exp.add_argument("--platforms", default=None,
                        help="comma list, e.g. tpu,cpu (default: current)")
+    p_exp.add_argument(
+        "--int8-calib-wavs", nargs="+", default=None,
+        help="export the int8 PTQ forward instead, calibrated on these "
+        "WAVs (int8 weights/scales bake into the artifact)",
+    )
     p_exp.set_defaults(fn=cmd_export)
 
     p_score = sub.add_parser(

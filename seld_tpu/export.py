@@ -32,6 +32,8 @@ def export_serving(
     batch_windows: int = 8,
     platforms: tuple[str, ...] | None = None,
     cfg=None,
+    int8_calib_waves=None,
+    int8_calib_mel=None,
 ) -> Path:
     """Export the checkpoint's forward pass; returns the artifact path.
 
@@ -39,12 +41,21 @@ def export_serving(
     (shapes + grid geometry + source checkpoint metadata). `cfg` is the
     fallback architecture config for checkpoint trees without an embedded
     config (same semantics as SELDPredictor's cfg argument).
+
+    Passing `int8_calib_waves` ((C, N) float32 waveforms) and/or
+    `int8_calib_mel` ((B, win, C, F) batches) exports the INT8
+    post-training-quantized forward instead (seld_tpu.quant): the int8
+    weights and scales bake into the artifact, so the StableHLO runs the
+    MXU int8 path on TPU consumers with no seld_tpu code on the loading
+    side.
     """
     from jax import export as jexport
 
     from seld_tpu.infer import SELDPredictor
 
     p = SELDPredictor(checkpoint_dir, cfg, batch_windows=batch_windows)
+    if int8_calib_waves is not None or int8_calib_mel is not None:
+        p.quantize(calib_waves=int8_calib_waves, calib_mel=int8_calib_mel)
     cfg = p.cfg
     from seld_tpu.features.spatial import feature_channels
 
@@ -78,6 +89,7 @@ def export_serving(
         "window_frames": p.win,
         "platforms": list(exported.platforms),
         "source_epoch": int(p.meta["epoch"]),
+        "quantized_int8": bool(p.quantized),
     }
     Path(str(out_path) + ".json").write_text(json.dumps(sidecar, indent=2))
     get_logger().info(

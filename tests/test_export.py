@@ -75,3 +75,25 @@ print("STANDALONE OK", y.shape)
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "STANDALONE OK" in r.stdout
+
+
+def test_int8_export_roundtrip(ckpt_dir, tmp_path):
+    """Int8-quantized export: the artifact bakes the int8 weights/scales
+    and reproduces the quantized predictor bit-for-bit without any
+    seld_tpu code on the loading side."""
+    rng = np.random.default_rng(0)
+    calib = [rng.standard_normal((4, 24000)).astype(np.float32) * 0.1]
+    out = export_serving(
+        ckpt_dir, tmp_path / "model_int8.stablehlo", batch_windows=2,
+        int8_calib_waves=calib,
+    )
+    sidecar = json.loads((tmp_path / "model_int8.stablehlo.json").read_text())
+    assert sidecar["quantized_int8"] is True
+
+    p = SELDPredictor(ckpt_dir, batch_windows=2)
+    p.quantize(calib_waves=calib)
+    mel = rng.standard_normal(sidecar["input_shape"]).astype(np.float32)
+    live = np.asarray(p._forward(p.state, mel))
+    fn, _ = load_serving(out)
+    exported = np.asarray(fn(mel))
+    np.testing.assert_array_equal(exported, live)
