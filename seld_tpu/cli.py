@@ -284,6 +284,35 @@ def cmd_import_torch(cfg: Config, args, logger):
     return 0
 
 
+def cmd_serve(cfg: Config, args, logger):
+    """Long-lived streaming inference server (see seld_tpu/serve.py for
+    the wire protocol)."""
+    from seld_tpu.infer import SELDPredictor
+    from seld_tpu.serve import SELDServer
+
+    predictor = SELDPredictor(cfg.data.checkpoint_path, cfg)
+    if args.int8_calib_wavs:
+        from seld_tpu.data.audio import load_wav
+
+        predictor.quantize(
+            calib_waves=[load_wav(w)[0] for w in args.int8_calib_wavs]
+        )
+    server = SELDServer(predictor, host=args.host, port=args.port)
+    logger.info(
+        "Serving %s on %s:%d (%s)%s — Ctrl-C to stop",
+        cfg.model.model_type, args.host, server.port,
+        "int8" if predictor.quantized else "float",
+        " [int8]" if predictor.quantized else "",
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("serve: interrupted, shutting down")
+    finally:
+        server.server_close()
+    return 0
+
+
 def cmd_migrate_ckpt(cfg: Config, args, logger):
     from seld_tpu.tools.migrate_ckpt import migrate_checkpoint_tree
 
@@ -380,6 +409,19 @@ def main(argv=None) -> int:
                          help="macro-average over all classes (official) or "
                               "only classes present in the ground truth")
     p_score.set_defaults(fn=cmd_score)
+
+    p_serve = sub.add_parser(
+        "serve", parents=[common],
+        help="long-lived TCP streaming inference server (bit-equal to "
+             "offline prediction; bounded memory per stream)",
+    )
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8771)
+    p_serve.add_argument(
+        "--int8-calib-wavs", nargs="+", default=None,
+        help="serve the int8 PTQ forward, calibrated on these WAVs",
+    )
+    p_serve.set_defaults(fn=cmd_serve)
 
     p_mig = sub.add_parser(
         "migrate-ckpt", parents=[common],
