@@ -123,7 +123,7 @@ def main():
     ]
     base_cfg = Config()
     loss_fn = SELDLossFn(base_cfg.loss, base_cfg.grid)
-    targets = decode_class_bitmask(mask, 14)
+    targets = decode_class_bitmask(mask, 14, class_major=True)
 
     def composite(out):
         total, _ = loss_fn(out, targets, em)

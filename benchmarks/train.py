@@ -82,7 +82,7 @@ def main():
         log(f"B={batch} fwd-only: {t_fwd * 1e3:.2f} ms")
 
         # (b) forward + backward (no optimizer)
-        targets = decode_class_bitmask(mask, 14)
+        targets = decode_class_bitmask(mask, 14, class_major=True)
 
         grad_fn = jax.jit(jax.grad(
             lambda p, x, tgt, m: loss_fn(

@@ -256,7 +256,10 @@ def cmd_import_torch(cfg: Config, args, logger):
     from seld_tpu.train.optimizer import make_optimizer
     from seld_tpu.train.state import TrainState
 
-    variables = convert_torch_state_dict(sd, cfg.model.model_type)
+    kwargs = {}
+    if cfg.model.model_type not in ("cnn", "cspdarknet"):
+        kwargs["num_classes"] = cfg.grid.num_classes  # grid-head permute
+    variables = convert_torch_state_dict(sd, cfg.model.model_type, **kwargs)
     model = build_model(cfg.model, cfg.grid)
     # sanity forward at the production shape
     n_ch = feature_channels(cfg.features.feature_set, cfg.model.n_channels)
@@ -299,10 +302,9 @@ def cmd_serve(cfg: Config, args, logger):
         )
     server = SELDServer(predictor, host=args.host, port=args.port)
     logger.info(
-        "Serving %s on %s:%d (%s)%s — Ctrl-C to stop",
+        "Serving %s on %s:%d (%s) — Ctrl-C to stop",
         cfg.model.model_type, args.host, server.port,
         "int8" if predictor.quantized else "float",
-        " [int8]" if predictor.quantized else "",
     )
     try:
         server.serve_forever()

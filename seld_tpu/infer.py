@@ -192,11 +192,15 @@ class SELDPredictor:
 
         grid_cfg = cfg.grid
 
+        # The quant tree rides as a jit ARGUMENT (partial-bound here),
+        # not a closure: closed-over int8 weights would inline into the
+        # HLO as constants (remote compiles over the tunnel reject very
+        # large programs), and a re-quantize would keep serving the
+        # stale tree through the old jit cache entry. Baked-in constants
+        # are only right for export_serving's standalone artifact.
         @jax.jit
-        def forward_q(state, mel):
-            out = quantized_apply(
-                self.model, state.variables(), self._quant_tree, mel
-            )
+        def forward_q(qtree, state, mel):
+            out = quantized_apply(self.model, state.variables(), qtree, mel)
             if self.accdoa_mode:
                 from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
 
@@ -212,15 +216,17 @@ class SELDPredictor:
             return jnp.argmax(out, axis=2).astype(jnp.int8)
 
         @jax.jit
-        def forward_probs_q(state, mel):
+        def forward_probs_q(qtree, state, mel):
             assert not self.accdoa_mode
-            logits = quantized_apply(
-                self.model, state.variables(), self._quant_tree, mel
-            )
+            logits = quantized_apply(self.model, state.variables(), qtree, mel)
             return jax.nn.softmax(logits, axis=2).astype(jnp.float16)
 
-        self._forward = forward_q
-        self._forward_probs = forward_probs_q
+        self._forward = lambda state, mel: forward_q(
+            self._quant_tree, state, mel
+        )
+        self._forward_probs = lambda state, mel: forward_probs_q(
+            self._quant_tree, state, mel
+        )
         self.quantized = True
         get_logger().info(
             "Predictor: int8 PTQ enabled (%d quantized layers, %d "

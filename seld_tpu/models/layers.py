@@ -261,7 +261,7 @@ class GridHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        b, t, _ = x.shape
+        assert x.ndim == 3, x.shape  # (B, T, features)
         y = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype)(x)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, param_dtype=self.param_dtype)(y)
         y = nn.relu(y).astype(self.dtype)

@@ -64,6 +64,14 @@ def _eligible(mod) -> bool:
         ksize = mod.kernel_size
         if isinstance(ksize, int) or len(ksize) != 2:
             return False
+
+        def _dilated(d):
+            if d is None or isinstance(d, int):
+                return d not in (None, 1)
+            return any(v != 1 for v in d)
+
+        if _dilated(mod.kernel_dilation) or _dilated(mod.input_dilation):
+            return False  # _int8_conv assumes dilation 1
         return True
     if isinstance(mod, nn.DenseGeneral):
         return mod.batch_dims == () and mod.axis == -1
@@ -96,7 +104,9 @@ def calibrate_activation_scales(model, variables, batches) -> dict:
     s_x = absmax(input)/127 per quantizable layer."""
 
     @jax.jit
-    def one(batch):
+    def one(variables, batch):  # variables as an argument, NOT a closure:
+        # closed-over f32 weights would inline into the HLO as constants
+        # (remote compiles over the tunnel reject very large programs)
         with nn.intercept_methods(_calib_interceptor):
             _, stats = model.apply(
                 variables, batch, train=False, mutable=[QUANT_COLLECTION]
@@ -106,7 +116,7 @@ def calibrate_activation_scales(model, variables, batches) -> dict:
     absmax: dict = {}
     n = 0
     for batch in batches:
-        stats = jax.device_get(one(jnp.asarray(batch)))
+        stats = jax.device_get(one(variables, jnp.asarray(batch)))
         flat = jax.tree_util.tree_flatten_with_path(stats)[0]
         for key_path, value in flat:
             path = "/".join(

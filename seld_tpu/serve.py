@@ -18,7 +18,7 @@ reference client):
   server -> client:         one JSON line per emitted fragment
       {"start_frame": k, "classes_b64": ..., "shape": [k_frames, G]}
       (classes are the int8 argmax grid, base64-raw), then after flush
-      {"done": true, "total_frames": T} and the connection closes.
+      {"done": true, "total_samples": N} and the connection closes.
   errors:                   {"error": "..."} line, connection closes.
 
 Concurrency: each connection runs its own StreamingSession; a process-

@@ -162,22 +162,22 @@ def _conformer_blocks(t: _Tree, n_layers: int):
         t.norm(f"{fb}/LayerNorm_0", f"{tb}.norm")
 
 
-def _convert_crnn(t: _Tree, rnn_layers: int = 2):
+def _convert_crnn(t: _Tree, rnn_layers: int = 2, num_classes: int = 14):
     _cnn_encoder(t)
     for layer in range(rnn_layers):
         t.gru_direction(f"BiGRU_0/GRUCell_{2 * layer}", f"l{layer}")
         t.gru_direction(f"BiGRU_0/GRUCell_{2 * layer + 1}", f"l{layer}_reverse")
-    _grid_head(t, "fnn")
+    _grid_head(t, "fnn", num_classes)
 
 
-def _convert_conformer(t: _Tree, n_layers: int = 2):
+def _convert_conformer(t: _Tree, n_layers: int = 2, num_classes: int = 14):
     _cnn_encoder(t)
     t.linear("proj", "proj")
     _conformer_blocks(t, n_layers)
-    _grid_head(t, "fnn")
+    _grid_head(t, "fnn", num_classes)
 
 
-def _convert_resnet_conformer(t: _Tree, n_layers: int = 4):
+def _convert_resnet_conformer(t: _Tree, n_layers: int = 4, num_classes: int = 14):
     enc = "ResNet50Encoder_0"
     t.conv2d(f"{enc}/stem", "encoder.conv1")
     t.bn(f"{enc}/stem_bn", "encoder.bn1")
@@ -193,7 +193,7 @@ def _convert_resnet_conformer(t: _Tree, n_layers: int = 4):
                 t.bn(f"{fb}/downsample_bn", f"{tb}.downsample.1")
     t.linear("proj", "proj")
     _conformer_blocks(t, n_layers)
-    _grid_head(t, "head")
+    _grid_head(t, "head", num_classes)
 
 
 def _conv_bn_silu(t: _Tree, flax_prefix, torch_prefix):
