@@ -300,7 +300,8 @@ def cmd_serve(cfg: Config, args, logger):
         predictor.quantize(
             calib_waves=[load_wav(w)[0] for w in args.int8_calib_wavs]
         )
-    server = SELDServer(predictor, host=args.host, port=args.port)
+    server = SELDServer(predictor, host=args.host, port=args.port,
+                        max_streams=args.max_streams)
     logger.info(
         "Serving %s on %s:%d (%s) — Ctrl-C to stop",
         cfg.model.model_type, args.host, server.port,
@@ -422,6 +423,11 @@ def main(argv=None) -> int:
     p_serve.add_argument(
         "--int8-calib-wavs", nargs="+", default=None,
         help="serve the int8 PTQ forward, calibrated on these WAVs",
+    )
+    p_serve.add_argument(
+        "--max-streams", type=int, default=0,
+        help="exit cleanly after N completed streams (0 = run forever); "
+        "the clean-shutdown path for benchmarks and device-attached hosts",
     )
     p_serve.set_defaults(fn=cmd_serve)
 

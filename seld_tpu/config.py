@@ -284,6 +284,16 @@ class TrainConfig:
     # flagship. Streams differ between impls; both are deterministic
     # per seed on a given backend.
     prng_impl: str = "rbg"
+    # Gradient accumulation: split each batch into N microbatches inside
+    # the jitted step (lax.scan), combine gradients weighted by each
+    # microbatch's share of the example mask, apply ONE optimizer update
+    # — effective batches larger than HBM allows, at one microbatch of
+    # activations in memory. Gradients match the full-batch step exactly
+    # for em-normalized decomposable losses (MSE, AIUR), padded tail
+    # batches included; weighted CE and CL normalize per microbatch, and
+    # BatchNorm draws its train-mode statistics per microbatch (the
+    # standard accumulation caveats). batch_size must divide evenly.
+    accum_steps: int = 1
     # Exponential moving average of parameters (0 = off). When on, the
     # EMA weights are what gets evaluated each epoch and stored in the
     # BEST checkpoint (the serving artifact); rolling checkpoints keep

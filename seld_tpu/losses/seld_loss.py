@@ -73,7 +73,7 @@ def class_ce_loss(logits, targets, class_weights=None, example_mask=None):
     w = jnp.ones_like(nll) if class_weights is None else class_weights[labels]
     em = _example_weights(example_mask, logits.shape[0])
     em = em.reshape((-1,) + (1,) * (nll.ndim - 1))
-    return jnp.sum(w * nll * em) / jnp.sum(w * em)
+    return jnp.sum(w * nll * em) / jnp.maximum(jnp.sum(w * em), 1e-8)
 
 
 def class_mse_loss(logits, targets, example_mask=None):
@@ -83,7 +83,7 @@ def class_mse_loss(logits, targets, example_mask=None):
     sq = jnp.square(probs - targets)
     em = _example_weights(example_mask, logits.shape[0])
     per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=-1)
-    return jnp.sum(per_example * em) / jnp.sum(em)
+    return jnp.sum(per_example * em) / jnp.maximum(jnp.sum(em), 1e-8)
 
 
 def aiur_loss(logits, targets, example_mask=None):
@@ -98,7 +98,7 @@ def aiur_loss(logits, targets, example_mask=None):
     iou = intersection / (union + 1e-8)
     iou = jnp.where(union > 0, iou, jnp.ones_like(iou))  # empty==empty -> 1
     em = _example_weights(example_mask, logits.shape[0])[:, None]
-    return 1.0 - jnp.sum(iou * em) / (jnp.sum(em) * iou.shape[1])
+    return 1.0 - jnp.sum(iou * em) / jnp.maximum(jnp.sum(em) * iou.shape[1], 1e-8)
 
 
 def converging_localization_loss(logits_or_probs, targets, n_el: int, n_az: int,
@@ -202,7 +202,7 @@ def class_mse_loss_bits(logits, mask, num_classes: int, example_mask=None,
     sq = jnp.square(probs - _bit_targets(mask, num_classes))
     em = _example_weights(example_mask, logits.shape[0])
     per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=-1)
-    return jnp.sum(per_example * em) / jnp.sum(em)
+    return jnp.sum(per_example * em) / jnp.maximum(jnp.sum(em), 1e-8)
 
 
 def class_ce_loss_bits(logits, mask, num_classes: int, class_weights=None,
@@ -214,7 +214,7 @@ def class_ce_loss_bits(logits, mask, num_classes: int, class_weights=None,
     w = jnp.ones_like(nll) if class_weights is None else class_weights[labels]
     em = _example_weights(example_mask, logits.shape[0])
     em = em.reshape((-1,) + (1,) * (nll.ndim - 1))
-    return jnp.sum(w * nll * em) / jnp.sum(w * em)
+    return jnp.sum(w * nll * em) / jnp.maximum(jnp.sum(w * em), 1e-8)
 
 
 def aiur_loss_bits(logits, mask, example_mask=None):
@@ -228,7 +228,7 @@ def aiur_loss_bits(logits, mask, example_mask=None):
     iou = intersection / (union + 1e-8)
     iou = jnp.where(union > 0, iou, jnp.ones_like(iou))
     em = _example_weights(example_mask, logits.shape[0])[:, None]
-    return 1.0 - jnp.sum(iou * em) / (jnp.sum(em) * iou.shape[1])
+    return 1.0 - jnp.sum(iou * em) / jnp.maximum(jnp.sum(em) * iou.shape[1], 1e-8)
 
 
 def converging_localization_loss_bits(logits, mask, n_el: int, n_az: int,
@@ -395,7 +395,7 @@ class SELDLossFn:
         )
         em = _example_weights(example_mask, b)
         per_example = sq.reshape(b, t * g).sum(axis=1) / (t * g * m)
-        loss_class = jnp.sum(per_example * em) / jnp.sum(em)
+        loss_class = jnp.sum(per_example * em) / jnp.maximum(jnp.sum(em), 1e-8)
         total = cfg.w_class * loss_class
         breakdown = {"class_mse": loss_class}
         if cfg.use_aiur:

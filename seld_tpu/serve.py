@@ -119,19 +119,35 @@ class _Handler(socketserver.StreamRequestHandler):
                 self.wfile.flush()
             except OSError:
                 pass
+        finally:
+            server.stream_finished()
 
 
 class SELDServer(socketserver.ThreadingTCPServer):
     """serve_forever() on a bound port; one thread per connection,
-    device work serialized by `device_lock`."""
+    device work serialized by `device_lock`.
+
+    `max_streams` > 0 shuts the server down after that many connections
+    complete — the clean-exit path for benchmarks and for TPU hosts
+    where killing a device-attached process wedges the device grant."""
 
     daemon_threads = True
     allow_reuse_address = True
 
-    def __init__(self, predictor, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, predictor, host: str = "127.0.0.1", port: int = 0,
+                 max_streams: int = 0):
         self.predictor = predictor
         self.device_lock = threading.Lock()
+        self.max_streams = max_streams
+        self._streams_done = 0
+        self._count_lock = threading.Lock()
         super().__init__((host, port), _Handler)
+
+    def stream_finished(self):
+        with self._count_lock:
+            self._streams_done += 1
+            if self.max_streams and self._streams_done >= self.max_streams:
+                threading.Thread(target=self.shutdown, daemon=True).start()
 
     @property
     def port(self) -> int:

@@ -15,6 +15,7 @@ derives the gradient all-reduce and TP collectives from the shardings.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from seld_tpu.losses import SELDLossFn
 from seld_tpu.ops.attention import attention_mesh
@@ -52,7 +53,7 @@ def _mesh_of(shardings):
 def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                     donate: bool = True, out_state_shardings=None,
                     target_decoder=None, input_augment=None,
-                    spatial_augment=None):
+                    spatial_augment=None, accum_steps: int = 1):
     """Returns step(state, mel, raw_targets, example_mask, rng) ->
     (state, metrics). `out_state_shardings` pins the output TrainState's
     shardings (e.g. ZeRO-sharded optimizer moments) so GSPMD keeps them
@@ -65,7 +66,19 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
     hook (e.g. SpecAugment), train-side only. `spatial_augment` is an
     optional on-device (rng, mel, label_mask) -> (mel, label_mask) hook
     transforming features AND labels together (e.g. the FOA ACS scene
-    transforms), applied before input_augment."""
+    transforms), applied before input_augment.
+
+    `accum_steps` > 1 runs gradient accumulation: the batch is split
+    into that many microbatches, a lax.scan computes their gradients
+    (one microbatch of activations live at a time) weighted by each
+    microbatch's share of the example-mask weight, and a single
+    optimizer update applies the result — effective batches larger than
+    HBM allows. The share weighting makes em-normalized decomposable
+    losses (MSE, AIUR) EXACTLY equal to the full-batch step, including
+    padded tail batches (an all-padding microbatch contributes 0).
+    BatchNorm statistics thread through the scan (train-mode statistics
+    are drawn per microbatch) and weighted-CE/CL normalize per
+    microbatch — the standard accumulation caveats."""
     bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
         target_decoder = lambda m: decode_class_bitmask(
@@ -83,30 +96,110 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
             mel = input_augment(aug_rng, mel)
         targets = None if bitmask_native else target_decoder(label_mask)
 
-        def loss_of(params):
+        def loss_of(params, stats, mb_mel, mb_targets, mb_mask, mb_em, rng_mb):
             with attention_mesh(step_mesh):
                 out, new_stats = _apply(
                     model,
-                    state.replace(params=params),
-                    mel,
+                    state.replace(params=params, batch_stats=stats),
+                    mb_mel,
                     train=True,
-                    dropout_rng=dropout_rng,
+                    dropout_rng=rng_mb,
                 )
             if bitmask_native:
-                # fused=None auto-selects the Pallas loss kernel on TPU;
-                # under a mesh the kernel runs inside shard_map over the
-                # data axis (row-sharded, collective-free) instead of
+                # fused=None auto-selects the loss implementation; under
+                # a mesh a Pallas kernel would run inside shard_map over
+                # the data axis (row-sharded, collective-free) instead of
                 # appearing to GSPMD as an opaque replicated custom call.
                 total, breakdown = loss_fn.from_bitmask(
-                    out, label_mask, example_mask, mesh=step_mesh,
+                    out, mb_mask, mb_em, mesh=step_mesh,
                 )
             else:
-                total, breakdown = loss_fn(out, targets, example_mask)
+                total, breakdown = loss_fn(out, mb_targets, mb_em)
             return total, (breakdown, new_stats)
 
-        (total, (breakdown, new_stats)), grads = jax.value_and_grad(
-            loss_of, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(loss_of, has_aux=True)
+        if accum_steps <= 1:
+            (total, (breakdown, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, mel, targets,
+                label_mask, example_mask, dropout_rng,
+            )
+        else:
+            b = mel.shape[0]
+            assert b % accum_steps == 0, (
+                f"batch {b} not divisible by accum_steps={accum_steps}"
+            )
+            mb = b // accum_steps
+
+            def split(x, lo, hi):
+                if x is None:
+                    return None
+                return x.reshape(accum_steps, mb, *x.shape[1:])[lo:hi]
+
+            def micro(stats, idx_arrays):
+                i, mb_mel, mb_targets, mb_mask, mb_em = idx_arrays
+                rng_mb = jax.random.fold_in(dropout_rng, i)
+                return grad_fn(
+                    state.params, stats, mb_mel, mb_targets, mb_mask,
+                    mb_em, rng_mb,
+                )
+
+            def take0(x):
+                return None if x is None else x[0]
+
+            # Each microbatch contributes weighted by its SHARE of the
+            # example weight: the full-batch em-normalized losses
+            # decompose exactly as L = sum_i (S_i / S) * L_i where
+            # S_i = sum(em over microbatch i). Without a mask every
+            # share is 1/accum (a plain mean), and an all-padding tail
+            # microbatch contributes exactly 0 instead of NaN.
+            if example_mask is not None:
+                em_f = example_mask.astype(jnp.float32).reshape(accum_steps, mb)
+                shares = em_f.sum(axis=1) / jnp.maximum(em_f.sum(), 1e-8)
+            else:
+                shares = jnp.full((accum_steps,), 1.0 / accum_steps)
+
+            def scaled(s, value, bd, grads):
+                return (
+                    s * value,
+                    {k: s * v for k, v in bd.items()},
+                    jax.tree_util.tree_map(lambda g: s * g, grads),
+                )
+
+            # microbatch 0 outside the scan establishes the grad /
+            # breakdown carry structures
+            (t0, (bd0, stats)), g0 = micro(
+                state.batch_stats,
+                (
+                    jnp.zeros((), jnp.int32),
+                    mel.reshape(accum_steps, mb, *mel.shape[1:])[0],
+                    take0(split(targets, 0, accum_steps)),
+                    label_mask.reshape(accum_steps, mb, *label_mask.shape[1:])[0],
+                    take0(split(example_mask, 0, accum_steps)),
+                ),
+            )
+            total, breakdown, grads = scaled(shares[0], t0, bd0, g0)
+
+            def body(carry, inp):
+                stats, grad_sum, total_sum, bd_sum = carry
+                i = inp[0]
+                (t, (bd, stats)), g = micro(stats, inp)
+                st, sbd, sg = scaled(shares[i], t, bd, g)
+                grad_sum = jax.tree_util.tree_map(
+                    lambda a, gi: a + gi, grad_sum, sg
+                )
+                bd_sum = {k: bd_sum[k] + v for k, v in sbd.items()}
+                return (stats, grad_sum, total_sum + st, bd_sum), None
+
+            xs = (
+                jnp.arange(1, accum_steps, dtype=jnp.int32),
+                split(mel, 1, accum_steps),
+                split(targets, 1, accum_steps),
+                split(label_mask, 1, accum_steps),
+                split(example_mask, 1, accum_steps),
+            )
+            (new_stats, grads, total, breakdown), _ = jax.lax.scan(
+                body, (stats, grads, total, breakdown), xs
+            )
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

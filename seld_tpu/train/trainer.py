@@ -278,10 +278,22 @@ def train_model(
             "FOA scene transforms (features + %s)",
             "ACCDOA vectors" if accdoa_mode else "grid labels",
         )
+    if cfg.train.accum_steps > 1:
+        if cfg.train.batch_size % cfg.train.accum_steps != 0:
+            raise ValueError(
+                f"train.batch_size={cfg.train.batch_size} must divide by "
+                f"train.accum_steps={cfg.train.accum_steps}"
+            )
+        log.info(
+            "Gradient accumulation: %d microbatches of %d",
+            cfg.train.accum_steps,
+            cfg.train.batch_size // cfg.train.accum_steps,
+        )
     train_step = make_train_step(
         model, loss_fn, optimizer, cfg.grid.num_classes,
         out_state_shardings=out_state_shardings, target_decoder=target_decoder,
         input_augment=input_augment, spatial_augment=spatial_augment,
+        accum_steps=cfg.train.accum_steps,
     )
     eval_step = make_eval_step(
         model, loss_fn, cfg.grid.num_classes, target_decoder=target_decoder,

@@ -95,3 +95,16 @@ def test_concurrent_streams(server, wave):
     ref = server.predictor.predict_waveform(wave)
     for name, classes in results.items():
         np.testing.assert_array_equal(classes, ref.classes, err_msg=name)
+
+
+def test_max_streams_clean_exit(tiny_crnn_ckpt, wave):
+    """max_streams=N shuts the server down after N completed streams —
+    the clean-exit path for device-attached hosts and benchmarks."""
+    p = SELDPredictor(tiny_crnn_ckpt, batch_windows=1)
+    s = SELDServer(p, port=0, max_streams=1)
+    t = s.serve_background()
+    classes, _ = stream_client("127.0.0.1", s.port, _chunks(wave))
+    assert classes.shape[1] == 648
+    t.join(timeout=60)
+    assert not t.is_alive(), "server did not shut down after max_streams"
+    s.server_close()

@@ -333,3 +333,129 @@ def test_fresh_training_replaces_stale_checkpoints(tmp_path):
 
     stored = load_checkpoint_config(tmp_path / "ckpt")
     assert stored.model.crnn_rnn_hidden == 24  # new arch, not stale
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2 must produce the SAME post-step parameters as the
+    full-batch step for a per-example-decomposable loss (MSE) on a
+    BN-free model — gradient averaging over microbatches is exact there
+    (BN models deviate by construction: train-mode statistics are drawn
+    per microbatch)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.train import create_train_state, make_optimizer
+    from seld_tpu.train.steps import make_train_step
+
+    class NoBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            b, t, c, f = x.shape
+            y = nn.Dense(32)(x.reshape(b, t, c * f))
+            y = nn.relu(y)
+            y = nn.DenseGeneral(features=(14, 648))(y)
+            return y.astype(jnp.float32)
+
+    cfg = Config()
+    model = NoBN()
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((4, 6, 4, 64)), jnp.float32)
+    mask = jnp.asarray(
+        rng.integers(0, 2**13, (4, 6, 648)).astype(np.uint16)
+    )
+    em = jnp.ones((4,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def run(accum):
+        state = create_train_state(model, opt, jax.random.PRNGKey(1), mel)
+        step = make_train_step(model, loss_fn, opt, 14, donate=False,
+                               accum_steps=accum)
+        state, metrics = step(state, mel, mask, em, key)
+        return state, metrics
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_grad_accumulation_trainer_wiring(tmp_path):
+    """train.accum_steps flows through the trainer (runs, finite loss)
+    and indivisible batch/accum combinations fail with a named error."""
+    from seld_tpu.train import train_model
+
+    cfg = parse_overrides(Config(), [
+        "model.model_type=crnn", "model.crnn_cnn_channels=8,16",
+        "model.crnn_rnn_hidden=16", "model.crnn_rnn_layers=1",
+        "model.compute_dtype=float32", "window.window_seconds=1.0",
+        "window.hop_seconds=0.5", "train.batch_size=4",
+        "train.num_epochs=1", "train.accum_steps=2",
+        f"data.base_path={tmp_path}",
+    ])
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
+    _, hist = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    assert np.isfinite(hist["train_losses"][0])
+
+    bad = parse_overrides(cfg, ["train.accum_steps=3"])
+    with pytest.raises(ValueError, match="accum_steps"):
+        train_model(bad, train_c, test_c, workdir=tmp_path / "ckpt2")
+
+
+def test_grad_accumulation_padded_tail_batch():
+    """A padded tail batch whose padding fills an entire microbatch must
+    stay finite and (for the em-normalized MSE loss on a BN-free model)
+    match the full-batch step exactly — the share weighting contributes
+    0 for the all-padding microbatch."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.train import create_train_state, make_optimizer
+    from seld_tpu.train.steps import make_train_step
+
+    class NoBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            b, t, c, f = x.shape
+            y = nn.Dense(16)(x.reshape(b, t, c * f))
+            return nn.DenseGeneral(features=(14, 648))(y).astype(jnp.float32)
+
+    cfg = Config()
+    model = NoBN()
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((4, 5, 4, 64)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2**13, (4, 5, 648)).astype(np.uint16))
+    em = jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)  # microbatch 2 is padding
+    key = jax.random.PRNGKey(0)
+
+    def run(accum):
+        import jax as _jax
+
+        state = create_train_state(model, opt, _jax.random.PRNGKey(2), mel)
+        step = make_train_step(model, loss_fn, opt, 14, donate=False,
+                               accum_steps=accum)
+        return step(state, mel, mask, em, key)
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
