@@ -320,3 +320,35 @@ def test_batchnorm_is_sync_bn_under_dp(tmp_path):
             np.asarray(dp_leaf), np.asarray(leaf), rtol=1e-4, atol=1e-5,
             err_msg="/".join(getattr(k, "key", str(k)) for k in key_path),
         )
+
+
+def test_grad_accumulation_under_mesh(tmp_path):
+    """accum_steps composes with a dp x tp mesh: the scanned microbatch
+    step runs sharded and lands within dropout/BN-microbatch tolerance
+    of the single-device full-batch loss."""
+    from seld_tpu.train.steps import make_train_step as mts
+
+    cfg = small_cfg(tmp_path)
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    mel_np, mask_np = corpus.gather(np.arange(8) % len(corpus))
+    mel, mask = jnp.asarray(mel_np), jnp.asarray(mask_np)
+    em = jnp.ones((8,), jnp.float32)
+
+    def run(mesh, accum):
+        m, k, e = mel, mask, em
+        state = create_train_state(model, opt, jax.random.PRNGKey(0), m)
+        if mesh is not None:
+            state = shard_variables(state, mesh)
+            m = jax.device_put(m, batch_sharding(mesh, m.ndim))
+            k = jax.device_put(k, batch_sharding(mesh, k.ndim))
+            e = jax.device_put(e, batch_sharding(mesh, 1))
+        step = mts(model, loss_fn, opt, 14, donate=False, accum_steps=accum)
+        _, met = step(state, m, k, e, jax.random.PRNGKey(7))
+        return float(met["loss"])
+
+    base = run(None, 1)
+    mesh_acc = run(make_mesh(n_data=4, n_model=2), 2)
+    assert mesh_acc == pytest.approx(base, rel=5e-3)
