@@ -212,6 +212,7 @@ def cmd_export(cfg: Config, args, logger):
         cfg.data.checkpoint_path, args.out,
         batch_windows=args.batch_windows, platforms=platforms, cfg=cfg,
         int8_calib_waves=calib_waves,
+        int8_weight_only=args.int8_weight_only,
     )
     logger.info("Serving artifact written: %s", out)
     return 0
@@ -397,6 +398,12 @@ def main(argv=None) -> int:
         "--int8-calib-wavs", nargs="+", default=None,
         help="export the int8 PTQ forward instead, calibrated on these "
         "WAVs (int8 weights/scales bake into the artifact)",
+    )
+    p_exp.add_argument(
+        "--int8-weight-only", action="store_true",
+        help="with --int8-calib-wavs: quantize weights only (int8 "
+        "storage, original-precision compute — smaller artifact at "
+        "near-float accuracy, no MXU int8 speedup)",
     )
     p_exp.set_defaults(fn=cmd_export)
 

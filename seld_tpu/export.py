@@ -34,6 +34,7 @@ def export_serving(
     cfg=None,
     int8_calib_waves=None,
     int8_calib_mel=None,
+    int8_weight_only: bool = False,
 ) -> Path:
     """Export the checkpoint's forward pass; returns the artifact path.
 
@@ -55,7 +56,11 @@ def export_serving(
 
     p = SELDPredictor(checkpoint_dir, cfg, batch_windows=batch_windows)
     if int8_calib_waves is not None or int8_calib_mel is not None:
-        p.quantize(calib_waves=int8_calib_waves, calib_mel=int8_calib_mel)
+        # weight-only: int8 storage (smaller artifact), original-
+        # precision compute — near-float accuracy without the MXU int8
+        # path; default: full w8a8 (1.33x measured serving speedup)
+        p.quantize(calib_waves=int8_calib_waves, calib_mel=int8_calib_mel,
+                   weight_only=int8_weight_only)
     cfg = p.cfg
     from seld_tpu.features.spatial import feature_channels
 
@@ -90,6 +95,7 @@ def export_serving(
         "platforms": list(exported.platforms),
         "source_epoch": int(p.meta["epoch"]),
         "quantized_int8": bool(p.quantized),
+        "int8_weight_only": bool(p.quantized and int8_weight_only),
     }
     Path(str(out_path) + ".json").write_text(json.dumps(sidecar, indent=2))
     get_logger().info(

@@ -154,14 +154,18 @@ class SELDPredictor:
         self._forward_probs = forward_probs
         self.quantized = False
 
-    def quantize(self, calib_waves=None, calib_mel=None):
+    def quantize(self, calib_waves=None, calib_mel=None,
+                 weight_only: bool = False):
         """Switch this predictor to int8 post-training-quantized serving
         (seld_tpu.quant): trunk convs, denses, and the grid head run
         s8 x s8 -> s32 on the MXU; activation scales are calibrated on
         `calib_waves` (raw (C, N) float32 waveforms) and/or `calib_mel`
-        ((B, win, C, F) feature batches). Streaming keeps its bitwise
-        stream==offline contract in int8 mode (the quantized forward is
-        still row-wise content-independent at the fixed batch shape)."""
+        ((B, win, C, F) feature batches). `weight_only=True` quantizes
+        weights only (int8 storage, original-precision compute —
+        near-float accuracy, smaller exports, no MXU int8 speedup).
+        Streaming keeps its bitwise stream==offline contract in either
+        mode (the quantized forward is still row-wise
+        content-independent at the fixed batch shape)."""
         from seld_tpu.quant import quantize_model, quantized_apply
 
         cfg = self.cfg
@@ -188,7 +192,9 @@ class SELDPredictor:
                 "calib_waves and/or calib_mel"
             )
         variables = self.state.variables()
-        self._quant_tree = quantize_model(self.model, variables, batches)
+        self._quant_tree = quantize_model(
+            self.model, variables, batches, weight_only=weight_only
+        )
 
         grid_cfg = cfg.grid
 

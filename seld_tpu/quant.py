@@ -149,10 +149,17 @@ def _quantize_weight(kernel, n_out_dims: int):
     return w_q, s_w
 
 
-def build_quant_tree(model, variables, act_scales: dict) -> dict:
+def build_quant_tree(model, variables, act_scales: dict,
+                     weight_only: bool = False) -> dict:
     """{path: {w_q, s_w, s_x, bias}} for every calibrated layer. The
     tree is a plain pytree of arrays — pass it through jit as an
-    argument (weights as jit constants would bloat the HLO)."""
+    argument (weights as jit constants would bloat the HLO).
+
+    `weight_only=True` omits s_x: the interceptor then dequantizes the
+    int8 weights to the compute dtype and runs the original-precision
+    op — no MXU int8 speedup, but exported artifacts carry int8 weights
+    (~4x smaller) at near-float accuracy (per-channel weight
+    quantization error only)."""
     params = variables["params"]
     out: dict = {}
     for path, s_x in act_scales.items():
@@ -169,8 +176,9 @@ def build_quant_tree(model, variables, act_scales: dict) -> dict:
         entry = {
             "w_q": jnp.asarray(w_q),
             "s_w": jnp.asarray(s_w),
-            "s_x": jnp.asarray(np.float32(s_x)),
         }
+        if not weight_only:
+            entry["s_x"] = jnp.asarray(np.float32(s_x))
         if "bias" in node:
             entry["bias"] = jnp.asarray(
                 np.asarray(jax.device_get(node["bias"]), np.float32)
@@ -212,36 +220,58 @@ def _result_dtype(mod, x):
     return mod.dtype if mod.dtype is not None else x.dtype
 
 
+def _dequant_weight(q, dtype):
+    """Weight-only mode: int8 kernel back to the compute dtype."""
+    return (q["w_q"].astype(jnp.float32) * q["s_w"]).astype(dtype)
+
+
 def _int8_conv(mod: nn.Conv, x, q):
-    xq = _quant_act(x, q["s_x"])
+    weight_only = "s_x" not in q
+    dtype = _result_dtype(mod, x)
+    if weight_only:
+        lhs, rhs = x.astype(dtype), _dequant_weight(q, dtype)
+        pref = None
+    else:
+        lhs, rhs = _quant_act(x, q["s_x"]), q["w_q"]
+        pref = jnp.int32
     y = jax.lax.conv_general_dilated(
-        xq,
-        q["w_q"],
+        lhs,
+        rhs,
         window_strides=_canon_strides(mod.strides, 2),
         padding=_canon_padding(mod.padding, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=pref,
     )
-    y = y.astype(jnp.float32) * (q["s_x"] * q["s_w"])
+    if not weight_only:
+        y = y.astype(jnp.float32) * (q["s_x"] * q["s_w"])
     if mod.use_bias:
-        y = y + q["bias"]
-    return y.astype(_result_dtype(mod, x))
+        y = y.astype(jnp.float32) + q["bias"]
+    return y.astype(dtype)
 
 
 def _int8_dense(mod, x, q):
-    xq = _quant_act(x, q["s_x"])
-    w = q["w_q"]
+    weight_only = "s_x" not in q
+    dtype = _result_dtype(mod, x)
+    if weight_only:
+        lhs = x.astype(dtype)
+        w = _dequant_weight(q, dtype)
+        pref = None
+    else:
+        lhs = _quant_act(x, q["s_x"])
+        w = q["w_q"]
+        pref = jnp.int32
     features = w.shape[1:]
     w2 = w.reshape(w.shape[0], -1)
     y = jax.lax.dot_general(
-        xq, w2, (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        lhs, w2, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=pref,
     )
     y = y.reshape(*x.shape[:-1], *features)
-    y = y.astype(jnp.float32) * (q["s_x"] * q["s_w"])
+    if not weight_only:
+        y = y.astype(jnp.float32) * (q["s_x"] * q["s_w"])
     if mod.use_bias:
-        y = y + q["bias"]
-    return y.astype(_result_dtype(mod, x))
+        y = y.astype(jnp.float32) + q["bias"]
+    return y.astype(dtype)
 
 
 def make_quant_interceptor(quant_tree: dict):
@@ -266,9 +296,12 @@ def quantized_apply(model, variables, quant_tree, x, **kwargs):
         return model.apply(variables, x, train=False, **kwargs)
 
 
-def quantize_model(model, variables, calib_batches):
+def quantize_model(model, variables, calib_batches, weight_only=False):
     """One-call PTQ: calibrate activation scales on `calib_batches`
     (iterable of eval-mode inputs) and quantize the weights. Returns the
-    quant tree for `quantized_apply`."""
+    quant tree for `quantized_apply`. `weight_only=True` quantizes only
+    the weights (int8 storage, original-precision compute — ~4x smaller
+    export artifacts at near-float accuracy); the calibration pass is
+    still used to discover the eligible layers."""
     scales = calibrate_activation_scales(model, variables, calib_batches)
-    return build_quant_tree(model, variables, scales)
+    return build_quant_tree(model, variables, scales, weight_only=weight_only)
