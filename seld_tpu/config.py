@@ -294,6 +294,12 @@ class TrainConfig:
     # BatchNorm draws its train-mode statistics per microbatch (the
     # standard accumulation caveats). batch_size must divide evenly.
     accum_steps: int = 1
+    # Quantization-aware training: eligible layers (the int8 PTQ set —
+    # trunk convs, denses, grid head) fake-quantize weights and
+    # activations to the int8 grid with straight-through gradients
+    # inside the jitted step, so trained weights survive int8 serving
+    # (`predict --int8`) with minimal accuracy loss.
+    qat: bool = False
     # Exponential moving average of parameters (0 = off). When on, the
     # EMA weights are what gets evaluated each epoch and stored in the
     # BEST checkpoint (the serving artifact); rolling checkpoints keep

@@ -305,3 +305,69 @@ def quantize_model(model, variables, calib_batches, weight_only=False):
     still used to discover the eligible layers."""
     scales = calibrate_activation_scales(model, variables, calib_batches)
     return build_quant_tree(model, variables, scales, weight_only=weight_only)
+
+
+# -- quantization-aware training (fake-quant with straight-through) ---------
+
+
+def _fake_quant(x, s):
+    """Symmetric int8 quantize-dequantize with a straight-through
+    estimator: forward snaps to the grid, backward passes gradients
+    through unchanged (scales are stop-gradiented)."""
+    s = jax.lax.stop_gradient(s)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -_QMAX, _QMAX) * s
+    return (x.astype(jnp.float32)
+            + jax.lax.stop_gradient(q - x.astype(jnp.float32))).astype(x.dtype)
+
+
+def _live_weight_scale(kernel, n_out_dims: int):
+    reduce_axes = tuple(range(kernel.ndim - n_out_dims))
+    absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=reduce_axes)
+    return jnp.where(absmax > 0, absmax / _QMAX, 1.0)
+
+
+def qat_interceptor(next_fun, args, kwargs, context):
+    """Fake-quantize eligible layers during TRAINING: activations snap
+    to a per-tensor int8 grid (scale = current-batch absmax/127) and
+    weights to their per-output-channel grid, both with straight-through
+    gradients — the network learns weights that survive int8 serving.
+    Same eligibility as PTQ (trunk convs, denses, the grid head); the
+    op itself runs in the original dtype, so QAT costs a few elementwise
+    passes, not precision."""
+    mod = context.module
+    if context.method_name != "__call__" or not _eligible(mod):
+        return next_fun(*args, **kwargs)
+    x = args[0]
+    s_x = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / _QMAX
+    xq = _fake_quant(x, s_x)
+    params = dict(mod.variables["params"])
+    kernel = params["kernel"]
+    n_out = 1 if (kernel.ndim == 4 or kernel.ndim == 2) else kernel.ndim - 1
+    kq = _fake_quant(kernel, _live_weight_scale(kernel, n_out))
+    dtype = _result_dtype(mod, x)
+    if isinstance(mod, nn.Conv):
+        y = jax.lax.conv_general_dilated(
+            xq.astype(dtype),
+            kq.astype(dtype),
+            window_strides=_canon_strides(mod.strides, 2),
+            padding=_canon_padding(mod.padding, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        features = kq.shape[1:]
+        y = jax.lax.dot_general(
+            xq.astype(dtype), kq.reshape(kq.shape[0], -1).astype(dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+        )
+        y = y.reshape(*x.shape[:-1], *features)
+    if mod.use_bias:
+        y = y.astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def qat_apply(model, variables, x, **kwargs):
+    """Forward with fake-quantized eligible layers (testing/inspection
+    helper; the train step applies the interceptor around its own
+    model.apply)."""
+    with nn.intercept_methods(qat_interceptor):
+        return model.apply(variables, x, **kwargs)

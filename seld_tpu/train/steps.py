@@ -14,6 +14,8 @@ derives the gradient all-reduce and TP collectives from the shardings.
 
 from __future__ import annotations
 
+from contextlib import nullcontext
+
 import jax
 import jax.numpy as jnp
 
@@ -53,7 +55,8 @@ def _mesh_of(shardings):
 def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                     donate: bool = True, out_state_shardings=None,
                     target_decoder=None, input_augment=None,
-                    spatial_augment=None, accum_steps: int = 1):
+                    spatial_augment=None, accum_steps: int = 1,
+                    qat: bool = False):
     """Returns step(state, mel, raw_targets, example_mask, rng) ->
     (state, metrics). `out_state_shardings` pins the output TrainState's
     shardings (e.g. ZeRO-sharded optimizer moments) so GSPMD keeps them
@@ -78,7 +81,12 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
     padded tail batches (an all-padding microbatch contributes 0).
     BatchNorm statistics thread through the scan (train-mode statistics
     are drawn per microbatch) and weighted-CE/CL normalize per
-    microbatch — the standard accumulation caveats."""
+    microbatch — the standard accumulation caveats.
+
+    `qat=True` trains quantization-aware: eligible layers (the PTQ set,
+    seld_tpu.quant) fake-quantize weights and activations to the int8
+    grid with straight-through gradients, so the learned weights
+    survive int8 PTQ serving with minimal accuracy loss."""
     bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
         target_decoder = lambda m: decode_class_bitmask(
@@ -97,7 +105,15 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
         targets = None if bitmask_native else target_decoder(label_mask)
 
         def loss_of(params, stats, mb_mel, mb_targets, mb_mask, mb_em, rng_mb):
-            with attention_mesh(step_mesh):
+            if qat:
+                from flax import linen as nn
+
+                from seld_tpu.quant import qat_interceptor
+
+                qat_ctx = nn.intercept_methods(qat_interceptor)
+            else:
+                qat_ctx = nullcontext()
+            with qat_ctx, attention_mesh(step_mesh):
                 out, new_stats = _apply(
                     model,
                     state.replace(params=params, batch_stats=stats),

@@ -289,11 +289,16 @@ def train_model(
             cfg.train.accum_steps,
             cfg.train.batch_size // cfg.train.accum_steps,
         )
+    if cfg.train.qat:
+        log.info(
+            "Quantization-aware training: int8 fake-quant with "
+            "straight-through gradients on the PTQ layer set"
+        )
     train_step = make_train_step(
         model, loss_fn, optimizer, cfg.grid.num_classes,
         out_state_shardings=out_state_shardings, target_decoder=target_decoder,
         input_augment=input_augment, spatial_augment=spatial_augment,
-        accum_steps=cfg.train.accum_steps,
+        accum_steps=cfg.train.accum_steps, qat=cfg.train.qat,
     )
     eval_step = make_eval_step(
         model, loss_fn, cfg.grid.num_classes, target_decoder=target_decoder,

@@ -228,3 +228,63 @@ def test_weight_only_export_is_smaller(tiny_crnn_ckpt, tmp_path):
     assert w8.stat().st_size < full.stat().st_size / 1.5, (
         w8.stat().st_size, full.stat().st_size
     )
+
+
+def test_qat_fake_quant_matches_ptq_numerics():
+    """The QAT forward at a given batch equals the w8a8 PTQ forward
+    calibrated on that same batch (same scales by construction: both use
+    the batch absmax) within float tolerance — training sees exactly
+    what int8 serving will compute."""
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(8, (1, 3), padding=1, name="c")(x)
+
+    from seld_tpu.quant import qat_apply
+
+    m = M()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 1, 9, 4)).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    qt = quantize_model(m, v, [x])
+    ptq = np.asarray(quantized_apply(m, v, qt, jnp.asarray(x)))
+    qat = np.asarray(qat_apply(m, v, jnp.asarray(x)))
+    np.testing.assert_allclose(qat, ptq, rtol=1e-5, atol=1e-5)
+
+
+def test_qat_gradients_flow_and_train_step_runs():
+    """Straight-through estimators: the QAT train step produces nonzero
+    gradients for quantized layers and repeated steps reduce the loss."""
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.train import create_train_state, make_optimizer
+    from seld_tpu.train.steps import make_train_step
+
+    cfg = parse_overrides(
+        Config(),
+        ["model.model_type=crnn", "model.crnn_cnn_channels=8,16",
+         "model.crnn_rnn_hidden=16", "model.crnn_rnn_layers=1",
+         "model.compute_dtype=float32"],
+    )
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 10, 4, 64)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2**13, (2, 10, 648)).astype(np.uint16))
+    em = jnp.ones((2,), jnp.float32)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
+    step = make_train_step(model, loss_fn, opt, 14, donate=False, qat=True)
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    p_before = jax.tree_util.tree_leaves(state.params)
+    for _ in range(4):
+        state, metrics = step(state, mel, mask, em, key)
+        losses.append(float(metrics["loss"]))
+    p_after = jax.tree_util.tree_leaves(state.params)
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(p_before, p_after)
+    )
+    assert moved, "QAT gradients did not update parameters"
+    assert losses[-1] < losses[0], losses

@@ -108,3 +108,17 @@ def test_max_streams_clean_exit(tiny_crnn_ckpt, wave):
     t.join(timeout=60)
     assert not t.is_alive(), "server did not shut down after max_streams"
     s.server_close()
+
+
+def test_served_int8_stream_matches_int8_offline(tiny_crnn_ckpt, wave):
+    """The daemon composes with int8 PTQ: a served stream through a
+    quantized predictor is bit-equal to the quantized offline path."""
+    p = SELDPredictor(tiny_crnn_ckpt, batch_windows=1)
+    p.quantize(calib_waves=[wave])
+    s = SELDServer(p, port=0, max_streams=1)
+    t = s.serve_background()
+    classes, _ = stream_client("127.0.0.1", s.port, _chunks(wave))
+    ref = p.predict_waveform(wave)
+    np.testing.assert_array_equal(classes, ref.classes)
+    t.join(timeout=60)
+    s.server_close()
