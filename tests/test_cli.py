@@ -43,6 +43,11 @@ def test_cli_train_eval_predict(tmp_path, monkeypatch, capsys):
     pred_csv = tmp_path / "outputs" / "predictions" / f"{os.path.basename(wavs[0])[:-4]}.csv"
     assert pred_csv.exists()
 
+    # int8 serving flag (self-calibrates on the input clip)
+    assert main(["predict", *overrides, "--wavs", wavs[0], "--int8",
+                 "--out", str(tmp_path / "p8")]) == 0
+    assert (tmp_path / "p8" / "predictions").exists()
+
 
 def test_cli_unknown_override_fails_gracefully(tmp_path):
     assert main(["info", "train.not_a_field=1"]) == 1
