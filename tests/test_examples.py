@@ -24,7 +24,7 @@ def _run(name: str) -> subprocess.CompletedProcess:
     )
 
 
-@pytest.mark.parametrize("name", ["quickstart.py", "serving.py"])
+@pytest.mark.parametrize("name", ["quickstart.py", "serving.py", "scaling.py"])
 def test_example_runs_clean(name):
     r = _run(name)
     assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]

@@ -352,3 +352,23 @@ def test_grad_accumulation_under_mesh(tmp_path):
     base = run(None, 1)
     mesh_acc = run(make_mesh(n_data=4, n_model=2), 2)
     assert mesh_acc == pytest.approx(base, rel=5e-3)
+
+
+def test_trainer_fsdp_wiring(tmp_path, monkeypatch):
+    """cfg.mesh.shard_params flows through train_model (the CLI/config
+    surface for FSDP), on a 2-device mesh the 1-core host can schedule."""
+    from seld_tpu.parallel import sharding as sh
+    from seld_tpu.train import train_model
+
+    monkeypatch.setattr(sh, "FSDP_MIN_LEAF_ELEMENTS", 512)
+    cfg = parse_overrides(
+        small_cfg(tmp_path),
+        ["train.num_epochs=1", "train.batch_size=4",
+         "mesh.shard_params=true"],
+    )
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    _, hist = train_model(cfg, train_c, test_c, mesh=mesh,
+                          workdir=tmp_path / "ckpt")
+    assert np.isfinite(hist["train_losses"][0])
