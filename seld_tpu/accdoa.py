@@ -134,7 +134,7 @@ def accdoa_loss(pred_vectors, target_vectors, example_mask=None):
     if example_mask is None:
         return jnp.mean(per_example)
     em = example_mask.astype(jnp.float32)
-    return jnp.sum(per_example * em) / jnp.sum(em)
+    return jnp.sum(per_example * em) / jnp.maximum(jnp.sum(em), 1e-8)
 
 
 class ACCDOALossFn:
@@ -326,7 +326,7 @@ def adpit_loss(pred_vectors, targets, example_mask=None):
     if example_mask is None:
         return jnp.mean(per_example)
     em = example_mask.astype(f32)
-    return jnp.sum(per_example * em) / jnp.sum(em)
+    return jnp.sum(per_example * em) / jnp.maximum(jnp.sum(em), 1e-8)
 
 
 class ADPITLossFn:

@@ -203,6 +203,11 @@ def cmd_export(cfg: Config, args, logger):
         platforms = tuple(
             p.strip() for p in args.platforms.split(",") if p.strip()
         ) or None
+    if args.int8_weight_only and not args.int8_calib_wavs:
+        raise ValueError(
+            "--int8-weight-only requires --int8-calib-wavs (the "
+            "calibration pass discovers the quantizable layers)"
+        )
     calib_waves = None
     if args.int8_calib_wavs:
         from seld_tpu.data.audio import load_wav

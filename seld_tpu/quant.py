@@ -136,6 +136,16 @@ def calibrate_activation_scales(model, variables, batches) -> dict:
 # -- weight quantization ----------------------------------------------------
 
 
+def _n_out_dims(kernel) -> int:
+    """Output-channel dims of an eligible layer's kernel: Conv
+    (kh, kw, Cin, Cout) and Dense (in, out) -> 1; DenseGeneral
+    (in, *features) -> len(features). Shared by PTQ and QAT so both
+    quantize against identical per-channel scales."""
+    if kernel.ndim in (2, 4):
+        return 1
+    return kernel.ndim - 1
+
+
 def _quantize_weight(kernel, n_out_dims: int):
     """Symmetric per-output-channel int8. Output channels are the
     trailing `n_out_dims` dims of the kernel (flax convention: Conv
@@ -167,12 +177,7 @@ def build_quant_tree(model, variables, act_scales: dict,
         for part in path.split("/"):
             node = node[part]
         kernel = node["kernel"]
-        n_out = kernel.ndim - 1 if kernel.ndim != 2 else 1
-        if kernel.ndim == 4:  # conv (kh, kw, Cin, Cout)
-            n_out = 1
-        elif kernel.ndim > 2:  # DenseGeneral (in, *features)
-            n_out = kernel.ndim - 1
-        w_q, s_w = _quantize_weight(kernel, n_out)
+        w_q, s_w = _quantize_weight(kernel, _n_out_dims(kernel))
         entry = {
             "w_q": jnp.asarray(w_q),
             "s_w": jnp.asarray(s_w),
@@ -342,8 +347,7 @@ def qat_interceptor(next_fun, args, kwargs, context):
     xq = _fake_quant(x, s_x)
     params = dict(mod.variables["params"])
     kernel = params["kernel"]
-    n_out = 1 if (kernel.ndim == 4 or kernel.ndim == 2) else kernel.ndim - 1
-    kq = _fake_quant(kernel, _live_weight_scale(kernel, n_out))
+    kq = _fake_quant(kernel, _live_weight_scale(kernel, _n_out_dims(kernel)))
     dtype = _result_dtype(mod, x)
     if isinstance(mod, nn.Conv):
         y = jax.lax.conv_general_dilated(

@@ -108,6 +108,9 @@ class _Handler(socketserver.StreamRequestHandler):
             done = {"done": True, "total_samples": total}
             self.wfile.write((json.dumps(done) + "\n").encode())
             self.wfile.flush()
+            # only COMPLETED streams count toward max_streams — a port
+            # scanner or failed handshake must not shut the server down
+            server.stream_finished()
         except (ConnectionError, BrokenPipeError):
             pass  # client went away; nothing to report to it
         except Exception as e:  # protocol/shape errors -> tell the client
@@ -119,8 +122,6 @@ class _Handler(socketserver.StreamRequestHandler):
                 self.wfile.flush()
             except OSError:
                 pass
-        finally:
-            server.stream_finished()
 
 
 class SELDServer(socketserver.ThreadingTCPServer):

@@ -174,47 +174,47 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
             else:
                 shares = jnp.full((accum_steps,), 1.0 / accum_steps)
 
-            def scaled(s, value, bd, grads):
-                return (
-                    s * value,
-                    {k: s * v for k, v in bd.items()},
-                    jax.tree_util.tree_map(lambda g: s * g, grads),
-                )
-
-            # microbatch 0 outside the scan establishes the grad /
-            # breakdown carry structures
-            (t0, (bd0, stats)), g0 = micro(
-                state.batch_stats,
-                (
-                    jnp.zeros((), jnp.int32),
-                    mel.reshape(accum_steps, mb, *mel.shape[1:])[0],
-                    take0(split(targets, 0, accum_steps)),
-                    label_mask.reshape(accum_steps, mb, *label_mask.shape[1:])[0],
-                    take0(split(example_mask, 0, accum_steps)),
-                ),
+            # Carry structures from eval_shape — NOT from an unrolled
+            # microbatch-0 call, which would trace a second full
+            # fwd+bwd copy into the program (doubling HLO size; remote
+            # compiles reject very large programs).
+            probe = (
+                jnp.zeros((), jnp.int32),
+                take0(split(mel, 0, accum_steps)),
+                take0(split(targets, 0, accum_steps)),
+                take0(split(label_mask, 0, accum_steps)),
+                take0(split(example_mask, 0, accum_steps)),
             )
-            total, breakdown, grads = scaled(shares[0], t0, bd0, g0)
+            (t_shape, (bd_shape, _)), g_shape = jax.eval_shape(
+                micro, state.batch_stats, probe
+            )
+            zeros_like_shape = lambda tree: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree
+            )
+            total = zeros_like_shape(t_shape)
+            breakdown = zeros_like_shape(bd_shape)
+            grads = zeros_like_shape(g_shape)
 
             def body(carry, inp):
                 stats, grad_sum, total_sum, bd_sum = carry
                 i = inp[0]
                 (t, (bd, stats)), g = micro(stats, inp)
-                st, sbd, sg = scaled(shares[i], t, bd, g)
+                s = shares[i]
                 grad_sum = jax.tree_util.tree_map(
-                    lambda a, gi: a + gi, grad_sum, sg
+                    lambda a, gi: a + s * gi, grad_sum, g
                 )
-                bd_sum = {k: bd_sum[k] + v for k, v in sbd.items()}
-                return (stats, grad_sum, total_sum + st, bd_sum), None
+                bd_sum = {k: bd_sum[k] + s * v for k, v in bd.items()}
+                return (stats, grad_sum, total_sum + s * t, bd_sum), None
 
             xs = (
-                jnp.arange(1, accum_steps, dtype=jnp.int32),
-                split(mel, 1, accum_steps),
-                split(targets, 1, accum_steps),
-                split(label_mask, 1, accum_steps),
-                split(example_mask, 1, accum_steps),
+                jnp.arange(accum_steps, dtype=jnp.int32),
+                split(mel, 0, accum_steps),
+                split(targets, 0, accum_steps),
+                split(label_mask, 0, accum_steps),
+                split(example_mask, 0, accum_steps),
             )
             (new_stats, grads, total, breakdown), _ = jax.lax.scan(
-                body, (stats, grads, total, breakdown), xs
+                body, (state.batch_stats, grads, total, breakdown), xs
             )
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params

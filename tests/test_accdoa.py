@@ -283,3 +283,40 @@ def test_accdoa_streaming_and_export(tmp_path):
     mel = rng.standard_normal(meta["input_shape"]).astype(np.float32)
     live = np.asarray(predictor._forward(predictor.state, mel))
     np.testing.assert_array_equal(np.asarray(fn(mel)), live)
+
+
+def test_accdoa_grad_accumulation_padded_tail_is_finite():
+    """Regression: an all-padding microbatch under gradient accumulation
+    must not NaN-poison ACCDOA training (the em denominator is
+    eps-guarded like the grid losses)."""
+    import jax
+
+    from seld_tpu.accdoa import ACCDOALossFn
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.models import build_model
+    from seld_tpu.train import create_train_state, make_optimizer
+    from seld_tpu.train.steps import make_train_step
+
+    cfg = parse_overrides(Config(), [
+        "model.model_type=accdoa_conformer", "model.conf_d_model=32",
+        "model.conf_n_heads=4", "model.conf_n_layers=1",
+        "model.crnn_cnn_channels=8,16", "model.compute_dtype=float32",
+    ])
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = ACCDOALossFn()
+    opt = make_optimizer(1e-3)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((4, 6, 4, 64)), jnp.float32)
+    vec = jnp.asarray(
+        rng.standard_normal((4, 6, cfg.grid.num_classes - 1, 3)) * 0.1,
+        jnp.float32,
+    )
+    em = jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)  # mb 1 all padding
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
+    step = make_train_step(model, loss_fn, opt, cfg.grid.num_classes,
+                           donate=False, accum_steps=2,
+                           target_decoder=lambda t: t)
+    state, metrics = step(state, mel, vec, em, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -98,11 +98,22 @@ def test_concurrent_streams(server, wave):
 
 
 def test_max_streams_clean_exit(tiny_crnn_ckpt, wave):
-    """max_streams=N shuts the server down after N completed streams —
-    the clean-exit path for device-attached hosts and benchmarks."""
+    """max_streams=N shuts the server down after N COMPLETED streams —
+    the clean-exit path for device-attached hosts and benchmarks.
+    Failed probes (health checks, port scans, bad headers) must NOT
+    count."""
     p = SELDPredictor(tiny_crnn_ckpt, batch_windows=1)
     s = SELDServer(p, port=0, max_streams=1)
     t = s.serve_background()
+
+    # a bare connect-and-close and a bad-sample-rate handshake: neither
+    # is a completed stream
+    with socket.create_connection(("127.0.0.1", s.port)):
+        pass
+    with pytest.raises(RuntimeError, match="sample rate"):
+        stream_client("127.0.0.1", s.port, _chunks(wave), sample_rate=1)
+    assert t.is_alive(), "failed probes must not consume max_streams"
+
     classes, _ = stream_client("127.0.0.1", s.port, _chunks(wave))
     assert classes.shape[1] == 648
     t.join(timeout=60)
