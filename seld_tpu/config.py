@@ -269,6 +269,12 @@ class TrainConfig:
     weight_decay: float = 1e-4
     lr_decay_factor: float = 0.5
     lr_decay_patience: int = 5
+    # LR schedule: "plateau" (reference semantics: ReduceLROnPlateau on
+    # test loss) or "cosine" (per-step warmup + cosine decay over the
+    # whole run — the large-batch recipe; plateau rewrites are disabled).
+    lr_schedule: str = "plateau"
+    warmup_steps: int = 0  # cosine only; linear 0 -> lr over N steps
+    cosine_final_scale: float = 0.01  # cosine floor as a fraction of lr
     # Early stopping on *train* loss (ref: trainer.py:262-270)
     patience: int = 20
     min_delta: float = 1e-4

@@ -58,3 +58,34 @@ class EarlyStopping:
         else:
             self.epochs_without_improvement += 1
         return self.epochs_without_improvement >= self.patience
+
+
+@dataclass
+class WarmupCosine:
+    """Per-step warmup + cosine decay, computed host-side and injected
+    into the optimizer's LR hyperparameter before each step (the same
+    injection mechanism the plateau scheduler uses between epochs — no
+    recompilation). A TPU-era addition: the reference only has plateau
+    decay (ref trainer.py:119-124); large-batch/short-epoch training
+    wants warmup.
+
+    lr(step) = peak * step / warmup_steps                 (warmup)
+             = final + (peak - final)/2 * (1 + cos(pi*p)) (decay)
+    with p = (step - warmup) / max(total - warmup, 1) and
+    final = peak * final_scale.
+    """
+
+    peak: float
+    total_steps: int
+    warmup_steps: int = 0
+    final_scale: float = 0.01
+
+    def __call__(self, step: int) -> float:
+        import math
+
+        if self.warmup_steps > 0 and step < self.warmup_steps:
+            return self.peak * (step + 1) / self.warmup_steps
+        final = self.peak * self.final_scale
+        horizon = max(self.total_steps - self.warmup_steps, 1)
+        p = min(max(step - self.warmup_steps, 0) / horizon, 1.0)
+        return final + (self.peak - final) * 0.5 * (1.0 + math.cos(math.pi * p))

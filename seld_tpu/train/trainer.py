@@ -310,6 +310,29 @@ def train_model(
         factor=cfg.train.lr_decay_factor,
         patience=cfg.train.lr_decay_patience,
     )
+    cosine = None
+    if cfg.train.lr_schedule == "cosine":
+        from seld_tpu.train.schedule import WarmupCosine
+
+        steps_per_epoch = max(
+            -(-len(train_corpus) // cfg.train.batch_size), 1
+        )
+        cosine = WarmupCosine(
+            peak=cfg.train.learning_rate,
+            total_steps=steps_per_epoch * cfg.train.num_epochs,
+            warmup_steps=cfg.train.warmup_steps,
+            final_scale=cfg.train.cosine_final_scale,
+        )
+        log.info(
+            "LR schedule: warmup %d steps -> cosine over %d steps "
+            "(plateau rewrites disabled)",
+            cfg.train.warmup_steps, cosine.total_steps,
+        )
+    elif cfg.train.lr_schedule != "plateau":
+        raise ValueError(
+            f"train.lr_schedule must be 'plateau' or 'cosine', "
+            f"got {cfg.train.lr_schedule!r}"
+        )
     stopper = EarlyStopping(patience=cfg.train.patience, min_delta=cfg.train.min_delta)
 
     train_iter = BatchIterator(
@@ -352,6 +375,11 @@ def train_model(
                     jax.profiler.start_trace(profile_dir)
                     trace_started = True
                     log.info("profiler trace started -> %s", profile_dir)
+                if cosine is not None:
+                    state = state.replace(opt_state=set_learning_rate(
+                        state.opt_state,
+                        cosine((epoch - 1) * steps_per_epoch + i),
+                    ))
                 state, metrics = train_step(state, mel, mask, em, step_rng)
                 if ema_params is not None:
                     ema_params = ema_update(ema_params, state.params)
@@ -415,15 +443,23 @@ def train_model(
                 eval_metrics.append(eval_step(eval_state(), mel, mask, em))
             test_avg = _epoch_mean(eval_metrics)
 
-            new_lr = plateau.step(test_avg["loss"])
-            old_lr = current_learning_rate(state.opt_state)
-            # tolerance: the stored LR is float32 (relative error ~6e-8);
-            # exact != fires every epoch (f32(1e-3) != 1e-3) and rewrites
-            # the opt state with a misleading "reduced" log. Real plateau
-            # reductions are x0.5.
-            if abs(new_lr - old_lr) > 1e-6 * max(abs(new_lr), abs(old_lr), 1e-30):
-                state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
-                log.info("  Learning rate reduced: %.6f -> %.6f", old_lr, new_lr)
+            if cosine is not None:
+                # the cosine schedule owns the LR (injected per step);
+                # plateau tracking is bypassed
+                new_lr = current_learning_rate(state.opt_state)
+            else:
+                new_lr = plateau.step(test_avg["loss"])
+                old_lr = current_learning_rate(state.opt_state)
+                # tolerance: the stored LR is float32 (relative error
+                # ~6e-8); exact != fires every epoch (f32(1e-3) != 1e-3)
+                # and rewrites the opt state with a misleading "reduced"
+                # log. Real plateau reductions are x0.5.
+                if abs(new_lr - old_lr) > 1e-6 * max(abs(new_lr), abs(old_lr), 1e-30):
+                    state = state.replace(
+                        opt_state=set_learning_rate(state.opt_state, new_lr)
+                    )
+                    log.info("  Learning rate reduced: %.6f -> %.6f",
+                             old_lr, new_lr)
 
             history["train_losses"].append(train_avg["loss"])
             history["test_losses"].append(test_avg["loss"])

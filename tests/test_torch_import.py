@@ -155,3 +155,37 @@ def test_converter_rejects_wrong_architecture():
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     with pytest.raises((KeyError, ValueError)):
         convert_torch_state_dict(sd, "conformer")
+
+
+def test_grid_head_permutation_respects_num_classes():
+    """The class-major column permutation must split G*M by the REAL
+    class count (regression: it was hardcoded to 14)."""
+    import numpy as np
+
+    from seld_tpu.tools.torch_import import _Tree, _grid_head
+
+    hidden, g, m = 6, 4, 10  # 10 classes, 4 cells
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((g * m, hidden)).astype(np.float32)
+    b = rng.standard_normal((g * m,)).astype(np.float32)
+    sd = {
+        "fnn.0.weight": rng.standard_normal((hidden, 3)).astype(np.float32),
+        "fnn.0.bias": np.zeros((hidden,), np.float32),
+        "fnn.1.weight": np.ones((hidden,), np.float32),
+        "fnn.1.bias": np.zeros((hidden,), np.float32),
+        "fnn.4.weight": w,
+        "fnn.4.bias": b,
+    }
+    t = _Tree(sd)
+    _grid_head(t, "fnn", num_classes=m)
+    kernel = t.params["GridHead_0"]["logits"]["kernel"]
+    bias = t.params["GridHead_0"]["logits"]["bias"]
+    assert kernel.shape == (hidden, m, g)
+    assert bias.shape == (m, g)
+    # column (gi, mi) of the torch head == kernel[:, mi, gi]
+    for gi in range(g):
+        for mi in range(m):
+            np.testing.assert_array_equal(
+                kernel[:, mi, gi], w[gi * m + mi, :]
+            )
+            assert bias[mi, gi] == b[gi * m + mi]

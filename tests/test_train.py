@@ -459,3 +459,60 @@ def test_grad_accumulation_padded_tail_batch():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_warmup_cosine_schedule_math():
+    from seld_tpu.train.schedule import WarmupCosine
+
+    s = WarmupCosine(peak=1e-3, total_steps=100, warmup_steps=10,
+                     final_scale=0.01)
+    # warmup ramps linearly to the peak
+    assert s(0) == pytest.approx(1e-4)
+    assert s(9) == pytest.approx(1e-3)
+    # midpoint of the cosine sits halfway between peak and floor
+    mid = s(10 + 45)
+    assert mid == pytest.approx((1e-3 + 1e-5) / 2, rel=1e-6)
+    # floor at and past the horizon
+    assert s(100) == pytest.approx(1e-5, rel=1e-6)
+    assert s(10_000) == pytest.approx(1e-5, rel=1e-6)
+    # monotone decay after warmup
+    vals = [s(i) for i in range(10, 101)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_cosine_schedule_in_trainer(tmp_path):
+    """train.lr_schedule=cosine injects the per-step LR (final LR lands
+    on the cosine floor, not the plateau value) and rejects unknown
+    schedule names."""
+    from seld_tpu.train import train_model
+    from seld_tpu.train.optimizer import current_learning_rate
+
+    cfg = parse_overrides(Config(), [
+        "model.model_type=crnn", "model.crnn_cnn_channels=8,16",
+        "model.crnn_rnn_hidden=16", "model.crnn_rnn_layers=1",
+        "model.compute_dtype=float32", "window.window_seconds=1.0",
+        "window.hop_seconds=0.5", "train.batch_size=4",
+        "train.num_epochs=2", "train.lr_schedule=cosine",
+        "train.warmup_steps=2", "train.cosine_final_scale=0.1",
+        f"data.base_path={tmp_path}",
+    ])
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
+    state, hist = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    final_lr = current_learning_rate(state.opt_state)
+    from seld_tpu.train.schedule import WarmupCosine
+
+    steps_per_epoch = -(-len(train_c) // cfg.train.batch_size)
+    sched = WarmupCosine(
+        peak=cfg.train.learning_rate,
+        total_steps=steps_per_epoch * cfg.train.num_epochs,
+        warmup_steps=cfg.train.warmup_steps,
+        final_scale=cfg.train.cosine_final_scale,
+    )
+    expected = sched(steps_per_epoch * cfg.train.num_epochs - 1)
+    assert final_lr == pytest.approx(expected, rel=1e-5)
+    assert final_lr < cfg.train.learning_rate  # decayed below the peak
+
+    bad = parse_overrides(cfg, ["train.lr_schedule=linear"])
+    with pytest.raises(ValueError, match="lr_schedule"):
+        train_model(bad, train_c, test_c, workdir=tmp_path / "ckpt2")
