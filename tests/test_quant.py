@@ -288,3 +288,28 @@ def test_qat_gradients_flow_and_train_step_runs():
     )
     assert moved, "QAT gradients did not update parameters"
     assert losses[-1] < losses[0], losses
+
+
+def test_fake_quant_properties():
+    """_fake_quant: grid snap within half a scale step inside the range,
+    clamp outside, exact zeros, and idempotence on the grid."""
+    from seld_tpu.quant import _fake_quant
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((512,)) * 3, jnp.float32)
+    s = jnp.float32(0.05)
+    q = np.asarray(_fake_quant(x, s))
+    in_range = np.abs(np.asarray(x)) <= 127 * 0.05
+    # snap error bounded by s/2 inside the representable range
+    assert np.all(np.abs(q[in_range] - np.asarray(x)[in_range]) <= 0.025 + 1e-7)
+    # clamp at the edges
+    assert np.all(np.abs(q) <= 127 * 0.05 + 1e-6)
+    # zero is exact (symmetric quantization)
+    assert float(_fake_quant(jnp.zeros(()), s)) == 0.0
+    # idempotent on grid values
+    q2 = np.asarray(_fake_quant(jnp.asarray(q), s))
+    np.testing.assert_allclose(q2, q, atol=1e-7)
+
+    # straight-through: gradient of sum(fake_quant(x)) is all-ones
+    g = jax.grad(lambda v: _fake_quant(v, s).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g), 1.0)
