@@ -366,6 +366,16 @@ class MeshConfig:
     # rules take precedence) and implies shard_opt_state for the
     # FSDP-sharded leaves.
     shard_params: bool = False
+    # Sequence parallelism: shard the TIME axis of (B, T, ...) batches
+    # over the model mesh axis — GSPMD partitions the whole network over
+    # time (convs get halo exchanges, attention einsums their
+    # collectives). For long-window training of the attention models;
+    # mutually exclusive with tensor parallelism (the model axis carries
+    # time, so the TP weight rules are disabled) and unsupported for the
+    # recurrent crnn (the GRU scans time sequentially). The Pallas flash
+    # attention is bypassed under time sharding (einsum attention
+    # partitions; flash stays the single-chip long-T path).
+    shard_time: bool = False
 
 
 @dataclass(frozen=True)

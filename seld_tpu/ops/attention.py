@@ -29,16 +29,27 @@ FLASH_MIN_SEQ_LEN = 512  # flash kernel wins above this on v5e (2.8x @ 2048)
 import contextvars
 
 _MESH = contextvars.ContextVar("seld_tpu_attention_mesh", default=None)
+_TIME_SHARDED = contextvars.ContextVar(
+    "seld_tpu_attention_time_sharded", default=False
+)
 
 
 @contextlib.contextmanager
-def attention_mesh(mesh):
-    """Scope a mesh for flash-attention dispatch during step tracing."""
+def attention_mesh(mesh, time_sharded: bool = False):
+    """Scope a mesh for flash-attention dispatch during step tracing.
+
+    `time_sharded=True` (sequence parallelism: the T axis is sharded
+    over the model mesh axis) pins the EINSUM attention path: GSPMD
+    partitions the (T x T) score einsums with the required collectives,
+    whereas the Pallas flash kernel's shard_map over (b*h) rows would
+    force an all-gather of the time axis first."""
     token = _MESH.set(mesh)
+    token_t = _TIME_SHARDED.set(bool(time_sharded) and mesh is not None)
     try:
         yield
     finally:
         _MESH.reset(token)
+        _TIME_SHARDED.reset(token_t)
 
 
 def multi_head_attention(q, k, v, *, scale: float | None = None, dtype=None,
@@ -57,7 +68,9 @@ def multi_head_attention(q, k, v, *, scale: float | None = None, dtype=None,
 
     if use_flash is None:
         use_flash = (
-            jax.default_backend() == "tpu" and q.shape[-2] >= FLASH_MIN_SEQ_LEN
+            jax.default_backend() == "tpu"
+            and q.shape[-2] >= FLASH_MIN_SEQ_LEN
+            and not _TIME_SHARDED.get()
         )
     if use_flash:
         from seld_tpu.ops.flash_attention import flash_attention

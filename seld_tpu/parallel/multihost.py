@@ -84,7 +84,8 @@ def local_batch_size(global_batch: int) -> int:
     return global_batch // n_proc
 
 
-def global_batch_array(mesh, local_rows: np.ndarray) -> jax.Array:
+def global_batch_array(mesh, local_rows: np.ndarray,
+                       time_sharded: bool = False) -> jax.Array:
     """Assemble the global, data-axis-sharded batch array from this
     process's local rows.
 
@@ -94,6 +95,10 @@ def global_batch_array(mesh, local_rows: np.ndarray) -> jax.Array:
     cross-host transfer (each device keeps the shard its own host fed).
     """
     sharding = batch_sharding(mesh, local_rows.ndim)
+    if time_sharded and local_rows.ndim >= 2:
+        from seld_tpu.parallel.sharding import time_batch_sharding
+
+        sharding = time_batch_sharding(mesh, local_rows.ndim)
     if jax.process_count() == 1:
         return jax.device_put(local_rows, sharding)
     return jax.make_array_from_process_local_data(
@@ -101,6 +106,12 @@ def global_batch_array(mesh, local_rows: np.ndarray) -> jax.Array:
     )
 
 
-def device_batch(mesh, *arrays: np.ndarray) -> tuple[jax.Array, ...]:
-    """`global_batch_array` over several same-leading-dim arrays."""
-    return tuple(global_batch_array(mesh, a) for a in arrays)
+def device_batch(mesh, *arrays: np.ndarray,
+                 time_sharded: bool = False) -> tuple[jax.Array, ...]:
+    """`global_batch_array` over several same-leading-dim arrays.
+    `time_sharded` additionally shards axis 1 (time) of every ndim>=2
+    array over the model mesh axis (sequence parallelism)."""
+    return tuple(
+        global_batch_array(mesh, a, time_sharded=time_sharded)
+        for a in arrays
+    )

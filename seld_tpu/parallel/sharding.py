@@ -72,7 +72,8 @@ def path_of(key_path) -> str:
 FSDP_MIN_LEAF_ELEMENTS = 2**15
 
 
-def _tree_paths_specs(tree, n_data_zero: int = 0, n_data_fsdp: int = 0):
+def _tree_paths_specs(tree, n_data_zero: int = 0, n_data_fsdp: int = 0,
+                      use_tp_rules: bool = True):
     """(treedef, specs). With n_data_zero > 0, optimizer-moment leaves
     (paths containing /mu/ or /nu/) that the TP rules leave replicated are
     sharded over the data axis instead (ZeRO-1 for Adam state: saves 2/3
@@ -91,7 +92,10 @@ def _tree_paths_specs(tree, n_data_zero: int = 0, n_data_fsdp: int = 0):
     for key_path, leaf in flat:
         path = path_of(key_path)
         ndim = getattr(leaf, "ndim", 0)
-        spec = param_partition_spec(path, ndim)
+        # use_tp_rules=False (sequence parallelism: the model axis
+        # carries TIME, not weight shards) leaves params replicated
+        # except for the ZeRO/FSDP data-axis sharding below
+        spec = param_partition_spec(path, ndim) if use_tp_rules else P()
         if spec == P() and ndim >= 1:
             is_moment = "/mu/" in path or "/nu/" in path
             size = int(np.prod(leaf.shape))
@@ -133,13 +137,16 @@ def _validate_specs(tree, mesh, treedef, specs) -> None:
 
 
 def shard_variables(tree, mesh, zero_opt_state: bool = False,
-                    shard_params: bool = False):
+                    shard_params: bool = False, use_tp_rules: bool = True):
     """Place a variables/params/state pytree onto the mesh per the rules.
     `shard_params` enables ZeRO-3/FSDP sharding of large replicated
-    leaves over the data axis (see _tree_paths_specs)."""
+    leaves over the data axis (see _tree_paths_specs);
+    `use_tp_rules=False` disables the tensor-parallel weight rules
+    (sequence parallelism repurposes the model axis for time)."""
     n = mesh.shape[DATA_AXIS]
     treedef, specs = _tree_paths_specs(
-        tree, n if zero_opt_state else 0, n if shard_params else 0
+        tree, n if zero_opt_state else 0, n if shard_params else 0,
+        use_tp_rules,
     )
     _validate_specs(tree, mesh, treedef, specs)
     leaves = treedef.flatten_up_to(tree)
@@ -151,11 +158,12 @@ def shard_variables(tree, mesh, zero_opt_state: bool = False,
 
 
 def state_shardings(tree, mesh, zero_opt_state: bool = False,
-                    shard_params: bool = False):
+                    shard_params: bool = False, use_tp_rules: bool = True):
     """NamedSharding pytree mirroring `tree` (for jit in/out_shardings)."""
     n = mesh.shape[DATA_AXIS]
     treedef, specs = _tree_paths_specs(
-        tree, n if zero_opt_state else 0, n if shard_params else 0
+        tree, n if zero_opt_state else 0, n if shard_params else 0,
+        use_tp_rules,
     )
     _validate_specs(tree, mesh, treedef, specs)
     return jax.tree_util.tree_unflatten(
@@ -166,3 +174,18 @@ def state_shardings(tree, mesh, zero_opt_state: bool = False,
 def batch_sharding(mesh, ndim: int) -> NamedSharding:
     """Batch arrays: leading dim over the data axis, rest replicated."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def time_batch_sharding(mesh, ndim: int) -> NamedSharding:
+    """Sequence parallelism: (B, T, ...) batches shard batch over the
+    data axis AND time over the model axis. GSPMD partitions the whole
+    network over time from this one annotation — convs get halo
+    exchanges, attention einsums get their collectives, reductions
+    all-reduce (the scaling-book recipe: annotate, let XLA insert
+    collectives). Mutually exclusive with tensor parallelism: the model
+    axis carries time, so the TP weight rules must be disabled
+    (shard_variables(use_tp_rules=False))."""
+    assert ndim >= 2, "time sharding needs a (B, T, ...) array"
+    return NamedSharding(
+        mesh, P(DATA_AXIS, MODEL_AXIS, *([None] * (ndim - 2)))
+    )

@@ -56,7 +56,7 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                     donate: bool = True, out_state_shardings=None,
                     target_decoder=None, input_augment=None,
                     spatial_augment=None, accum_steps: int = 1,
-                    qat: bool = False):
+                    qat: bool = False, time_sharded: bool = False):
     """Returns step(state, mel, raw_targets, example_mask, rng) ->
     (state, metrics). `out_state_shardings` pins the output TrainState's
     shardings (e.g. ZeRO-sharded optimizer moments) so GSPMD keeps them
@@ -113,7 +113,7 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                 qat_ctx = nn.intercept_methods(qat_interceptor)
             else:
                 qat_ctx = nullcontext()
-            with qat_ctx, attention_mesh(step_mesh):
+            with qat_ctx, attention_mesh(step_mesh, time_sharded=time_sharded):
                 out, new_stats = _apply(
                     model,
                     state.replace(params=params, batch_stats=stats),
@@ -239,7 +239,7 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
 
 def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
                    return_logits: bool = False, target_decoder=None,
-                   mesh=None):
+                   mesh=None, time_sharded: bool = False):
     """Returns step(state, mel, raw_targets, example_mask) -> metrics
     (and logits when return_logits). Bitmask-capable losses consume the
     raw uint16 masks directly (see make_train_step); under a mesh the
@@ -251,7 +251,7 @@ def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
         )
 
     def step(state: TrainState, mel, label_mask, example_mask):
-        with attention_mesh(mesh):
+        with attention_mesh(mesh, time_sharded=time_sharded):
             out, _ = _apply(model, state, mel, train=False)
         if bitmask_native:
             total, breakdown = loss_fn.from_bitmask(

@@ -81,7 +81,8 @@ class PreemptionGuard:
         return False
 
 
-def _device_batch(batch, mesh, use_accdoa: bool = False):
+def _device_batch(batch, mesh, use_accdoa: bool = False,
+                  time_sharded: bool = False):
     mel = np.asarray(batch.mel)
     targets = np.asarray(batch.accdoa if use_accdoa else batch.label_mask)
     em = (np.arange(mel.shape[0]) < batch.n_valid).astype(np.float32)
@@ -100,7 +101,8 @@ def _device_batch(batch, mesh, use_accdoa: bool = False):
             )
             idx = process_local_indices(mel.shape[0])
             mel, targets, em = mel[idx], targets[idx], em[idx]
-        mel, targets, em = device_batch(mesh, mel, targets, em)
+        mel, targets, em = device_batch(mesh, mel, targets, em,
+                                        time_sharded=time_sharded)
         return mel, targets, em
     return jnp.asarray(mel), jnp.asarray(targets), jnp.asarray(em)
 
@@ -161,10 +163,30 @@ def train_model(
     if mesh is not None:
         zero = cfg.mesh.shard_opt_state
         fsdp = cfg.mesh.shard_params
+        if cfg.mesh.shard_time and cfg.model.model_type == "crnn":
+            raise ValueError(
+                "mesh.shard_time is unsupported for the recurrent crnn "
+                "(the GRU scans time sequentially); use conformer / "
+                "resnet_conformer / cnn, or disable time sharding"
+            )
+        if cfg.mesh.shard_time and win % mesh.shape["model"] != 0:
+            raise ValueError(
+                f"mesh.shard_time: window_frames={win} must divide by "
+                f"the model mesh axis ({mesh.shape['model']}) — pick a "
+                "window length or mesh shape that divides evenly"
+            )
+        use_tp = not cfg.mesh.shard_time
         state = shard_variables(state, mesh, zero_opt_state=zero,
-                                shard_params=fsdp)
+                                shard_params=fsdp, use_tp_rules=use_tp)
         out_state_shardings = state_shardings(state, mesh, zero_opt_state=zero,
-                                              shard_params=fsdp)
+                                              shard_params=fsdp,
+                                              use_tp_rules=use_tp)
+        if cfg.mesh.shard_time:
+            log.info(
+                "Sequence parallelism: time axis sharded over the "
+                "model mesh axis (%d-way); TP weight rules disabled",
+                mesh.shape["model"],
+            )
 
     log.info("Model %s: %s parameters", cfg.model.model_type, f"{param_count(state):,}")
     log.info(
@@ -299,10 +321,11 @@ def train_model(
         out_state_shardings=out_state_shardings, target_decoder=target_decoder,
         input_augment=input_augment, spatial_augment=spatial_augment,
         accum_steps=cfg.train.accum_steps, qat=cfg.train.qat,
+        time_sharded=(mesh is not None and cfg.mesh.shard_time),
     )
     eval_step = make_eval_step(
         model, loss_fn, cfg.grid.num_classes, target_decoder=target_decoder,
-        mesh=mesh,
+        mesh=mesh, time_sharded=(mesh is not None and cfg.mesh.shard_time),
     )
 
     plateau = ReduceLROnPlateau(
@@ -350,7 +373,9 @@ def train_model(
     # BatchIterator's staging thread). Shared by the train + eval loops.
     from seld_tpu.data.sampler import device_prefetch
 
-    place_batch = lambda b: _device_batch(b, mesh, accdoa_mode)
+    place_batch = lambda b: _device_batch(
+        b, mesh, accdoa_mode, time_sharded=cfg.mesh.shard_time
+    )
     place_depth = cfg.data.prefetch_depth
 
     history = {"train_losses": [], "test_losses": [], "lr": []}
