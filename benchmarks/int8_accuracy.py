@@ -1,0 +1,158 @@
+"""Int8 accuracy study on synthetic data (CPU; no chip needed).
+
+Trains a small-but-not-tiny conformer on synthetic scenes, then
+compares on held-out data:
+
+  float        — the f32 baseline
+  ptq          — post-training int8 (w8a8, self-calibrated)
+  weight_only  — int8 weights, float compute
+  qat_ptq      — the same architecture trained with train.qat=true,
+                 then int8-PTQ'd (the accuracy-critical deployment path)
+
+Reports per-cell argmax agreement with each variant's own float
+reference, plus non-background frame F1 vs ground truth for every
+variant. READ THE NUMBERS RIGHT: random synthetic scenes have no
+learnable cross-file structure, so held-out F1 is near-chance for
+EVERY variant — the meaningful column is the agreement (how many cell
+decisions quantization changes) and that F1 is IDENTICAL across
+float/PTQ/weight-only. The real accuracy gate needs STARSS22; this
+exercises the full QAT->PTQ pipeline end to end.
+
+Writes benchmarks/results/int8_accuracy.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", str(REPO / "tests/.jax_cache"))
+
+import numpy as np  # noqa: E402
+
+RESULTS = REPO / "benchmarks" / "results"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.models import build_model
+    from seld_tpu.quant import quantize_model, quantized_apply
+    from seld_tpu.train import train_model
+
+    root = Path(tempfile.mkdtemp(prefix="int8_acc_"))
+    base_over = [
+        f"data.base_path={root}",
+        "model.model_type=conformer",
+        "model.conf_d_model=64",
+        "model.conf_n_heads=4",
+        "model.conf_n_layers=2",
+        "model.compute_dtype=float32",
+        "window.window_seconds=2.0",
+        "window.hop_seconds=1.0",
+        "train.batch_size=8",
+        "train.num_epochs=12",
+        "train.save_every_n_epochs=12",
+        # 3-term loss: plain MSE collapses to all-background on sparse
+        # synthetic scenes; AIUR+CL push activity (what the chip burn-in
+        # trains with)
+        "loss.use_aiur=true",
+        "loss.use_cl=true",
+    ]
+    cfg = parse_overrides(Config(), base_over)
+    train_c = synthetic_corpus(cfg, n_files=3, seconds=12.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=2, seconds=8.0, seed=1)
+
+    def heldout_batches(corpus, n=2):
+        out = []
+        for i in range(n):
+            idx = np.arange(i * 4, (i + 1) * 4) % len(corpus)
+            mel, mask = corpus.gather(idx)
+            out.append((np.asarray(mel), np.asarray(mask)))
+        return out
+
+    batches = heldout_batches(test_c)
+    model = build_model(cfg.model, cfg.grid)
+
+    def grid_metrics(logits, mask):
+        """(per-cell argmax classes, frame-level F1 vs ground truth)."""
+        cls = np.argmax(logits, axis=2)  # class-major (B,T,M,G) -> class
+        bg = cfg.grid.num_classes - 1
+        pred_active = cls != bg
+        true_active = np.asarray(mask) != 0
+        tp = (pred_active & true_active).sum()
+        fp = (pred_active & ~true_active).sum()
+        fn = (~pred_active & true_active).sum()
+        f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+        return cls, float(f1)
+
+    def evaluate(variables, qt=None):
+        agree_ref = None
+        cells, f1s = [], []
+        for mel, mask in batches:
+            if qt is None:
+                logits = model.apply(variables, jnp.asarray(mel), train=False)
+            else:
+                logits = quantized_apply(model, variables, qt, jnp.asarray(mel))
+            cls, f1 = grid_metrics(np.asarray(logits), mask)
+            cells.append(cls)
+            f1s.append(f1)
+        return np.concatenate(cells), float(np.mean(f1s))
+
+    report = {}
+
+    for mode in ("float_trained", "qat_trained"):
+        over = list(base_over)
+        if mode == "qat_trained":
+            over.append("train.qat=true")
+        mcfg = parse_overrides(Config(), over)
+        state, hist = train_model(
+            mcfg, train_c, test_c, workdir=root / f"ckpt_{mode}"
+        )
+        variables = state.variables()
+        log(f"[{mode}] trained: final train loss {hist['train_losses'][-1]:.5f}")
+
+        calib = [b[0] for b in batches[:1]]
+        float_cells, float_f1 = evaluate(variables)
+        qt = quantize_model(model, variables, calib)
+        ptq_cells, ptq_f1 = evaluate(variables, qt)
+        qt_w8 = quantize_model(model, variables, calib, weight_only=True)
+        w8_cells, w8_f1 = evaluate(variables, qt_w8)
+
+        report[mode] = {
+            "float_frame_f1": round(float_f1, 4),
+            "ptq_frame_f1": round(ptq_f1, 4),
+            "weight_only_frame_f1": round(w8_f1, 4),
+            "ptq_argmax_agreement_vs_float": round(
+                float((ptq_cells == float_cells).mean()), 5
+            ),
+            "weight_only_argmax_agreement_vs_float": round(
+                float((w8_cells == float_cells).mean()), 5
+            ),
+        }
+        log(f"[{mode}] {report[mode]}")
+        print(json.dumps({mode: report[mode]}), flush=True)
+
+    RESULTS.mkdir(exist_ok=True)
+    (RESULTS / "int8_accuracy.json").write_text(
+        json.dumps(report, indent=2) + "\n"
+    )
+
+
+if __name__ == "__main__":
+    main()
