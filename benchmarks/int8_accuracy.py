@@ -102,7 +102,6 @@ def main():
         return cls, float(f1)
 
     def evaluate(variables, qt=None):
-        agree_ref = None
         cells, f1s = [], []
         for mel, mask in batches:
             if qt is None:

@@ -43,8 +43,12 @@ def attention_mesh(mesh, time_sharded: bool = False):
     partitions the (T x T) score einsums with the required collectives,
     whereas the Pallas flash kernel's shard_map over (b*h) rows would
     force an all-gather of the time axis first."""
+    # The flag engages regardless of whether a mesh was traced here:
+    # a step can run sequence-parallel purely from its INPUT shardings
+    # (no out_state_shardings -> step_mesh None), and the flash kernel
+    # must still be bypassed in that case.
     token = _MESH.set(mesh)
-    token_t = _TIME_SHARDED.set(bool(time_sharded) and mesh is not None)
+    token_t = _TIME_SHARDED.set(bool(time_sharded))
     try:
         yield
     finally:

@@ -69,7 +69,7 @@ class WarmupCosine:
     decay (ref trainer.py:119-124); large-batch/short-epoch training
     wants warmup.
 
-    lr(step) = peak * step / warmup_steps                 (warmup)
+    lr(step) = peak * (step + 1) / warmup_steps           (warmup)
              = final + (peak - final)/2 * (1 + cos(pi*p)) (decay)
     with p = (step - warmup) / max(total - warmup, 1) and
     final = peak * final_scale.

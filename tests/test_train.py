@@ -509,9 +509,17 @@ def test_cosine_schedule_in_trainer(tmp_path):
         warmup_steps=cfg.train.warmup_steps,
         final_scale=cfg.train.cosine_final_scale,
     )
+    # history records the injected LR at every epoch end — stable
+    # regardless of WHICH epoch the best-checkpoint restore lands on
+    # (train_model returns the best state, whose opt_state carries that
+    # epoch's LR; asserting on it directly would be seed-fragile)
     expected = sched(steps_per_epoch * cfg.train.num_epochs - 1)
-    assert final_lr == pytest.approx(expected, rel=1e-5)
-    assert final_lr < cfg.train.learning_rate  # decayed below the peak
+    assert hist["lr"][-1] == pytest.approx(expected, rel=1e-5)
+    assert hist["lr"][-1] < cfg.train.learning_rate  # decayed below peak
+    # the restored state's LR is the cosine value of SOME epoch end
+    per_epoch = [sched(steps_per_epoch * e - 1)
+                 for e in range(1, cfg.train.num_epochs + 1)]
+    assert any(final_lr == pytest.approx(v, rel=1e-5) for v in per_epoch)
 
     bad = parse_overrides(cfg, ["train.lr_schedule=linear"])
     with pytest.raises(ValueError, match="lr_schedule"):
