@@ -32,6 +32,21 @@ _MESH = contextvars.ContextVar("seld_tpu_attention_mesh", default=None)
 _TIME_SHARDED = contextvars.ContextVar(
     "seld_tpu_attention_time_sharded", default=False
 )
+_FORCE = contextvars.ContextVar("seld_tpu_attention_force_flash", default=None)
+
+
+@contextlib.contextmanager
+def force_flash(enabled: bool = True, interpret: bool = False):
+    """Override the AUTO flash policy while tracing (tests/measurement).
+
+    Sites that pass an explicit use_flash are unaffected. interpret=True
+    additionally forces kernel interpret mode so the flash/ring paths can
+    be exercised end-to-end through model code on the CPU test backend."""
+    token = _FORCE.set((bool(enabled), bool(interpret)))
+    try:
+        yield
+    finally:
+        _FORCE.reset(token)
 
 
 @contextlib.contextmanager
@@ -39,10 +54,15 @@ def attention_mesh(mesh, time_sharded: bool = False):
     """Scope a mesh for flash-attention dispatch during step tracing.
 
     `time_sharded=True` (sequence parallelism: the T axis is sharded
-    over the model mesh axis) pins the EINSUM attention path: GSPMD
-    partitions the (T x T) score einsums with the required collectives,
-    whereas the Pallas flash kernel's shard_map over (b*h) rows would
-    force an all-gather of the time axis first."""
+    over the model mesh axis) dispatches to RING attention when a mesh
+    handle is available and the shapes divide the mesh: the flash
+    kernels run per time chunk inside shard_map while K/V chunks rotate
+    around the model axis via ppermute (seld_tpu.ops.ring_attention) —
+    O(T/n) memory, no all-gather. Otherwise (no mesh handle, or
+    indivisible shapes) the einsum path runs: GSPMD partitions the
+    (T x T) score einsums with the required collectives. The plain
+    flash kernel's shard_map over (b*h) rows is never used here — it
+    would force an all-gather of the time axis first."""
     # The flag engages regardless of whether a mesh was traced here:
     # a step can run sequence-parallel purely from its INPUT shardings
     # (no out_state_shardings -> step_mesh None), and the flash kernel
@@ -70,17 +90,47 @@ def multi_head_attention(q, k, v, *, scale: float | None = None, dtype=None,
     """
     import jax
 
+    forced = _FORCE.get()
+    if use_flash is None and forced is not None:
+        use_flash = forced[0]
+        interpret = interpret or forced[1]
     if use_flash is None:
         use_flash = (
             jax.default_backend() == "tpu"
             and q.shape[-2] >= FLASH_MIN_SEQ_LEN
-            and not _TIME_SHARDED.get()
         )
     if use_flash:
         from seld_tpu.ops.flash_attention import flash_attention
 
         mesh = _MESH.get()
-        if mesh is not None:
+        if _TIME_SHARDED.get():
+            # Sequence parallelism: T is sharded over the model axis.
+            # Ring attention keeps it that way (flash per chunk, K/V
+            # rotation via ppermute); requires a mesh handle and shapes
+            # that divide the mesh — otherwise fall through to the
+            # einsum path, which GSPMD partitions with collectives.
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from seld_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+                from seld_tpu.ops.ring_attention import ring_flash_attention
+
+                b, h, t, d = q.shape
+                n_d = mesh.shape[DATA_AXIS]
+                n_m = mesh.shape[MODEL_AXIS]
+                if b % n_d == 0 and t % n_m == 0:
+                    spec = P(DATA_AXIS, None, MODEL_AXIS, None)
+                    fn = jax.shard_map(
+                        lambda q4, k4, v4: ring_flash_attention(
+                            q4, k4, v4, axis_name=MODEL_AXIS, scale=scale,
+                            interpret=interpret,
+                        ),
+                        mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+                        check_vma=False,
+                    )
+                    return fn(q, k, v)
+        elif mesh is not None:
             from jax.sharding import PartitionSpec as P
 
             from seld_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS

@@ -416,3 +416,111 @@ def test_flash_attention_under_mesh_matches_einsum():
     want2 = multi_head_attention(q2, k2, v2, use_flash=False)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_ring_attention_matches_einsum():
+    """Sequence-parallel ring attention (flash kernels per time chunk,
+    K/V rotating over the model axis via ppermute) must match the einsum
+    oracle in values AND all three input gradients; indivisible T falls
+    back to the GSPMD-partitionable einsum path."""
+    from seld_tpu.ops.attention import attention_mesh, multi_head_attention
+    from seld_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    rng = np.random.default_rng(3)
+    b, h, t, d = 2, 4, 512, 64  # chunks of 128 over the 4-way model axis
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+               for _ in range(3))
+
+    want = multi_head_attention(q, k, v, use_flash=False)
+    with attention_mesh(mesh, time_sharded=True):
+        got = jax.jit(lambda a, bb, c: multi_head_attention(
+            a, bb, c, use_flash=True, interpret=True))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss_ring(a, bb, c):
+        with attention_mesh(mesh, time_sharded=True):
+            return jnp.sum(multi_head_attention(
+                a, bb, c, use_flash=True, interpret=True) ** 2)
+
+    def loss_ref(a, bb, c):
+        return jnp.sum(multi_head_attention(a, bb, c, use_flash=False) ** 2)
+
+    got_g = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    want_g = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g_got, g_want in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=3e-4, atol=3e-4)
+
+    # T=500 doesn't divide the 4-way model axis -> einsum fallback
+    q2, k2, v2 = (jnp.asarray(rng.standard_normal((2, 4, 500, d)),
+                              jnp.float32) for _ in range(3))
+    with attention_mesh(mesh, time_sharded=True):
+        got2 = multi_head_attention(q2, k2, v2, use_flash=True,
+                                    interpret=True)
+    want2 = multi_head_attention(q2, k2, v2, use_flash=False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ring_attention_in_sp_train_step(tmp_path, monkeypatch):
+    """The production SP train step (out_state_shardings -> mesh handle,
+    time_sharded=True) dispatches attention to the RING path and its
+    loss matches the single-device step. force_flash(interpret) stands
+    in for the TPU-only auto policy on the CPU test backend."""
+    import seld_tpu.ops.ring_attention as ra
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.models import build_model
+    from seld_tpu.ops.attention import force_flash
+    from seld_tpu.parallel import batch_sharding, make_mesh, shard_variables
+    from seld_tpu.parallel.sharding import state_shardings, time_batch_sharding
+    from seld_tpu.train import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = parse_overrides(
+        Config(),
+        ["model.model_type=conformer", "model.conf_d_model=32",
+         "model.conf_n_heads=4", "model.conf_n_layers=1",
+         "model.compute_dtype=float32", "window.window_seconds=1.0",
+         "window.hop_seconds=0.5", "train.batch_size=4",
+         f"data.base_path={tmp_path}"],
+    )
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    mel_np, mask_np = corpus.gather(np.arange(4) % len(corpus))
+    mel, mask = jnp.asarray(mel_np), jnp.asarray(mask_np)
+    em = jnp.ones((4,), jnp.float32)
+
+    calls = []
+    real = ra.ring_flash_attention
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ra, "ring_flash_attention", spy)
+
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
+    base_step = make_train_step(model, loss_fn, opt, 14, donate=False)
+    _, base_met = base_step(state, mel, mask, em, jax.random.PRNGKey(7))
+    assert not calls  # unsharded step never rings
+
+    mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    state_m = shard_variables(state, mesh, use_tp_rules=False)
+    shardings = state_shardings(state_m, mesh, use_tp_rules=False)
+    step = make_train_step(model, loss_fn, opt, 14, donate=False,
+                           out_state_shardings=shardings, time_sharded=True)
+    m = jax.device_put(mel, time_batch_sharding(mesh, mel.ndim))
+    k = jax.device_put(mask, time_batch_sharding(mesh, mask.ndim))
+    e = jax.device_put(em, batch_sharding(mesh, 1))
+    with force_flash(True, interpret=True):
+        _, met = step(state_m, m, k, e, jax.random.PRNGKey(7))
+    assert calls, "ring attention did not engage in the SP step"
+    np.testing.assert_allclose(float(met["loss"]), float(base_met["loss"]),
+                               rtol=2e-4)
