@@ -307,11 +307,14 @@ def cmd_serve(cfg: Config, args, logger):
             calib_waves=[load_wav(w)[0] for w in args.int8_calib_wavs]
         )
     server = SELDServer(predictor, host=args.host, port=args.port,
-                        max_streams=args.max_streams)
+                        max_streams=args.max_streams,
+                        batch_streams=args.batch_streams,
+                        batch_wait_s=args.batch_wait_ms / 1000.0)
     logger.info(
-        "Serving %s on %s:%d (%s) — Ctrl-C to stop",
+        "Serving %s on %s:%d (%s%s) — Ctrl-C to stop",
         cfg.model.model_type, args.host, server.port,
         "int8" if predictor.quantized else "float",
+        ", cross-stream batching" if args.batch_streams else "",
     )
     try:
         server.serve_forever()
@@ -440,6 +443,16 @@ def main(argv=None) -> int:
         "--max-streams", type=int, default=0,
         help="exit cleanly after N completed streams (0 = run forever); "
         "the clean-shutdown path for benchmarks and device-attached hosts",
+    )
+    p_serve.add_argument(
+        "--batch-streams", action="store_true",
+        help="continuous batching: pack windows from concurrent streams "
+        "into shared device calls (outputs stay bit-equal per stream)",
+    )
+    p_serve.add_argument(
+        "--batch-wait-ms", type=float, default=0.0,
+        help="with --batch-streams: hold a partial batch open this long "
+        "for more streams to join (0 = never delay a ready device)",
     )
     p_serve.set_defaults(fn=cmd_serve)
 

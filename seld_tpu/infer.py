@@ -153,6 +153,13 @@ class SELDPredictor:
         self._forward = forward
         self._forward_probs = forward_probs
         self.quantized = False
+        # Optional cross-stream window dispatcher (seld_tpu.serve.
+        # WindowBatcher): when set, _batched routes its rows there so
+        # windows from CONCURRENT streams share device calls. Safe under
+        # the bit-equality contract because at the fixed batch shape the
+        # forward is row-wise content-independent — another stream's
+        # window in a padding slot produces the same bits as a zero row.
+        self.dispatch = None
 
     def quantize(self, calib_waves=None, calib_mel=None,
                  weight_only: bool = False):
@@ -257,6 +264,9 @@ class SELDPredictor:
         single (slow, remote) TPU compile instead of one per pow-2 tier.
         Lower streaming push latency => construct the predictor with a
         smaller batch_windows (applies consistently to both paths)."""
+        if self.dispatch is not None and windows.shape[0] > 0:
+            yield self.dispatch(fn, windows)
+            return
         bw = self.batch_windows
         for start in range(0, windows.shape[0], bw):
             chunk = windows[start : start + bw]

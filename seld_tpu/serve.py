@@ -30,11 +30,14 @@ single-stream use and degrades gracefully for many).
 from __future__ import annotations
 
 import base64
+import contextlib
 import json
+import queue
 import socket
 import socketserver
 import struct
 import threading
+from collections import deque
 
 import numpy as np
 
@@ -42,6 +45,151 @@ from seld_tpu.utils.logging import get_logger
 
 _LEN = struct.Struct("<I")
 MAX_CHUNK_BYTES = 64 * 1024 * 1024  # sanity bound: ~175 s of 4ch audio
+
+
+class _WindowRequest:
+    """One stream's window rows awaiting device execution."""
+
+    __slots__ = ("fn", "rows", "out", "next_row", "done_rows", "event", "error")
+
+    def __init__(self, fn, rows: np.ndarray):
+        self.fn = fn
+        self.rows = rows            # (k, win, C, F)
+        self.out = None             # allocated on first result (dtype/shape)
+        self.next_row = 0           # rows scheduled into batches so far
+        self.done_rows = 0          # rows with results written back
+        self.event = threading.Event()
+        self.error: BaseException | None = None
+
+
+class WindowBatcher:
+    """Cross-stream continuous batching for the predictor's window forward.
+
+    The predictor runs ONE fixed-shape executable per forward kind
+    (`batch_windows` rows — see SELDPredictor._batched). Without
+    batching, N concurrent streams pay N device calls even when each
+    contributes a single window per push. This dispatcher owns the
+    device: stream threads enqueue their window rows and block; a single
+    worker packs rows from however many requests are PENDING when the
+    device frees up (continuous batching — zero added latency when idle,
+    natural batching under load) into one `batch_windows`-row call, then
+    scatters results back.
+
+    Correctness rides the same invariant as the streaming bit-equality
+    contract: at the fixed batch shape the eval-mode forward is row-wise
+    content-independent (verified bitwise for all grid backbones), so a
+    row computes identical bits whether its neighbor slots hold zero
+    padding (the solo path) or another stream's windows. Requests for
+    different forward kinds (argmax vs probability grids, i.e. plain vs
+    overlapped streams) never share a call — batches are cut at fn
+    boundaries, preserving each executable's identity.
+
+    `max_wait_s` > 0 additionally holds a PARTIAL batch open that long
+    to let more streams join (a latency/throughput knob; default 0 keeps
+    the continuous-batching property of never delaying a ready device).
+
+    No reference counterpart (the reference has no serving path at all,
+    ref trainer.py:394-711 predicts only inside its evaluation loop).
+    """
+
+    def __init__(self, predictor, max_wait_s: float = 0.0):
+        self.p = predictor
+        self.max_wait = float(max_wait_s)
+        self.q: queue.Queue = queue.Queue()
+        self._pending: deque[_WindowRequest] = deque()
+        self._stop = False
+        self.batches_run = 0
+        self.rows_run = 0
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def __call__(self, fn, windows: np.ndarray) -> np.ndarray:
+        """Predictor dispatch hook: block until all rows are computed."""
+        req = _WindowRequest(fn, np.ascontiguousarray(windows))
+        self.q.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.out
+
+    def close(self):
+        self._stop = True
+        self.q.put(None)  # wake the worker
+        self.thread.join(timeout=10)
+
+    # -- worker ----------------------------------------------------------
+
+    def _take(self, timeout):
+        """Move one queued request into _pending. False on timeout/stop."""
+        try:
+            r = self.q.get(timeout=timeout) if timeout else self.q.get_nowait()
+        except queue.Empty:
+            return False
+        if r is None:
+            return False
+        self._pending.append(r)
+        return True
+
+    def _loop(self):
+        import time
+
+        while not self._stop:
+            if not self._pending and not self._take(timeout=0.25):
+                continue
+            # Fill up to batch_windows rows from head requests that share
+            # the head's executable; cut the batch at a different fn.
+            bw = self.p.batch_windows
+            fn = self._pending[0].fn
+            selected: list[tuple[_WindowRequest, int, int]] = []
+            total = 0
+            deadline = time.monotonic() + self.max_wait
+            while total < bw:
+                while self._pending and total < bw:
+                    r = self._pending[0]
+                    if r.fn is not fn:
+                        break
+                    take = min(bw - total, r.rows.shape[0] - r.next_row)
+                    selected.append((r, r.next_row, take))
+                    r.next_row += take
+                    total += take
+                    if r.next_row == r.rows.shape[0]:
+                        self._pending.popleft()
+                if total >= bw or (self._pending and self._pending[0].fn is not fn):
+                    break
+                wait = deadline - time.monotonic()
+                if wait <= 0 or not self._take(timeout=wait):
+                    break
+            self._run_batch(fn, selected, total, bw)
+
+    def _run_batch(self, fn, selected, total, bw):
+        import jax.numpy as jnp
+
+        first_rows = selected[0][0].rows
+        chunk = np.zeros((bw, *first_rows.shape[1:]), first_rows.dtype)
+        pos = 0
+        for r, s, n in selected:
+            chunk[pos : pos + n] = r.rows[s : s + n]
+            pos += n
+        try:
+            res = np.asarray(fn(self.p.state, jnp.asarray(chunk)))
+        except BaseException as e:  # surface to every waiting stream
+            for r, _, _ in selected:
+                r.error = r.error or e
+                r.event.set()
+            return
+        self.batches_run += 1
+        self.rows_run += total
+        pos = 0
+        for r, s, n in selected:
+            if r.out is None:
+                r.out = np.empty(
+                    (r.rows.shape[0], *res.shape[1:]), res.dtype
+                )
+            r.out[s : s + n] = res[pos : pos + n]
+            pos += n
+            r.done_rows += n
+            if r.done_rows == r.rows.shape[0]:
+                r.event.set()
 
 
 def _read_exact(rfile, n: int) -> bytes:
@@ -136,13 +284,31 @@ class SELDServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
 
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 0,
-                 max_streams: int = 0):
+                 max_streams: int = 0, batch_streams: bool = False,
+                 batch_wait_s: float = 0.0):
         self.predictor = predictor
-        self.device_lock = threading.Lock()
         self.max_streams = max_streams
         self._streams_done = 0
         self._count_lock = threading.Lock()
+        self.batcher = None
+        if batch_streams:
+            # Continuous batching: the WindowBatcher owns the device for
+            # window forwards, so stream threads must NOT serialize on a
+            # lock (that would prevent concurrent submission — the whole
+            # point). Host-side session state is per-connection and the
+            # remaining jitted feature calls are thread-safe in JAX.
+            self.batcher = WindowBatcher(predictor, max_wait_s=batch_wait_s)
+            predictor.dispatch = self.batcher
+            self.device_lock = contextlib.nullcontext()
+        else:
+            self.device_lock = threading.Lock()
         super().__init__((host, port), _Handler)
+
+    def server_close(self):
+        if self.batcher is not None:
+            self.predictor.dispatch = None
+            self.batcher.close()
+        super().server_close()
 
     def stream_finished(self):
         with self._count_lock:

@@ -133,3 +133,119 @@ def test_served_int8_stream_matches_int8_offline(tiny_crnn_ckpt, wave):
     np.testing.assert_array_equal(classes, ref.classes)
     t.join(timeout=60)
     s.server_close()
+
+
+def _random_windows(p, k, seed=0):
+    from seld_tpu.features.spatial import feature_channels
+
+    c = feature_channels(p.cfg.features.feature_set, p.cfg.model.n_channels)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(
+        (k, p.win, c, p.cfg.model.n_mels)
+    ).astype(np.float32)
+
+
+def test_window_batcher_packs_and_matches(tiny_crnn_ckpt):
+    """Unit: concurrent requests pack into shared fixed-shape calls and
+    every row's result is bit-equal to the solo zero-padded path (the
+    row-independence invariant)."""
+    import threading
+
+    from seld_tpu.serve import WindowBatcher
+
+    p = SELDPredictor(tiny_crnn_ckpt, batch_windows=4)
+    windows = _random_windows(p, 5)
+    direct = np.concatenate(list(p._batched(windows, p._forward)), axis=0)
+
+    b = WindowBatcher(p, max_wait_s=0.3)
+    outs = {}
+
+    def submit(name, rows):
+        outs[name] = b(p._forward, rows)
+
+    threads = [
+        threading.Thread(target=submit, args=("a", windows[:3])),
+        threading.Thread(target=submit, args=("b", windows[3:])),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    b.close()
+    got = np.concatenate([outs["a"], outs["b"]], axis=0)
+    np.testing.assert_array_equal(got, direct)
+    assert b.rows_run == 5
+    # a request larger than batch_windows splits across calls
+    b2 = WindowBatcher(p, max_wait_s=0.0)
+    big = _random_windows(p, 9, seed=1)
+    direct_big = np.concatenate(list(p._batched(big, p._forward)), axis=0)
+    np.testing.assert_array_equal(b2(p._forward, big), direct_big)
+    assert b2.batches_run == 3  # 4 + 4 + 1
+    b2.close()
+
+
+def test_window_batcher_mixed_fns_never_share(tiny_crnn_ckpt):
+    """argmax and probability-grid requests must not share a device call
+    (different executables); both still return correct shapes/bits."""
+    import threading
+
+    from seld_tpu.serve import WindowBatcher
+
+    p = SELDPredictor(tiny_crnn_ckpt, batch_windows=4)
+    w = _random_windows(p, 2, seed=2)
+    direct_cls = np.concatenate(list(p._batched(w, p._forward)), axis=0)
+    direct_pb = np.concatenate(list(p._batched(w, p._forward_probs)), axis=0)
+
+    b = WindowBatcher(p, max_wait_s=0.2)
+    outs = {}
+    threads = [
+        threading.Thread(target=lambda: outs.setdefault(
+            "cls", b(p._forward, w))),
+        threading.Thread(target=lambda: outs.setdefault(
+            "pb", b(p._forward_probs, w))),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    b.close()
+    np.testing.assert_array_equal(outs["cls"], direct_cls)
+    np.testing.assert_array_equal(outs["pb"], direct_pb)
+
+
+def test_batched_server_concurrent_streams_bit_equal(tiny_crnn_ckpt, wave):
+    """End-to-end: --batch-streams serving with concurrent clients stays
+    bit-equal to the offline predictor for every stream (plain AND
+    overlapped)."""
+    import threading
+
+    p = SELDPredictor(tiny_crnn_ckpt, batch_windows=4)
+    s = SELDServer(p, port=0, batch_streams=True, batch_wait_s=0.05)
+    t = s.serve_background()
+
+    results = {}
+
+    def run(name, n, overlap):
+        results[name] = stream_client(
+            "127.0.0.1", s.port, _chunks(wave, n=n), overlap=overlap
+        )[0]
+
+    threads = [
+        threading.Thread(target=run, args=("p0", 4000, 0.0)),
+        threading.Thread(target=run, args=("p1", 7000, 0.0)),
+        threading.Thread(target=run, args=("ov", 6000, 0.5)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    s.shutdown()
+    s.server_close()
+    assert p.dispatch is None  # server_close must unhook the batcher
+
+    ref_plain = p.predict_waveform(wave)
+    ref_ov = p.predict_waveform(wave, overlap=0.5)
+    np.testing.assert_array_equal(results["p0"], ref_plain.classes)
+    np.testing.assert_array_equal(results["p1"], ref_plain.classes)
+    np.testing.assert_array_equal(results["ov"], ref_ov.classes)
+    assert s.batcher.rows_run > 0
