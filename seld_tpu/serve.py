@@ -136,6 +136,15 @@ class WindowBatcher:
         while not self._stop:
             if not self._pending and not self._take(timeout=0.25):
                 continue
+            # A request that errored in an earlier batch may still sit at
+            # the head with unscheduled rows (its caller has already been
+            # woken with the error) — drop it rather than burn device
+            # calls on rows nobody will read. Erred requests can only be
+            # at the head: selection consumes strictly from the front.
+            while self._pending and self._pending[0].error is not None:
+                self._pending.popleft()
+            if not self._pending:
+                continue
             # Fill up to batch_windows rows from head requests that share
             # the head's executable; cut the batch at a different fn.
             bw = self.p.batch_windows

@@ -249,3 +249,42 @@ def test_batched_server_concurrent_streams_bit_equal(tiny_crnn_ckpt, wave):
     np.testing.assert_array_equal(results["p1"], ref_plain.classes)
     np.testing.assert_array_equal(results["ov"], ref_ov.classes)
     assert s.batcher.rows_run > 0
+
+
+def test_window_batcher_error_path_drops_leftover_rows(tiny_crnn_ckpt):
+    """A device-call failure must (a) raise in every waiting caller,
+    (b) not execute the erred request's remaining rows, and (c) leave
+    the batcher serving later requests normally."""
+    import threading
+
+    from seld_tpu.serve import WindowBatcher
+
+    p = SELDPredictor(tiny_crnn_ckpt, batch_windows=2)
+    b = WindowBatcher(p, max_wait_s=0.0)
+    calls = []
+
+    def boom(state, chunk):
+        calls.append(1)
+        raise RuntimeError("device exploded")
+
+    # 5 rows at batch_windows=2: the first call fails; rows 3-5 must be
+    # dropped (erred request), not retried in 2 further calls.
+    big = _random_windows(p, 5, seed=3)
+    err = {}
+
+    def submit():
+        try:
+            b(boom, big)
+        except RuntimeError as e:
+            err["e"] = e
+
+    t = threading.Thread(target=submit)
+    t.start()
+    t.join(timeout=120)
+    assert "device exploded" in str(err["e"])
+    # a healthy request afterwards still runs (and flushes the deque)
+    w = _random_windows(p, 2, seed=4)
+    direct = np.concatenate(list(p._batched(w, p._forward)), axis=0)
+    np.testing.assert_array_equal(b(p._forward, w), direct)
+    b.close()
+    assert len(calls) == 1, f"leftover rows were executed: {len(calls)} calls"
