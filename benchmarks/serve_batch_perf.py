@@ -34,7 +34,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 RESULTS = REPO / "benchmarks" / "results"
 SR, SECONDS, CHUNK_S = 24000, 30.0, 1.0
-N_STREAMS = 4
+N_STREAMS = 8
+# (label, batch_streams, batch_wait_s): the wait variant holds partial
+# batches open ~one tunnel RTT so concurrent streams actually coincide —
+# with a handful of streams and a fast device, rows rarely arrive within
+# one device call of each other, so wait=0 shows the lock-removal win
+# but mean_rows_per_batch stays ~1.
+MODES = [("locked", False, 0.0), ("batched", True, 0.0),
+         ("batched_wait25ms", True, 0.025)]
 
 
 def log(*a):
@@ -78,9 +85,9 @@ def main():
     log(f"warmup (compile + offline reference) {time.time() - t0:.1f}s")
 
     results = {}
-    for batched in (False, True):
+    for key, batched, wait_s in MODES:
         server = SELDServer(predictor, port=0, max_streams=N_STREAMS,
-                            batch_streams=batched)
+                            batch_streams=batched, batch_wait_s=wait_s)
         thread = server.serve_background()
         outs = {}
 
@@ -101,7 +108,6 @@ def main():
         server.server_close()
         for name, classes in outs.items():
             np.testing.assert_array_equal(classes, ref.classes, err_msg=name)
-        key = "batched" if batched else "locked"
         entry = {
             "n_streams": N_STREAMS,
             "clip_seconds": SECONDS,
@@ -121,14 +127,16 @@ def main():
         log(f"[{key}] {entry}")
         print(json.dumps({key: entry}), flush=True)
 
-    if "locked" in results and "batched" in results:
-        results["speedup"] = round(
-            results["locked"]["wall_s"] / results["batched"]["wall_s"], 2
-        )
+    for key, _, _ in MODES[1:]:
+        if "locked" in results and key in results:
+            results[f"speedup_{key}"] = round(
+                results["locked"]["wall_s"] / results[key]["wall_s"], 2
+            )
     (RESULTS / "serve_batch_perf.json").write_text(
         json.dumps(results, indent=2) + "\n"
     )
-    log("speedup:", results.get("speedup"))
+    log("speedups:", {k: v for k, v in results.items()
+                      if k.startswith("speedup")})
 
 
 if __name__ == "__main__":
