@@ -104,6 +104,10 @@ def main():
         for t in threads:
             t.join(timeout=1200)
         wall = time.time() - t0
+        # A hung stream must fail the run, not silently shrink the
+        # verification set and record a bogus wall-clock.
+        assert not any(t.is_alive() for t in threads), "client stream hung"
+        assert len(outs) == N_STREAMS, f"{len(outs)}/{N_STREAMS} completed"
         thread.join(timeout=120)
         server.server_close()
         for name, classes in outs.items():

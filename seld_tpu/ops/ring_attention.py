@@ -59,6 +59,14 @@ def ring_flash_attention(q, k, v, *, axis_name: str,
     query rows, (B, H, T_local, Dh). Differentiable (custom VJP; the
     backward runs its own ring pass). All devices on `axis_name` must
     hold equal-length chunks (the dispatcher guarantees T % n == 0).
+
+    Precision note: the merge itself runs in f32, but each chunk's
+    partial output is emitted by the flash kernel in q.dtype first — in
+    bfloat16 the ring result therefore carries up to n extra bf16
+    roundings (~n * 4e-3 relative) vs the single-kernel flash path,
+    which casts once from its f32 scratch. Exact in float32 (pinned by
+    tests); within the documented ~2e-3-per-op bf16 noise floor
+    otherwise.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5

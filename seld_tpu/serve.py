@@ -98,6 +98,7 @@ class WindowBatcher:
         self.q: queue.Queue = queue.Queue()
         self._pending: deque[_WindowRequest] = deque()
         self._stop = False
+        self._stop_lock = threading.Lock()  # orders __call__ vs close()
         self.batches_run = 0
         self.rows_run = 0
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -106,15 +107,23 @@ class WindowBatcher:
     def __call__(self, fn, windows: np.ndarray) -> np.ndarray:
         """Predictor dispatch hook: block until all rows are computed."""
         req = _WindowRequest(fn, np.ascontiguousarray(windows))
-        self.q.put(req)
+        # The lock serializes the stop check with close(): once close()
+        # holds it and sets _stop, no request can be enqueued afterwards,
+        # so the worker's final drain sees every request ever submitted
+        # (nothing can block forever on event.wait()).
+        with self._stop_lock:
+            if self._stop:
+                raise RuntimeError("WindowBatcher is closed")
+            self.q.put(req)
         req.event.wait()
         if req.error is not None:
             raise req.error
         return req.out
 
     def close(self):
-        self._stop = True
-        self.q.put(None)  # wake the worker
+        with self._stop_lock:
+            self._stop = True
+            self.q.put(None)  # wake the worker
         self.thread.join(timeout=10)
 
     # -- worker ----------------------------------------------------------
@@ -133,71 +142,109 @@ class WindowBatcher:
     def _loop(self):
         import time
 
-        while not self._stop:
-            if not self._pending and not self._take(timeout=0.25):
-                continue
-            # A request that errored in an earlier batch may still sit at
-            # the head with unscheduled rows (its caller has already been
-            # woken with the error) — drop it rather than burn device
-            # calls on rows nobody will read. Erred requests can only be
-            # at the head: selection consumes strictly from the front.
-            while self._pending and self._pending[0].error is not None:
-                self._pending.popleft()
-            if not self._pending:
-                continue
-            # Fill up to batch_windows rows from head requests that share
-            # the head's executable; cut the batch at a different fn.
-            bw = self.p.batch_windows
-            fn = self._pending[0].fn
-            selected: list[tuple[_WindowRequest, int, int]] = []
-            total = 0
-            deadline = time.monotonic() + self.max_wait
-            while total < bw:
-                while self._pending and total < bw:
-                    r = self._pending[0]
-                    if r.fn is not fn:
+        try:
+            while not self._stop:
+                if not self._pending and not self._take(timeout=0.25):
+                    continue
+                # Requests that arrived while the device was busy are
+                # still in self.q — drain it non-blocking so "whatever is
+                # pending when the device frees up" really includes them
+                # (the continuous-batching property; without this, wait=0
+                # batches only ever carry one request's rows).
+                while self._take(timeout=0):
+                    pass
+                # A request that errored in an earlier batch may still
+                # sit at the head with unscheduled rows (its caller has
+                # already been woken with the error) — drop it rather
+                # than burn device calls on rows nobody will read. Erred
+                # requests can only be at the head: selection consumes
+                # strictly from the front.
+                while self._pending and self._pending[0].error is not None:
+                    self._pending.popleft()
+                if not self._pending:
+                    continue
+                # Fill up to batch_windows rows from head requests that
+                # share the head's executable; cut at a different fn.
+                bw = self.p.batch_windows
+                fn = self._pending[0].fn
+                selected: list[tuple[_WindowRequest, int, int]] = []
+                total = 0
+                deadline = time.monotonic() + self.max_wait
+                while total < bw:
+                    while self._pending and total < bw:
+                        r = self._pending[0]
+                        if r.fn is not fn:
+                            break
+                        take = min(bw - total, r.rows.shape[0] - r.next_row)
+                        selected.append((r, r.next_row, take))
+                        r.next_row += take
+                        total += take
+                        if r.next_row == r.rows.shape[0]:
+                            self._pending.popleft()
+                    if total >= bw or (
+                        self._pending and self._pending[0].fn is not fn
+                    ):
                         break
-                    take = min(bw - total, r.rows.shape[0] - r.next_row)
-                    selected.append((r, r.next_row, take))
-                    r.next_row += take
-                    total += take
-                    if r.next_row == r.rows.shape[0]:
-                        self._pending.popleft()
-                if total >= bw or (self._pending and self._pending[0].fn is not fn):
-                    break
-                wait = deadline - time.monotonic()
-                if wait <= 0 or not self._take(timeout=wait):
-                    break
-            self._run_batch(fn, selected, total, bw)
+                    wait = deadline - time.monotonic()
+                    if wait <= 0 or not self._take(timeout=wait):
+                        break
+                self._run_batch(fn, selected, total, bw)
+        finally:
+            # Worker exiting (close(), or an exception escaping the
+            # loop): no caller may be left blocked forever. Refuse new
+            # requests first, then error-out every unfinished one —
+            # __call__'s put is serialized with this flag, so the drain
+            # below sees every request ever submitted.
+            with self._stop_lock:
+                self._stop = True
+            self._drain_on_exit()
+
+    def _drain_on_exit(self):
+        err = RuntimeError(
+            "WindowBatcher closed before this request completed"
+        )
+        while True:
+            try:
+                self._pending.append(self.q.get_nowait())
+            except queue.Empty:
+                break
+        for r in self._pending:
+            if r is not None:  # skip the close() sentinel
+                r.error = r.error or err
+                r.event.set()
+        self._pending.clear()
 
     def _run_batch(self, fn, selected, total, bw):
         import jax.numpy as jnp
 
-        first_rows = selected[0][0].rows
-        chunk = np.zeros((bw, *first_rows.shape[1:]), first_rows.dtype)
-        pos = 0
-        for r, s, n in selected:
-            chunk[pos : pos + n] = r.rows[s : s + n]
-            pos += n
+        # Everything under try: an assembly/scatter failure (shape or
+        # dtype mismatch between requests, allocation failure) must
+        # surface to the waiting streams, never kill the worker thread
+        # silently with callers still blocked.
         try:
+            first_rows = selected[0][0].rows
+            chunk = np.zeros((bw, *first_rows.shape[1:]), first_rows.dtype)
+            pos = 0
+            for r, s, n in selected:
+                chunk[pos : pos + n] = r.rows[s : s + n]
+                pos += n
             res = np.asarray(fn(self.p.state, jnp.asarray(chunk)))
+            self.batches_run += 1
+            self.rows_run += total
+            pos = 0
+            for r, s, n in selected:
+                if r.out is None:
+                    r.out = np.empty(
+                        (r.rows.shape[0], *res.shape[1:]), res.dtype
+                    )
+                r.out[s : s + n] = res[pos : pos + n]
+                pos += n
+                r.done_rows += n
+                if r.done_rows == r.rows.shape[0]:
+                    r.event.set()
         except BaseException as e:  # surface to every waiting stream
             for r, _, _ in selected:
                 r.error = r.error or e
-                r.event.set()
-            return
-        self.batches_run += 1
-        self.rows_run += total
-        pos = 0
-        for r, s, n in selected:
-            if r.out is None:
-                r.out = np.empty(
-                    (r.rows.shape[0], *res.shape[1:]), res.dtype
-                )
-            r.out[s : s + n] = res[pos : pos + n]
-            pos += n
-            r.done_rows += n
-            if r.done_rows == r.rows.shape[0]:
                 r.event.set()
 
 
@@ -300,18 +347,21 @@ class SELDServer(socketserver.ThreadingTCPServer):
         self._streams_done = 0
         self._count_lock = threading.Lock()
         self.batcher = None
+        # Continuous batching: the WindowBatcher owns the device for
+        # window forwards, so stream threads must NOT serialize on a
+        # lock (that would prevent concurrent submission — the whole
+        # point). Host-side session state is per-connection and the
+        # remaining jitted feature calls are thread-safe in JAX.
+        self.device_lock = (contextlib.nullcontext() if batch_streams
+                            else threading.Lock())
+        super().__init__((host, port), _Handler)
         if batch_streams:
-            # Continuous batching: the WindowBatcher owns the device for
-            # window forwards, so stream threads must NOT serialize on a
-            # lock (that would prevent concurrent submission — the whole
-            # point). Host-side session state is per-connection and the
-            # remaining jitted feature calls are thread-safe in JAX.
+            # Hook the predictor only after the TCP bind succeeded: a
+            # bind failure raises out of super().__init__ with no server
+            # object to server_close(), and must not leak a running
+            # batcher permanently attached to the predictor.
             self.batcher = WindowBatcher(predictor, max_wait_s=batch_wait_s)
             predictor.dispatch = self.batcher
-            self.device_lock = contextlib.nullcontext()
-        else:
-            self.device_lock = threading.Lock()
-        super().__init__((host, port), _Handler)
 
     def server_close(self):
         if self.batcher is not None:

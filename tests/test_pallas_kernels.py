@@ -524,3 +524,27 @@ def test_ring_attention_in_sp_train_step(tmp_path, monkeypatch):
     assert calls, "ring attention did not engage in the SP step"
     np.testing.assert_allclose(float(met["loss"]), float(base_met["loss"]),
                                rtol=2e-4)
+
+
+def test_ring_attention_bf16_within_documented_tolerance():
+    """bfloat16 under the ring: each chunk's partial output is emitted in
+    bf16 before the f32 merge, adding up to n chunk-roundings vs the
+    einsum path — must stay within the documented bf16 noise bound."""
+    from seld_tpu.ops.attention import attention_mesh, multi_head_attention
+    from seld_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    rng = np.random.default_rng(11)
+    b, h, t, d = 2, 4, 512, 64
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.bfloat16)
+               for _ in range(3))
+    want = multi_head_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        use_flash=False)
+    with attention_mesh(mesh, time_sharded=True):
+        got = jax.jit(lambda a, bb, c: multi_head_attention(
+            a, bb, c, use_flash=True, interpret=True))(q, k, v)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want),
+        rtol=0.05, atol=0.05)

@@ -288,3 +288,92 @@ def test_window_batcher_error_path_drops_leftover_rows(tiny_crnn_ckpt):
     np.testing.assert_array_equal(b(p._forward, w), direct)
     b.close()
     assert len(calls) == 1, f"leftover rows were executed: {len(calls)} calls"
+
+
+def test_window_batcher_packs_pending_without_wait(tiny_crnn_ckpt):
+    """Continuous batching at wait=0: requests that arrive while the
+    device is busy must pack into ONE shared call when it frees up (the
+    non-blocking queue drain), not run one call per request."""
+    import threading
+    import time
+
+    from seld_tpu.serve import WindowBatcher
+
+    p = SELDPredictor(tiny_crnn_ckpt, batch_windows=4)
+    calls = []
+    gate = threading.Event()
+
+    def slow_fn(state, chunk):
+        calls.append(int(chunk.shape[0]))
+        if len(calls) == 1:
+            gate.wait(timeout=60)  # hold the device busy
+        return p._forward(state, chunk)
+
+    b = WindowBatcher(p, max_wait_s=0.0)
+    w = _random_windows(p, 1, seed=5)
+    direct = np.concatenate(list(p._batched(w, p._forward)), axis=0)
+    outs = {}
+    threads = [
+        threading.Thread(target=lambda i=i: outs.setdefault(i, b(slow_fn, w)))
+        for i in range(4)
+    ]
+    threads[0].start()
+    for _ in range(600):  # wait until the first call holds the device
+        if calls:
+            break
+        time.sleep(0.01)
+    assert calls, "first request never reached the device"
+    for t in threads[1:]:
+        t.start()
+    time.sleep(0.3)  # let the other three enqueue while the device is busy
+    gate.set()
+    for t in threads:
+        t.join(timeout=120)
+    b.close()
+    assert b.batches_run == 2, f"expected 1 solo + 1 packed call, got {calls}"
+    assert b.rows_run == 4
+    for i in range(4):
+        np.testing.assert_array_equal(outs[i], direct)
+
+
+def test_window_batcher_close_never_strands_callers(tiny_crnn_ckpt):
+    """close() while a multi-batch request is in flight must raise in
+    the blocked caller (never hang it), and reject later submissions."""
+    import threading
+    import time
+
+    from seld_tpu.serve import WindowBatcher
+
+    p = SELDPredictor(tiny_crnn_ckpt, batch_windows=4)
+    gate = threading.Event()
+    started = threading.Event()
+
+    def slow_fn(state, chunk):
+        started.set()
+        gate.wait(timeout=60)
+        return p._forward(state, chunk)
+
+    b = WindowBatcher(p, max_wait_s=0.0)
+    big = _random_windows(p, 6, seed=6)  # 2 batches at bw=4
+    err = {}
+
+    def submit():
+        try:
+            b(slow_fn, big)
+            err["e"] = None
+        except RuntimeError as e:
+            err["e"] = e
+
+    t = threading.Thread(target=submit)
+    t.start()
+    assert started.wait(timeout=60)
+    closer = threading.Thread(target=b.close)
+    closer.start()
+    time.sleep(0.1)
+    gate.set()  # let the in-flight batch finish; the worker must then exit
+    closer.join(timeout=30)
+    t.join(timeout=30)
+    assert not t.is_alive(), "caller stranded after close()"
+    assert isinstance(err["e"], RuntimeError)
+    with pytest.raises(RuntimeError, match="closed"):
+        b(p._forward, _random_windows(p, 1, seed=7))
