@@ -174,7 +174,15 @@ def cmd_predict(cfg: Config, args, logger):
 
     from seld_tpu.infer import SELDPredictor
 
-    predictor = SELDPredictor(cfg.data.checkpoint_path, cfg)
+    if args.artifact:
+        if args.int8:
+            raise ValueError(
+                "--int8 does not compose with --artifact: int8 is baked "
+                "at export time (export --int8-calib-wavs)"
+            )
+        predictor = SELDPredictor.from_artifact(args.artifact)
+    else:
+        predictor = SELDPredictor(cfg.data.checkpoint_path, cfg)
     if args.int8:
         # self-calibration on the inputs being served: PTQ activation
         # scales from the first clip(s), then int8 inference throughout
@@ -299,7 +307,15 @@ def cmd_serve(cfg: Config, args, logger):
     from seld_tpu.infer import SELDPredictor
     from seld_tpu.serve import SELDServer
 
-    predictor = SELDPredictor(cfg.data.checkpoint_path, cfg)
+    if args.artifact:
+        if args.int8_calib_wavs:
+            raise ValueError(
+                "--int8-calib-wavs does not compose with --artifact: "
+                "int8 is baked at export time (export --int8-calib-wavs)"
+            )
+        predictor = SELDPredictor.from_artifact(args.artifact)
+    else:
+        predictor = SELDPredictor(cfg.data.checkpoint_path, cfg)
     if args.int8_calib_wavs:
         from seld_tpu.data.audio import load_wav
 
@@ -312,7 +328,7 @@ def cmd_serve(cfg: Config, args, logger):
                         batch_wait_s=args.batch_wait_ms / 1000.0)
     logger.info(
         "Serving %s on %s:%d (%s%s) — Ctrl-C to stop",
-        cfg.model.model_type, args.host, server.port,
+        predictor.cfg.model.model_type, args.host, server.port,
         "int8" if predictor.quantized else "float",
         ", cross-stream batching" if args.batch_streams else "",
     )
@@ -389,6 +405,12 @@ def main(argv=None) -> int:
         help="number of input clips used for int8 calibration",
     )
     p_pred.add_argument("--out", default=None)
+    p_pred.add_argument(
+        "--artifact", default=None,
+        help="serve from an exported StableHLO artifact instead of a "
+        "checkpoint (no model code / weight restore; int8 is baked at "
+        "export time, so --int8 is rejected here)",
+    )
     p_pred.set_defaults(fn=cmd_predict)
 
     p_imp = sub.add_parser("import-torch", parents=[common])
@@ -453,6 +475,12 @@ def main(argv=None) -> int:
         "--batch-wait-ms", type=float, default=0.0,
         help="with --batch-streams: hold a partial batch open this long "
         "for more streams to join (0 = never delay a ready device)",
+    )
+    p_serve.add_argument(
+        "--artifact", default=None,
+        help="serve from an exported StableHLO artifact instead of a "
+        "checkpoint (int8 is baked at export time, so "
+        "--int8-calib-wavs is rejected here)",
     )
     p_serve.set_defaults(fn=cmd_serve)
 

@@ -13,6 +13,12 @@ runtimes (IFRT/PJRT serving stacks).
 The exported signature matches SELDPredictor._forward:
     (batch_windows, window_frames, C_feat, n_mels) float32
         -> (batch_windows, window_frames, n_cells) int8 class grid
+
+Grid models also get `<out>.probs` (the softmax probability forward,
+the overlapped-serving executable) and the sidecar embeds the full
+config, so `SELDPredictor.from_artifact(path)` reconstructs a complete
+predictor — every serving surface (predict, streaming, the TCP daemon)
+— from the artifact alone, with no checkpoint tree or Flax rebuild.
 """
 
 from __future__ import annotations
@@ -82,6 +88,25 @@ def export_serving(
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_bytes(exported.serialize())
+
+    # Grid models additionally export the PROBABILITY forward (softmax
+    # class grids, the overlapped-serving executable) to `<out>.probs`,
+    # so an artifact-backed predictor (SELDPredictor.from_artifact)
+    # serves every mode the checkpoint-backed one does. ACCDOA decodes
+    # have no probability path (overlap=0 only), matching the live
+    # predictor's contract.
+    has_probs = not p.accdoa_mode
+    if has_probs:
+        def forward_probs(mel):
+            return p._forward_probs(state, mel)
+
+        exported_probs = jexport.export(jax.jit(forward_probs), **kwargs)(
+            mel_shape
+        )
+        Path(str(out_path) + ".probs").write_bytes(exported_probs.serialize())
+
+    from seld_tpu.config import config_to_dict
+
     sidecar = {
         "input_shape": list(mel_shape.shape),
         "input_dtype": "float32",
@@ -92,10 +117,15 @@ def export_serving(
         "model_type": cfg.model.model_type,
         "feature_set": cfg.features.feature_set,
         "window_frames": p.win,
+        "batch_windows": int(batch_windows),
+        "has_probs": has_probs,
         "platforms": list(exported.platforms),
         "source_epoch": int(p.meta["epoch"]),
         "quantized_int8": bool(p.quantized),
         "int8_weight_only": bool(p.quantized and int8_weight_only),
+        # Full config: lets SELDPredictor.from_artifact rebuild the
+        # feature front-end + window geometry with no checkpoint tree.
+        "config": config_to_dict(cfg),
     }
     Path(str(out_path) + ".json").write_text(json.dumps(sidecar, indent=2))
     get_logger().info(

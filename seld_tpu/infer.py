@@ -161,6 +161,69 @@ class SELDPredictor:
         # window in a padding slot produces the same bits as a zero row.
         self.dispatch = None
 
+    @classmethod
+    def from_artifact(cls, artifact_path) -> "SELDPredictor":
+        """Artifact-backed predictor: serve an `export_serving` StableHLO
+        file with NO checkpoint tree, no Flax model rebuild, and no
+        weight restore — the deployment story where only the exported
+        artifact ships. Every serving surface works unchanged
+        (predict_waveform / predict_file, `--stream` sessions, the TCP
+        daemon incl. `--batch-streams`): they consume only cfg / win /
+        accdoa_mode / _batched and the two forwards, all reconstructed
+        from the artifact + its sidecar (which embeds the full config).
+        `quantize()` is unavailable here — int8 is baked at export time
+        (`export --int8-calib-wavs`). No reference counterpart (the
+        reference's serving artifact is a pickle needing the torch
+        classes, ref trainer.py:428-476)."""
+        from jax import export as jexport
+
+        from seld_tpu.config import config_from_dict
+        from seld_tpu.export import load_serving
+
+        call, sidecar = load_serving(artifact_path)
+        if "config" not in sidecar:
+            raise ValueError(
+                f"{artifact_path}: sidecar has no embedded config "
+                "(artifact predates from_artifact support) — re-export "
+                "with `seld_tpu export`"
+            )
+        self = cls.__new__(cls)
+        self.cfg = config_from_dict(sidecar["config"])
+        self.batch_windows = int(
+            sidecar.get("batch_windows") or sidecar["input_shape"][0]
+        )
+        self.win = int(sidecar["window_frames"])
+        self.model = None
+        self.state = None
+        self.meta = {"epoch": int(sidecar.get("source_epoch", -1))}
+
+        from seld_tpu.models.registry import ACCDOA_MODELS
+
+        self.accdoa_mode = sidecar["model_type"] in ACCDOA_MODELS
+        fwd = jax.jit(call)
+        self._forward = lambda state, mel: fwd(mel)
+        if sidecar.get("has_probs"):
+            probs_path = Path(str(artifact_path) + ".probs")
+            exported_probs = jexport.deserialize(probs_path.read_bytes())
+            fwd_p = jax.jit(exported_probs.call)
+            self._forward_probs = lambda state, mel: fwd_p(mel)
+        else:
+            def _no_probs(state, mel):
+                raise RuntimeError(
+                    "this artifact has no probability forward (ACCDOA "
+                    "model) — overlapped serving needs overlap=0"
+                )
+
+            self._forward_probs = _no_probs
+        self.quantized = bool(sidecar.get("quantized_int8"))
+        self.dispatch = None
+        get_logger().info(
+            "Predictor: %s from artifact %s (epoch %d%s)",
+            sidecar["model_type"], artifact_path, self.meta["epoch"],
+            ", int8" if self.quantized else "",
+        )
+        return self
+
     def quantize(self, calib_waves=None, calib_mel=None,
                  weight_only: bool = False):
         """Switch this predictor to int8 post-training-quantized serving
@@ -173,6 +236,11 @@ class SELDPredictor:
         Streaming keeps its bitwise stream==offline contract in either
         mode (the quantized forward is still row-wise
         content-independent at the fixed batch shape)."""
+        if self.state is None:
+            raise RuntimeError(
+                "artifact-backed predictors cannot re-quantize: int8 is "
+                "baked at export time (export --int8-calib-wavs)"
+            )
         from seld_tpu.quant import quantize_model, quantized_apply
 
         cfg = self.cfg

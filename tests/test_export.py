@@ -97,3 +97,85 @@ def test_int8_export_roundtrip(ckpt_dir, tmp_path):
     fn, _ = load_serving(out)
     exported = np.asarray(fn(mel))
     np.testing.assert_array_equal(exported, live)
+
+
+def test_from_artifact_predictor_matches_checkpoint(ckpt_dir, tmp_path):
+    """SELDPredictor.from_artifact serves every offline mode bit-equal to
+    the checkpoint-backed predictor: plain tiling, overlapped probability
+    averaging (via the .probs artifact), and streaming sessions."""
+    out = export_serving(ckpt_dir, tmp_path / "full.stablehlo",
+                         batch_windows=2)
+    assert (tmp_path / "full.stablehlo.probs").exists()
+    sidecar = json.loads((tmp_path / "full.stablehlo.json").read_text())
+    assert sidecar["has_probs"] and sidecar["batch_windows"] == 2
+    assert sidecar["config"]["model"]["model_type"] == "crnn"
+
+    live = SELDPredictor(ckpt_dir, batch_windows=2)
+    art = SELDPredictor.from_artifact(out)
+    assert art.batch_windows == 2 and art.win == live.win
+    assert art.cfg.features == live.cfg.features
+
+    rng = np.random.default_rng(1)
+    sr = live.cfg.features.sample_rate
+    wave = (rng.standard_normal((4, 3 * sr)) * 0.1).astype(np.float32)
+    np.testing.assert_array_equal(
+        art.predict_waveform(wave).classes,
+        live.predict_waveform(wave).classes,
+    )
+    np.testing.assert_array_equal(
+        art.predict_waveform(wave, overlap=0.5).classes,
+        live.predict_waveform(wave, overlap=0.5).classes,
+    )
+    # streaming through the artifact predictor stays bit-equal too
+    from seld_tpu.stream import stream_predict
+
+    chunk = sr // 2
+    streamed = stream_predict(
+        art, (wave[:, i : i + chunk] for i in range(0, wave.shape[1], chunk))
+    )
+    np.testing.assert_array_equal(
+        streamed.classes, live.predict_waveform(wave).classes
+    )
+    # int8 is baked at export time — re-quantization must refuse
+    with pytest.raises(RuntimeError, match="baked at export"):
+        art.quantize(calib_waves=[wave])
+
+
+def test_cli_predict_from_artifact(ckpt_dir, tmp_path):
+    """predict --artifact writes the same CSV as predict from the
+    checkpoint; --int8 with --artifact is rejected."""
+    from seld_tpu.cli import main
+    from seld_tpu.data.synthetic import synthetic_raw_files
+
+    from seld_tpu.config import Config
+
+    from pathlib import Path
+
+    wav = Path(synthetic_raw_files(tmp_path / "wavs", Config(), n_files=1,
+                                   seconds=2.0, seed=3)[0][0])
+    rc = main([
+        "export", f"data.base_path={ckpt_dir.parent}",
+        "--out", str(tmp_path / "m.stablehlo"), "--batch-windows", "2",
+    ])
+    assert rc == 0
+    rc = main([
+        "predict", f"data.base_path={ckpt_dir.parent}",
+        "--wavs", str(wav), "--out", str(tmp_path / "from_ckpt"),
+    ])
+    assert rc == 0
+    rc = main([
+        "predict", f"data.base_path={ckpt_dir.parent}",
+        "--artifact", str(tmp_path / "m.stablehlo"),
+        "--wavs", str(wav), "--out", str(tmp_path / "from_artifact"),
+    ])
+    assert rc == 0
+    name = wav.stem + ".csv"
+    got = (tmp_path / "from_artifact" / "predictions" / name).read_text()
+    want = (tmp_path / "from_ckpt" / "predictions" / name).read_text()
+    assert got == want
+    rc = main([
+        "predict", f"data.base_path={ckpt_dir.parent}",
+        "--artifact", str(tmp_path / "m.stablehlo"), "--int8",
+        "--wavs", str(wav),
+    ])
+    assert rc == 1  # named error, nonzero exit

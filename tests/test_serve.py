@@ -377,3 +377,24 @@ def test_window_batcher_close_never_strands_callers(tiny_crnn_ckpt):
     assert isinstance(err["e"], RuntimeError)
     with pytest.raises(RuntimeError, match="closed"):
         b(p._forward, _random_windows(p, 1, seed=7))
+
+
+def test_served_stream_from_artifact_matches_offline(tiny_crnn_ckpt, wave,
+                                                     tmp_path):
+    """The daemon serves an artifact-backed predictor (no checkpoint tree)
+    with --batch-streams, bit-equal to the offline artifact predictor AND
+    to the checkpoint-backed one."""
+    from seld_tpu.export import export_serving
+
+    out = export_serving(tiny_crnn_ckpt, tmp_path / "a.stablehlo",
+                         batch_windows=4)
+    p = SELDPredictor.from_artifact(out)
+    s = SELDServer(p, port=0, max_streams=1, batch_streams=True)
+    t = s.serve_background()
+    classes, info = stream_client("127.0.0.1", s.port, _chunks(wave))
+    t.join(timeout=60)
+    s.server_close()
+    ref = p.predict_waveform(wave)
+    np.testing.assert_array_equal(classes, ref.classes)
+    ckpt_ref = SELDPredictor(tiny_crnn_ckpt, batch_windows=4).predict_waveform(wave)
+    np.testing.assert_array_equal(classes, ckpt_ref.classes)
