@@ -46,15 +46,18 @@ def _build_corpora(cfg: Config, synthetic: bool, logger):
         test_c = synthetic_corpus(cfg, n_files=1, seconds=20.0, seed=1, train=False)
         return train_c, test_c
 
-    from seld_tpu.data import build_corpus, discover_files
+    from seld_tpu.data import discover_files
+    from seld_tpu.data.cache import cached_build_corpus
 
     tr_a, tr_m, te_a, te_m = discover_files(cfg.data)
     logger.info("Discovered %d train / %d test files", len(tr_a), len(te_a))
-    train_c = build_corpus(
-        tr_a, tr_m, cfg.features, cfg.grid, cfg.window, cfg.targets, train=True
+    train_c = cached_build_corpus(
+        tr_a, tr_m, cfg.features, cfg.grid, cfg.window, cfg.targets,
+        train=True, cache_dir=cfg.data.cache_dir,
     )
-    test_c = build_corpus(
-        te_a, te_m, cfg.features, cfg.grid, cfg.window, cfg.targets, train=False
+    test_c = cached_build_corpus(
+        te_a, te_m, cfg.features, cfg.grid, cfg.window, cfg.targets,
+        train=False, cache_dir=cfg.data.cache_dir,
     )
     return train_c, test_c
 

@@ -59,6 +59,11 @@ class DataConfig:
     # workers, ref main.py:64).
     prefetch_depth: int = 2
     shuffle_seed: int = 0
+    # On-disk corpus/feature cache (TPU addition; the reference rebuilds the
+    # corpus eagerly every run, ref dataset.py:212-317). Empty = off. Keyed
+    # on the file list (path/size/mtime) + feature/grid/window/target
+    # configs, so edits and knob changes invalidate automatically.
+    cache_dir: str = ""
 
     @property
     def audio_path(self) -> Path:
