@@ -101,14 +101,29 @@ def cmd_train(cfg: Config, args, logger):
     return 0
 
 
+def _parse_tta_transforms(spec: str | None):
+    """CSV transform subset for --tta-transforms; None = all 16."""
+    if not spec:
+        return None
+    return tuple(int(t) for t in spec.split(",") if t.strip())
+
+
 def cmd_eval(cfg: Config, args, logger):
     from seld_tpu.eval import evaluate_model
 
     cfg = _normalize_config(cfg, logger)
     _, test_c = _build_corpora(cfg, args.synthetic, logger)
+    tta = None
+    if getattr(args, "tta", False) or getattr(args, "tta_transforms", None):
+        from seld_tpu.tta import validate_transforms
+
+        tta = validate_transforms(
+            _parse_tta_transforms(getattr(args, "tta_transforms", None))
+        )
     results = evaluate_model(
         cfg, test_c, cfg.data.checkpoint_path,
         num_visualizations=args.num_visualizations,
+        tta_transforms=tta,
     )
     printable = {k: v for k, v in results.items() if k != "visualizations"}
     print(json.dumps(printable, indent=2, default=str))
@@ -193,6 +208,8 @@ def cmd_predict(cfg: Config, args, logger):
 
         calib = [load_wav(w)[0] for w in args.wavs[: max(1, args.int8_calib)]]
         predictor.quantize(calib_waves=calib)
+    if args.tta or args.tta_transforms:
+        predictor.tta(_parse_tta_transforms(args.tta_transforms))
     out_dir = Path(args.out or cfg.data.output_path) / "predictions"
     for wav in args.wavs:
         csv_out = out_dir / f"{Path(wav).stem}.csv"
@@ -380,6 +397,18 @@ def main(argv=None) -> int:
 
     p_eval = sub.add_parser("eval", parents=[common])
     p_eval.add_argument("--num-visualizations", type=int, default=5)
+    p_eval.add_argument(
+        "--tta", action="store_true",
+        help="ACS test-time augmentation: metrics computed on predictions "
+        "averaged over the 16 label-exact FOA scene transforms (16x "
+        "compute; requires features.feature_set=mel_iv; losses stay on "
+        "the plain forward for comparability)",
+    )
+    p_eval.add_argument(
+        "--tta-transforms", default=None,
+        help="comma-separated transform subset for --tta (e.g. '0,1,2,3' "
+        "= the four azimuth rotations); default all 16",
+    )
     p_eval.set_defaults(fn=cmd_eval)
 
     p_verify = sub.add_parser("verify", parents=[common])
@@ -406,6 +435,18 @@ def main(argv=None) -> int:
     p_pred.add_argument(
         "--int8-calib", type=int, default=1,
         help="number of input clips used for int8 calibration",
+    )
+    p_pred.add_argument(
+        "--tta", action="store_true",
+        help="ACS test-time augmentation: average predictions over the 16 "
+        "label-exact FOA scene transforms (16x compute; requires "
+        "features.feature_set=mel_iv; composes with --stream/--overlap/"
+        "--int8, not with --artifact)",
+    )
+    p_pred.add_argument(
+        "--tta-transforms", default=None,
+        help="comma-separated transform subset for TTA (e.g. '0,1,2,3' = "
+        "the four azimuth rotations); implies --tta",
     )
     p_pred.add_argument("--out", default=None)
     p_pred.add_argument(

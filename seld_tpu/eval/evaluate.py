@@ -46,7 +46,13 @@ def evaluate_model(
     save_visualizations: bool = True,
     seed: int = 0,
     mesh=None,
+    tta_transforms=None,
 ) -> dict:
+    """tta_transforms: optional ACS TTA subset (seld_tpu.tta) — prediction
+    grids (and therefore every accuracy/DCASE metric) come from the
+    transform-averaged forward; losses stay on the plain forward so they
+    remain comparable across eval runs. Visualizations also show the
+    plain forward."""
     log = get_logger()
     stored_cfg = load_checkpoint_config(checkpoint_dir)
     if stored_cfg is not None:
@@ -93,6 +99,23 @@ def evaluate_model(
     from seld_tpu.models.registry import ACCDOA_MODELS
 
     accdoa_mode = cfg.model.model_type in ACCDOA_MODELS
+    tta_fwd = None
+    if tta_transforms:
+        from seld_tpu.models.registry import MULTI_ACCDOA_MODELS as _MULTI
+        from seld_tpu.tta import make_tta_forward
+
+        if cfg.model.model_type in _MULTI:
+            raise ValueError(
+                "TTA does not support multi-ACCDOA models: track order "
+                "is permutation-ambiguous per forward pass"
+            )
+        tta_fwd = make_tta_forward(
+            lambda st, m: model.apply(st.variables(), m, train=False),
+            cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set,
+            transforms=tta_transforms,
+            kind="accdoa" if accdoa_mode else "grid",
+        )
+        log.info("Eval TTA enabled (%d transforms)", len(tta_transforms))
     if accdoa_mode:
         from seld_tpu.accdoa import (
             ACCDOALossFn,
@@ -117,9 +140,10 @@ def evaluate_model(
 
             with attention_mesh(mesh):
                 vectors = model.apply(state.variables(), mel, train=False)
+                dec_in = vectors if tta_fwd is None else tta_fwd(state, mel)
             total, breakdown = acc_loss_fn(vectors, acc_targets, example_mask)
             pred_cls = decode(
-                vectors, cfg.grid.n_el, cfg.grid.n_az, num_classes
+                dec_in, cfg.grid.n_el, cfg.grid.n_az, num_classes
             )
             from seld_tpu.losses.seld_loss import _bit_labels
 
@@ -136,6 +160,10 @@ def evaluate_model(
 
             with attention_mesh(mesh):
                 logits = model.apply(state.variables(), mel, train=False)
+                # TTA: decisions from transform-averaged probabilities
+                # (same argmax as plain when tta_fwd is None — softmax is
+                # monotone per (frame, cell))
+                dec_in = logits if tta_fwd is None else tta_fwd(state, mel)
             # bitmask-native loss + argmax labels: value-identical to the
             # dense one-hot route without materializing (B, T, M, G).
             # Under a mesh the fused kernel runs in shard_map over the
@@ -145,7 +173,7 @@ def evaluate_model(
             )
             # class-major logits (B, T, M, G): per-cell class = argmax
             # over the class axis
-            pred_cls = jnp.argmax(logits, axis=2).astype(jnp.int8)
+            pred_cls = jnp.argmax(dec_in, axis=2).astype(jnp.int8)
             true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)
             return {"loss": total, **breakdown}, pred_cls, true_cls
 

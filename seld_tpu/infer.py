@@ -153,6 +153,8 @@ class SELDPredictor:
         self._forward = forward
         self._forward_probs = forward_probs
         self.quantized = False
+        self._quant_tree = None
+        self._tta_transforms = None
         # Optional cross-stream window dispatcher (seld_tpu.serve.
         # WindowBatcher): when set, _batched routes its rows there so
         # windows from CONCURRENT streams share device calls. Safe under
@@ -216,10 +218,95 @@ class SELDPredictor:
 
             self._forward_probs = _no_probs
         self.quantized = bool(sidecar.get("quantized_int8"))
+        self._quant_tree = None
+        self._tta_transforms = None
         self.dispatch = None
         get_logger().info(
             "Predictor: %s from artifact %s (epoch %d%s)",
             sidecar["model_type"], artifact_path, self.meta["epoch"],
+            ", int8" if self.quantized else "",
+        )
+        return self
+
+    def _raw_apply(self, qtree, state, mel):
+        """Model output (pre-decode) for one feature batch; qtree=None is
+        the float path, otherwise the int8-quantized one. Trace-time
+        branch: qtree rides as a jit argument (see quantize() below)."""
+        if qtree is None:
+            return self.model.apply(state.variables(), mel, train=False)
+        from seld_tpu.quant import quantized_apply
+
+        return quantized_apply(self.model, state.variables(), qtree, mel)
+
+    def tta(self, transforms=None):
+        """Enable ACS test-time augmentation (seld_tpu.tta): every window
+        is predicted under each of the selected FOA scene transforms
+        (default: all 16), each prediction is mapped back to original
+        coordinates with the exact inverse transform, and the results are
+        averaged — mean softmax probabilities for grid models, mean
+        inverse-rotated vectors for single-ACCDOA. Costs len(transforms)x
+        compute per window (run as a scan at the native batch shape).
+
+        Composes with quantize() in either call order and with streaming
+        (`--stream` reuses these forwards, so stream==offline bit-equality
+        holds under TTA too). Requires feature_set='mel_iv' (same validity
+        rule as training-time ACS); multi-ACCDOA is rejected — its track
+        order is arbitrary per forward pass, so cross-transform averaging
+        would mix unrelated tracks."""
+        if self.model is None:
+            raise ValueError(
+                "artifact-backed predictors cannot enable TTA: the "
+                "artifact exports only the plain forward — use a "
+                "checkpoint-backed predictor"
+            )
+        from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
+
+        if self.cfg.model.model_type in MULTI_ACCDOA_MODELS:
+            raise ValueError(
+                "TTA does not support multi-ACCDOA models: track order "
+                "is permutation-ambiguous per forward pass, so averaging "
+                "across transforms would mix unrelated tracks"
+            )
+        from seld_tpu.tta import make_tta_forward, validate_transforms
+
+        sel = validate_transforms(transforms)
+        cfg = self.cfg
+        grid_cfg = cfg.grid
+        kind = "accdoa" if self.accdoa_mode else "grid"
+        tta_fwd = make_tta_forward(
+            lambda ctx, mel: self._raw_apply(ctx[0], ctx[1], mel),
+            grid_cfg.n_el, grid_cfg.n_az, cfg.features.feature_set,
+            transforms=sel, kind=kind,
+        )
+
+        @jax.jit
+        def forward_tta(qtree, state, mel):  # -> (B, win, G) int8
+            avg = tta_fwd((qtree, state), mel)
+            if kind == "accdoa":
+                from seld_tpu.accdoa import decode_accdoa_to_grid_jnp
+
+                return decode_accdoa_to_grid_jnp(
+                    avg, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes
+                )
+            return jnp.argmax(avg, axis=2).astype(jnp.int8)
+
+        @jax.jit
+        def forward_probs_tta(qtree, state, mel):  # -> (B, win, M, G) f16
+            assert kind == "grid", (
+                "overlapped probability averaging applies to grid models; "
+                "ACCDOA predictions use overlap=0"
+            )
+            return tta_fwd((qtree, state), mel).astype(jnp.float16)
+
+        self._forward = lambda state, mel: forward_tta(
+            self._quant_tree, state, mel
+        )
+        self._forward_probs = lambda state, mel: forward_probs_tta(
+            self._quant_tree, state, mel
+        )
+        self._tta_transforms = sel
+        get_logger().info(
+            "Predictor: TTA enabled (%d transforms%s)", len(sel),
             ", int8" if self.quantized else "",
         )
         return self
@@ -313,6 +400,10 @@ class SELDPredictor:
             "Predictor: int8 PTQ enabled (%d quantized layers, %d "
             "calibration batches)", len(self._quant_tree), len(batches)
         )
+        if self._tta_transforms is not None:
+            # tta() was enabled before quantize(): rebuild the TTA
+            # forwards on top of the fresh quant tree.
+            return self.tta(self._tta_transforms)
         return self
 
     def _batched(self, windows, fn):

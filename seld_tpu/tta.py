@@ -1,0 +1,123 @@
+"""ACS test-time augmentation (TTA): average predictions over the 16
+label-exact FOA scene transforms.
+
+The reference has no TTA (prediction exists only inside its eval loop,
+ref trainer.py:394-711). This module applies the training-time ACS
+transform family (seld_tpu/features/acs.py — azimuth 90-deg rotations,
+azimuth reflection, elevation flip; Mazzon et al. 2019) at *test* time:
+run the model on each transformed copy of the input features, map every
+prediction back to original scene coordinates with the exact inverse
+transform, and average. Because each transform is an exact permutation
+of the label grid (and an exact signed permutation of DOA vectors), the
+back-mapping is lossless — TTA changes only the model's epistemic
+variance, never the coordinate bookkeeping.
+
+Supported output families:
+
+  * grid models — softmax probabilities are inverse-permuted on the cell
+    axis and averaged (class-major (B, T, M, G) layout, probs averaged
+    in f32);
+  * single-ACCDOA — output vectors are inverse-rotated (the inverse
+    signed permutation of (x, y, z)) and averaged; the averaged norm
+    still thresholds as activity (transform disagreement shortens the
+    vector, a natural confidence discount);
+  * multi-ACCDOA/ADPIT is REJECTED: track order is arbitrary per forward
+    pass, so cross-transform averaging would mix unrelated tracks.
+
+Feature-set validity is inherited from acs_tables: only "mel_iv" carries
+the signed spatial information the transforms act on; plain "mel" / GCC
+raise there.
+
+The compute runs as a lax.scan over the transform set (one traced
+forward, K sequential executions at the native batch shape) — constant
+memory in K, and it stays inside the VMEM-resident batch regime instead
+of multiplying the batch by K.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seld_tpu.features.acs import N_TRANSFORMS, acs_tables, vector_tables
+
+
+def validate_transforms(transforms) -> tuple:
+    """Normalize a transform subset: default = all 16; must be unique
+    ints in [0, 16)."""
+    if transforms is None:
+        return tuple(range(N_TRANSFORMS))
+    sel = tuple(int(t) for t in transforms)
+    if not sel:
+        raise ValueError("TTA needs at least one transform")
+    if len(set(sel)) != len(sel):
+        raise ValueError(f"duplicate TTA transforms: {sel}")
+    bad = [t for t in sel if not 0 <= t < N_TRANSFORMS]
+    if bad:
+        raise ValueError(
+            f"TTA transforms must be in [0, {N_TRANSFORMS}); got {bad}"
+        )
+    return sel
+
+
+def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
+                     transforms=None, kind: str = "grid"):
+    """Build the TTA-averaged forward.
+
+    apply_fn(ctx, mel) -> model output for one feature batch
+    (B, T, C, F); ctx is an arbitrary pytree threaded through untouched
+    (train state, quant tree, ...). Returns fwd(ctx, mel) -> f32 average
+    over `transforms` in ORIGINAL scene coordinates:
+
+      kind="grid":   (B, T, M, G) mean softmax probabilities
+      kind="accdoa": (B, T, C_ev, 3) mean inverse-rotated vectors
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if kind not in ("grid", "accdoa"):
+        raise ValueError(f"unknown TTA kind {kind!r}")
+    sel = validate_transforms(transforms)
+    cell_gather, ch_perm, ch_sign = acs_tables(n_el, n_az, feature_set)
+    cp = jnp.asarray(ch_perm[list(sel)])
+    cs = jnp.asarray(ch_sign[list(sel)])
+    if kind == "grid":
+        # cell_gather maps labels forward (new[c] = old[cg[c]]); model
+        # output on transformed features lives in "new" coordinates, so
+        # original[g] = output[argsort(cg)[g]].
+        inv_cg = jnp.asarray(
+            np.stack([np.argsort(cell_gather[t]) for t in sel]).astype(np.int32)
+        )
+        xs = {"cp": cp, "cs": cs, "inv": inv_cg}
+    else:
+        vperm, vsign = vector_tables(feature_set)
+        # forward: new[i] = old[vp[i]] * vs[i]; signs are +-1 so the
+        # inverse is old[j] = new[ivp[j]] * vs[ivp[j]].
+        ivp = np.stack([np.argsort(vperm[t]) for t in sel]).astype(np.int32)
+        ivs = np.stack([vsign[t][ivp[i]] for i, t in enumerate(sel)])
+        xs = {"cp": cp, "cs": cs, "inv": jnp.asarray(ivp),
+              "inv_sign": jnp.asarray(ivs)}
+
+    def fwd(ctx, mel):
+        out_sd = jax.eval_shape(lambda m: apply_fn(ctx, m), mel)
+        acc0 = jnp.zeros(out_sd.shape, jnp.float32)
+
+        def body(acc, row):
+            feats = jnp.take_along_axis(
+                mel, row["cp"][None, None, :, None], axis=2
+            ) * row["cs"][None, None, :, None]
+            out = apply_fn(ctx, feats).astype(jnp.float32)
+            if kind == "grid":
+                probs = jax.nn.softmax(out, axis=2)  # class axis, (B,T,M,G)
+                back = jnp.take_along_axis(
+                    probs, row["inv"][None, None, None, :], axis=3
+                )
+            else:
+                back = jnp.take_along_axis(
+                    out, row["inv"][None, None, None, :], axis=3
+                ) * row["inv_sign"][None, None, None, :]
+            return acc + back, None
+
+        acc, _ = jax.lax.scan(body, acc0, xs)
+        return acc / float(len(sel))
+
+    return fwd
