@@ -372,6 +372,22 @@ def cmd_migrate_ckpt(cfg: Config, args, logger):
     return 0
 
 
+def cmd_average_ckpts(cfg: Config, args, logger):
+    from seld_tpu.tools.average_ckpt import average_checkpoints
+
+    steps = None
+    if args.steps:
+        steps = [int(s) for s in args.steps.split(",") if s.strip()]
+    summary = average_checkpoints(
+        args.checkpoint_dir, args.output_dir, last=args.last, steps=steps
+    )
+    logger.info(
+        "SWA checkpoint written: %s (averaged epochs %s, %s params)",
+        args.output_dir, summary["steps"], f"{summary['n_params']:,}",
+    )
+    return 0
+
+
 def cmd_info(cfg: Config, args, logger):
     from seld_tpu.config import config_to_dict
 
@@ -539,6 +555,23 @@ def main(argv=None) -> int:
     p_mig.add_argument("--output-dir", required=True,
                        help="destination for the migrated checkpoint tree")
     p_mig.set_defaults(fn=cmd_migrate_ckpt)
+
+    p_avg = sub.add_parser(
+        "average-ckpts", parents=[common],
+        help="stochastic weight averaging: average rolling checkpoints "
+        "into a fresh best checkpoint (serving artifact)",
+    )
+    p_avg.add_argument("--checkpoint-dir", required=True,
+                       help="source run's checkpoint tree (with rolling/)")
+    p_avg.add_argument("--output-dir", required=True,
+                       help="destination tree; the average lands in best/")
+    p_avg.add_argument("--last", type=int, default=None,
+                       help="average the newest N rolling checkpoints "
+                       "(default: all retained)")
+    p_avg.add_argument("--steps", default=None,
+                       help="explicit comma-separated epoch list (wins "
+                       "over --last)")
+    p_avg.set_defaults(fn=cmd_average_ckpts)
 
     p_info = sub.add_parser("info", parents=[common])
     p_info.set_defaults(fn=cmd_info)
