@@ -16,24 +16,64 @@ from seld_tpu.data.audio import write_wav
 from seld_tpu.data.corpus import WindowedCorpus, build_corpus
 
 
-def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4):
-    """A clip of mixed tones + noise, and random event metadata rows."""
+def foa_gains(az_deg: float, el_deg: float) -> np.ndarray:
+    """SN3D first-order ambisonic panning gains in STARSS22's ACN channel
+    order (W, Y, Z, X) for a plane wave from (az, el) degrees — the same
+    convention the mel_iv intensity vectors decode
+    (features/spatial.py) and the ACS transforms permute
+    (features/acs.py)."""
+    az, el = np.deg2rad(az_deg), np.deg2rad(el_deg)
+    return np.asarray(
+        [1.0, np.sin(az) * np.cos(el), np.sin(el), np.cos(az) * np.cos(el)],
+        np.float32,
+    )
+
+
+def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4,
+                   doa_step_deg: int | None = None):
+    """A clip of FOA-panned tones + noise, and matching metadata rows.
+
+    Events are genuinely spatialized: each source signal is panned onto
+    the 4 channels with the SN3D gains for its labeled (az, el), so the
+    DOA labels are recoverable from the audio (via the mel_iv intensity
+    vectors) and localization is learnable — unlike random channel gains,
+    under which any model collapses to background-everywhere. Each class
+    gets a distinct fundamental so detection is learnable across files.
+    Non-FOA channel counts fall back to random gains (shape-only data).
+
+    doa_step_deg: if set, az/el are drawn from multiples of this step
+    (el limited to [-60, 60]) instead of uniformly — directions then
+    repeat across events, making localization learnable at fixture
+    scale (648 cells vs a few hundred events otherwise). Multiples of
+    45/90 are closed under the 16 ACS transforms.
+    """
     n = int(seconds * sample_rate)
     t = np.arange(n) / sample_rate
     wave = 0.01 * rng.standard_normal((n_channels, n)).astype(np.float32)
     n_events = rng.integers(2, 8)
     rows = []
     for _ in range(n_events):
-        f0 = rng.uniform(200, 4000)
+        cls = int(rng.integers(0, 13))
+        # class-keyed fundamental (+ slight jitter): detection is learnable
+        f0 = 220.0 * (2.0 ** (cls / 3.0)) * rng.uniform(0.98, 1.02)
         start_s = rng.uniform(0, max(seconds - 1.0, 0.1))
         dur_s = rng.uniform(0.3, 1.5)
-        cls = int(rng.integers(0, 13))
         src = int(rng.integers(0, 3))
-        az = int(rng.integers(-180, 180))
-        el = int(rng.integers(-90, 91))
+        if doa_step_deg is not None:
+            step = int(doa_step_deg)
+            az = int(rng.choice(np.arange(-180, 180, step)))
+            el = int(rng.choice(np.arange(-60, 61, step)))
+        else:
+            az = int(rng.integers(-180, 180))
+            el = int(rng.integers(-90, 91))
         s0, s1 = int(start_s * sample_rate), min(int((start_s + dur_s) * sample_rate), n)
-        tone = 0.1 * np.sin(2 * np.pi * f0 * t[s0:s1]).astype(np.float32)
-        wave[:, s0:s1] += tone * rng.uniform(0.3, 1.0, (n_channels, 1)).astype(np.float32)
+        tone = 0.3 * np.sin(2 * np.pi * f0 * t[s0:s1]).astype(np.float32)
+        tone += 0.1 * np.sin(2 * np.pi * 2 * f0 * t[s0:s1]).astype(np.float32)
+        if n_channels == 4:
+            gains = foa_gains(az, el)[:, None]
+        else:
+            gains = rng.uniform(0.3, 1.0, (n_channels, 1)).astype(np.float32)
+        wave[:, s0:s1] += tone * gains
         # metadata rows at 100 ms cadence over the active span
         for meta_frame in range(int(start_s * 10), int((start_s + dur_s) * 10)):
             rows.append((meta_frame, cls, src, az, el))
@@ -43,14 +83,15 @@ def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4):
 
 def synthetic_corpus(
     cfg: Config, n_files: int = 2, seconds: float = 12.0, seed: int = 0,
-    train: bool = True,
+    train: bool = True, doa_step_deg: int | None = None,
 ) -> WindowedCorpus:
     """Build a WindowedCorpus directly from in-memory synthetic clips."""
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
         audio_files, meta_files = synthetic_raw_files(
-            Path(td), cfg, n_files=n_files, seconds=seconds, seed=seed
+            Path(td), cfg, n_files=n_files, seconds=seconds, seed=seed,
+            doa_step_deg=doa_step_deg,
         )
         return build_corpus(
             audio_files, meta_files, cfg.features, cfg.grid, cfg.window,
@@ -60,14 +101,15 @@ def synthetic_corpus(
 
 def synthetic_raw_files(
     root: Path, cfg: Config, n_files: int = 2, seconds: float = 12.0, seed: int = 0,
-    split_dirs: bool = False,
+    split_dirs: bool = False, doa_step_deg: int | None = None,
 ):
     """Write synthetic (wav, csv) pairs to disk; with split_dirs=True,
     lay out the STARSS22 directory structure for discovery tests."""
     rng = np.random.default_rng(seed)
     audio_files, meta_files = [], []
     for i in range(n_files):
-        wave, rows = synthetic_clip(rng, seconds, cfg.features.sample_rate)
+        wave, rows = synthetic_clip(rng, seconds, cfg.features.sample_rate,
+                                    doa_step_deg=doa_step_deg)
         if split_dirs:
             sub = "dev-train-sony" if i % 2 == 0 else "dev-train-tau"
             apath = root / cfg.data.audio_dirname / sub / f"fold3_room1_mix{i:03d}.wav"
