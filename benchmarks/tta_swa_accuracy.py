@@ -1,0 +1,137 @@
+"""Accuracy study: ACS-training x TTA x SWA on synthetic FOA data.
+
+Companion to int8_accuracy.py: trains a small CRNN twice (with and
+without ACS training augmentation) on the synthetic STARSS22-format
+corpus (mel_iv features so TTA is valid), then compares eval metrics
+across the serving-quality levers this framework adds over the
+reference — ACS test-time augmentation (seld_tpu/tta.py) and
+rolling-checkpoint SWA (tools/average_ckpt.py). TTA averages the model
+over the 16-transform ACS group, so it helps only a model trained to be
+approximately equivariant (ACS augmentation on); the no-ACS rows pin
+the documented failure mode. The study's purpose is end-to-end
+evidence the levers behave as designed (not a STARSS22 accuracy claim —
+that needs the real corpus).
+
+The synthetic scenes are FOA-panned (data/synthetic.py encodes each
+event's labeled (az, el) into the channel gains with the SN3D
+convention the mel_iv intensity vectors decode), so localization is
+genuinely learnable and the DCASE metrics are meaningful; the 3-term
+loss (MSE+AIUR+CL) matches the chip burn-in config (plain MSE can
+still collapse to background on sparse scenes).
+
+Runs on CPU (forced) — small model, minutes. Writes
+benchmarks/results/tta_swa_accuracy.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+RESULTS = REPO / "benchmarks" / "results"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def pick(metrics: dict) -> dict:
+    d22 = metrics["dcase2022"]
+    return {
+        "test_loss": round(float(metrics["test_loss"]), 6),
+        "overall_accuracy": round(float(metrics["overall_accuracy"]), 3),
+        "non_bg_accuracy": round(float(metrics["non_bg_accuracy"]), 3),
+        "ER": round(float(d22["ER"]), 4),
+        "F_macro": round(float(d22["F_macro"]), 4),
+        "LE_macro": round(float(d22["LE_macro"]), 2),
+        "LR_macro": round(float(d22["LR_macro"]), 4),
+        "SELD_error": round(float(d22["SELD_error"]), 4),
+    }
+
+
+def main():
+    RESULTS.mkdir(exist_ok=True)
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+    from seld_tpu.tools.average_ckpt import average_checkpoints
+    from seld_tpu.train import train_model
+
+    tmp = Path(tempfile.mkdtemp(prefix="tta_swa_"))
+    cfg = parse_overrides(Config(), [
+        "features.feature_set=mel_iv",
+        "model.model_type=crnn",
+        "model.crnn_cnn_channels=16,32",
+        "model.crnn_rnn_hidden=64",
+        "model.crnn_rnn_layers=1",
+        "model.compute_dtype=float32",
+        "window.window_seconds=2.0",
+        "window.hop_seconds=1.0",
+        "train.batch_size=8",
+        "train.num_epochs=60",
+        "train.save_every_n_epochs=1",
+        "train.keep_last_n_checkpoints=5",
+        "train.patience=60",
+        # weighted CE (the modular reference's recipe): point-target MSE
+        # is unlearnable on sparse scenes (1 active cell in 648 —
+        # overfit-probe: tp=0 even on one batch), which is why the
+        # reference pairs MSE with Gaussian label regions. CE with the
+        # 0.05 background weight fits the same probe perfectly.
+        "loss.loss_type=ce",
+        f"data.base_path={tmp}",
+    ])
+    # doa_step_deg=45: directions repeat across events (24 cells, closed
+    # under the 16 ACS transforms) so fixture-scale localization is
+    # learnable; see synthetic_clip's docstring.
+    train_c = synthetic_corpus(cfg, n_files=6, seconds=30.0, seed=0,
+                               doa_step_deg=45)
+    test_c = synthetic_corpus(cfg, n_files=2, seconds=30.0, seed=100,
+                              train=False, doa_step_deg=45)
+    log(f"corpus: {len(train_c)} train / {len(test_c)} test windows")
+
+    # Two trainings: TTA averages the model over the ACS transform group,
+    # so it only helps a model that is approximately equivariant — i.e.
+    # one TRAINED with ACS augmentation. The no-ACS rows document the
+    # failure mode (transform views produce noise; averaging suppresses
+    # everything toward background).
+    cfg_acs = parse_overrides(cfg, ["train.acs_augment=true"])
+    train_model(cfg, train_c, test_c, workdir=tmp / "ckpt")
+    train_model(cfg_acs, train_c, test_c, workdir=tmp / "ckpt_acs")
+
+    swa_dir = tmp / "swa_acs"
+    swa = average_checkpoints(tmp / "ckpt_acs", swa_dir, last=5)
+    log(f"SWA over epochs {swa['steps']}")
+
+    results = {}
+    for name, (ckpt, tta) in {
+        "plain": (tmp / "ckpt", None),
+        "plain_tta16": (tmp / "ckpt", tuple(range(16))),
+        "acs": (tmp / "ckpt_acs", None),
+        "acs_tta16": (tmp / "ckpt_acs", tuple(range(16))),
+        "acs_swa": (swa_dir, None),
+        "acs_swa_tta16": (swa_dir, tuple(range(16))),
+    }.items():
+        m = evaluate_model(cfg, test_c, ckpt, save_visualizations=False,
+                           tta_transforms=tta)
+        results[name] = pick(m)
+        log(name, json.dumps(results[name]))
+        print(json.dumps({name: results[name]}), flush=True)
+
+    results["swa_sources"] = swa["steps"]
+    (RESULTS / "tta_swa_accuracy.json").write_text(
+        json.dumps(results, indent=2) + "\n"
+    )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
