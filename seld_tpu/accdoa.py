@@ -368,6 +368,55 @@ def decode_multi_accdoa_to_grid_jnp(
     return jnp.where(best > 0, best - 1, num_classes - 1).astype(jnp.int8)
 
 
+def multi_accdoa_class_activity_jnp(
+    vectors,
+    n_el: int = 18,
+    n_az: int = 36,
+    activity_threshold: float = 0.5,
+):
+    """Jit-friendly (..., N, C_events, 3) -> (..., C_events, G) f32 in
+    {0, 1}: per-class cell activity (1 where some active track of that
+    class decodes into the cell). The track axis is reduced away (max),
+    which is exactly what makes this representation averageable across
+    ACS test-time-augmentation views — track ORDER is arbitrary per
+    forward pass, but the set of (class, cell) activations is not
+    (seld_tpu/tta.py kind="multi_accdoa")."""
+    n, c = vectors.shape[-3], vectors.shape[-2]
+    vectors32 = vectors.astype(jnp.float32)
+    norm = jnp.linalg.norm(vectors32, axis=-1)  # (..., N, C)
+    active = norm > activity_threshold
+    az = jnp.rad2deg(jnp.arctan2(vectors32[..., 1], vectors32[..., 0]))
+    el = jnp.rad2deg(
+        jnp.arcsin(jnp.clip(vectors32[..., 2] / jnp.maximum(norm, 1e-9), -1, 1))
+    )
+    i, j = polar_to_grid(az, el, n_el, n_az, xp=jnp)
+    cells = cell_index(i, j, n_az)  # (..., N, C)
+    onehot = jax.nn.one_hot(cells, n_el * n_az, dtype=jnp.float32)
+    painted = onehot * active[..., None]  # (..., N, C, G)
+    return jnp.max(painted, axis=-3)  # (..., C, G)
+
+
+def decode_vote_grid_jnp(
+    votes,
+    num_classes: int = 14,
+    min_vote: float = 0.5,
+):
+    """(..., C_events, G) per-class cell votes in [0, 1] -> (..., G) int8
+    argmax-style class grid: a cell is active iff its best class reaches
+    `min_vote` (majority across TTA views, ties counting as majority);
+    among tied classes the HIGHEST class index wins — the same
+    tie-break as decode_multi_accdoa_to_grid_jnp, so identity-only TTA
+    reproduces the plain decode bit-for-bit."""
+    votes = votes.astype(jnp.float32)
+    c = votes.shape[-2]
+    rev = votes[..., ::-1, :]  # argmax picks the FIRST max -> highest class
+    winner = (c - 1) - jnp.argmax(rev, axis=-2)  # (..., G)
+    best = jnp.max(votes, axis=-2)
+    return jnp.where(
+        best >= min_vote, winner, num_classes - 1
+    ).astype(jnp.int8)
+
+
 def decode_multi_accdoa_to_grid(
     vectors: np.ndarray,
     n_el: int = 18,

@@ -105,15 +105,16 @@ def evaluate_model(
         from seld_tpu.tta import make_tta_forward
 
         if cfg.model.model_type in _MULTI:
-            raise ValueError(
-                "TTA does not support multi-ACCDOA models: track order "
-                "is permutation-ambiguous per forward pass"
-            )
+            tta_kind = "multi_accdoa"  # decoded-space vote averaging
+        elif accdoa_mode:
+            tta_kind = "accdoa"
+        else:
+            tta_kind = "grid"
         tta_fwd = make_tta_forward(
             lambda st, m: model.apply(st.variables(), m, train=False),
             cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set,
             transforms=tta_transforms,
-            kind="accdoa" if accdoa_mode else "grid",
+            kind=tta_kind,
         )
         log.info("Eval TTA enabled (%d transforms)", len(tta_transforms))
     if accdoa_mode:
@@ -130,9 +131,22 @@ def evaluate_model(
         )
         multi = cfg.model.model_type in MULTI_ACCDOA_MODELS
         acc_loss_fn = ADPITLossFn() if multi else ACCDOALossFn()
-        decode = (
-            decode_multi_accdoa_to_grid_jnp if multi else decode_accdoa_to_grid_jnp
+        # plain_decode consumes raw model vectors (the viz second pass
+        # re-runs the PLAIN forward — same convention as grid TTA, which
+        # also visualizes untransformed logits); `decode` consumes
+        # whatever infer_step's dec_in is: raw vectors normally, the
+        # (B, T, C, G) vote map under multi-ACCDOA TTA.
+        plain_decode = (
+            decode_multi_accdoa_to_grid_jnp if multi
+            else decode_accdoa_to_grid_jnp
         )
+        if multi and tta_fwd is not None:
+            from seld_tpu.accdoa import decode_vote_grid_jnp
+
+            def decode(dec_in, n_el, n_az, num_classes):
+                return decode_vote_grid_jnp(dec_in, num_classes)
+        else:
+            decode = plain_decode
 
         @jax.jit
         def infer_step(state, mel, label_mask, acc_targets, example_mask):
@@ -279,8 +293,8 @@ def evaluate_model(
             )
         if accdoa_mode:
             cls_sel = np.asarray(
-                decode(jnp.asarray(out_sel), cfg.grid.n_el, cfg.grid.n_az,
-                       num_classes)
+                plain_decode(jnp.asarray(out_sel), cfg.grid.n_el,
+                             cfg.grid.n_az, num_classes)
             )  # (N, T, G) int8
             # render as class-major one-hot (N, T, M, G) for the viz
             logits_sel = np.moveaxis(

@@ -250,9 +250,10 @@ class SELDPredictor:
         Composes with quantize() in either call order and with streaming
         (`--stream` reuses these forwards, so stream==offline bit-equality
         holds under TTA too). Requires feature_set='mel_iv' (same validity
-        rule as training-time ACS); multi-ACCDOA is rejected — its track
-        order is arbitrary per forward pass, so cross-transform averaging
-        would mix unrelated tracks."""
+        rule as training-time ACS). Multi-ACCDOA averages in DECODED
+        space (per-class cell-activity votes, majority-thresholded —
+        seld_tpu.tta kind="multi_accdoa") because its raw track outputs
+        are permutation-ambiguous per forward pass."""
         if self.model is None:
             raise ValueError(
                 "artifact-backed predictors cannot enable TTA: the "
@@ -260,19 +261,17 @@ class SELDPredictor:
                 "checkpoint-backed predictor"
             )
         from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
-
-        if self.cfg.model.model_type in MULTI_ACCDOA_MODELS:
-            raise ValueError(
-                "TTA does not support multi-ACCDOA models: track order "
-                "is permutation-ambiguous per forward pass, so averaging "
-                "across transforms would mix unrelated tracks"
-            )
         from seld_tpu.tta import make_tta_forward, validate_transforms
 
         sel = validate_transforms(transforms)
         cfg = self.cfg
         grid_cfg = cfg.grid
-        kind = "accdoa" if self.accdoa_mode else "grid"
+        if cfg.model.model_type in MULTI_ACCDOA_MODELS:
+            kind = "multi_accdoa"
+        elif self.accdoa_mode:
+            kind = "accdoa"
+        else:
+            kind = "grid"
         tta_fwd = make_tta_forward(
             lambda ctx, mel: self._raw_apply(ctx[0], ctx[1], mel),
             grid_cfg.n_el, grid_cfg.n_az, cfg.features.feature_set,
@@ -282,6 +281,10 @@ class SELDPredictor:
         @jax.jit
         def forward_tta(qtree, state, mel):  # -> (B, win, G) int8
             avg = tta_fwd((qtree, state), mel)
+            if kind == "multi_accdoa":
+                from seld_tpu.accdoa import decode_vote_grid_jnp
+
+                return decode_vote_grid_jnp(avg, grid_cfg.num_classes)
             if kind == "accdoa":
                 from seld_tpu.accdoa import decode_accdoa_to_grid_jnp
 

@@ -21,8 +21,13 @@ Supported output families:
     signed permutation of (x, y, z)) and averaged; the averaged norm
     still thresholds as activity (transform disagreement shortens the
     vector, a natural confidence discount);
-  * multi-ACCDOA/ADPIT is REJECTED: track order is arbitrary per forward
-    pass, so cross-transform averaging would mix unrelated tracks.
+  * multi-ACCDOA/ADPIT — raw outputs CANNOT be averaged (track order is
+    arbitrary per forward pass, so vector averaging would mix unrelated
+    tracks); instead each view is DECODED to its per-class cell-activity
+    grid (the track axis reduces away), inverse-permuted, and the {0,1}
+    activity maps are averaged into per-cell VOTES, thresholded by
+    majority (accdoa.decode_vote_grid_jnp). Identity-only TTA reproduces
+    the plain decode bit-for-bit.
 
 Feature-set validity is inherited from acs_tables: only "mel_iv" carries
 the signed spatial information the transforms act on; plain "mel" / GCC
@@ -60,7 +65,8 @@ def validate_transforms(transforms) -> tuple:
 
 
 def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
-                     transforms=None, kind: str = "grid"):
+                     transforms=None, kind: str = "grid",
+                     activity_threshold: float = 0.5):
     """Build the TTA-averaged forward.
 
     apply_fn(ctx, mel) -> model output for one feature batch
@@ -68,19 +74,25 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
     (train state, quant tree, ...). Returns fwd(ctx, mel) -> f32 average
     over `transforms` in ORIGINAL scene coordinates:
 
-      kind="grid":   (B, T, M, G) mean softmax probabilities
-      kind="accdoa": (B, T, C_ev, 3) mean inverse-rotated vectors
+      kind="grid":         (B, T, M, G) mean softmax probabilities
+      kind="accdoa":       (B, T, C_ev, 3) mean inverse-rotated vectors
+      kind="multi_accdoa": (B, T, C_ev, G) mean per-class cell VOTES —
+        each view is decoded to its {0,1} class-activity grid
+        (track axis reduced away, sidestepping the track-permutation
+        ambiguity that makes raw multi-ACCDOA outputs unaverageable),
+        inverse-permuted, and averaged; threshold with
+        seld_tpu.accdoa.decode_vote_grid_jnp (majority vote).
     """
     import jax
     import jax.numpy as jnp
 
-    if kind not in ("grid", "accdoa"):
+    if kind not in ("grid", "accdoa", "multi_accdoa"):
         raise ValueError(f"unknown TTA kind {kind!r}")
     sel = validate_transforms(transforms)
     cell_gather, ch_perm, ch_sign = acs_tables(n_el, n_az, feature_set)
     cp = jnp.asarray(ch_perm[list(sel)])
     cs = jnp.asarray(ch_sign[list(sel)])
-    if kind == "grid":
+    if kind in ("grid", "multi_accdoa"):
         # cell_gather maps labels forward (new[c] = old[cg[c]]); model
         # output on transformed features lives in "new" coordinates, so
         # original[g] = output[argsort(cg)[g]].
@@ -99,7 +111,12 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
 
     def fwd(ctx, mel):
         out_sd = jax.eval_shape(lambda m: apply_fn(ctx, m), mel)
-        acc0 = jnp.zeros(out_sd.shape, jnp.float32)
+        if kind == "multi_accdoa":
+            # (B, T, N, C, 3) model output -> (B, T, C, G) vote maps
+            b, t, _, c_ev, _ = out_sd.shape
+            acc0 = jnp.zeros((b, t, c_ev, n_el * n_az), jnp.float32)
+        else:
+            acc0 = jnp.zeros(out_sd.shape, jnp.float32)
 
         def body(acc, row):
             feats = jnp.take_along_axis(
@@ -110,6 +127,15 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
                 probs = jax.nn.softmax(out, axis=2)  # class axis, (B,T,M,G)
                 back = jnp.take_along_axis(
                     probs, row["inv"][None, None, None, :], axis=3
+                )
+            elif kind == "multi_accdoa":
+                from seld_tpu.accdoa import multi_accdoa_class_activity_jnp
+
+                activity = multi_accdoa_class_activity_jnp(
+                    out, n_el, n_az, activity_threshold
+                )  # (B, T, C, G) in {0, 1}, transformed coordinates
+                back = jnp.take_along_axis(
+                    activity, row["inv"][None, None, None, :], axis=3
                 )
             else:
                 back = jnp.take_along_axis(

@@ -7,8 +7,11 @@ Contracts:
     label-transform of the TTA prediction of the original scene (the
     classic result that group averaging makes ANY predictor equivariant
     — summands are bit-identical, only the sum order differs);
-  * single-ACCDOA vectors back-rotate exactly; multi-ACCDOA and plain
-    "mel" features are rejected with named errors;
+  * single-ACCDOA vectors back-rotate exactly; plain "mel" features are
+    rejected with a named error;
+  * multi-ACCDOA averages in DECODED space (per-class cell-activity
+    votes): identity TTA reproduces the plain decode bit-for-bit and
+    the full-group vote map is BITWISE equivariant;
   * streaming keeps its offline bit-equality under TTA.
 """
 
@@ -181,13 +184,115 @@ def test_rejections(grid_ckpt, tmp_path):
     train_model(cfg_mel, tr, te, workdir=tmp_path / "ckpt_mel")
     with pytest.raises(ValueError, match="mel_iv"):
         SELDPredictor(tmp_path / "ckpt_mel").tta()
-    # multi-ACCDOA: track-permutation ambiguity
-    pred = SELDPredictor(ckpt)
-    pred.cfg = pred.cfg.replace_path(
-        "model.model_type", "multi_accdoa_conformer"
+
+
+def _tiny_multi_accdoa_model():
+    import jax
+
+    from seld_tpu.models import build_model, init_variables
+
+    cfg = parse_overrides(Config(), [
+        "model.model_type=multi_accdoa_conformer", "model.conf_d_model=32",
+        "model.conf_n_heads=4", "model.conf_n_layers=1",
+        "model.crnn_cnn_channels=8,16", "model.compute_dtype=float32",
+        "features.feature_set=mel_iv", "model.n_channels=4",
+    ])
+    model = build_model(cfg.model, cfg.grid)
+    rng = np.random.default_rng(3)
+    import jax.numpy as jnp
+
+    mel = jnp.asarray(rng.standard_normal((2, 6, 7, 64)), jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(0), mel)
+    return cfg, model, variables, mel
+
+
+def test_multi_accdoa_identity_tta_matches_plain_decode():
+    """kind='multi_accdoa': identity-only TTA votes, majority-decoded,
+    reproduce decode_multi_accdoa_to_grid_jnp bit-for-bit (same
+    highest-class tie-break)."""
+    import jax
+
+    from seld_tpu.accdoa import (
+        decode_multi_accdoa_to_grid_jnp,
+        decode_vote_grid_jnp,
     )
-    with pytest.raises(ValueError, match="multi-ACCDOA"):
-        pred.tta()
+
+    cfg, model, variables, mel = _tiny_multi_accdoa_model()
+    out = model.apply(variables, mel, train=False)  # (2, 6, 3, 13, 3)
+    assert out.ndim == 5
+    plain = np.asarray(decode_multi_accdoa_to_grid_jnp(
+        out, cfg.grid.n_el, cfg.grid.n_az, cfg.grid.num_classes
+    ))
+    fwd = jax.jit(make_tta_forward(
+        lambda v, m: model.apply(v, m, train=False),
+        cfg.grid.n_el, cfg.grid.n_az, "mel_iv",
+        transforms=(0,), kind="multi_accdoa",
+    ))
+    votes = fwd(variables, mel)  # (2, 6, 13, G)
+    dec = np.asarray(decode_vote_grid_jnp(votes, cfg.grid.num_classes))
+    np.testing.assert_array_equal(dec, plain)
+
+
+def test_multi_accdoa_vote_tta_exactly_equivariant():
+    """Full-group vote maps are BITWISE equivariant: votes are sums of
+    {0,1} activity maps (exact in f32 regardless of order), and by group
+    closure the transformed scene evaluates the same 16 views."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, model, variables, mel = _tiny_multi_accdoa_model()
+    fwd = jax.jit(make_tta_forward(
+        lambda v, m: model.apply(v, m, train=False),
+        cfg.grid.n_el, cfg.grid.n_az, "mel_iv", kind="multi_accdoa",
+    ))
+    votes = np.asarray(fwd(variables, mel))  # (2, 6, 13, G)
+    cg, ch_perm, ch_sign = acs_tables(cfg.grid.n_el, cfg.grid.n_az, "mel_iv")
+    for s in (3, 6, 12):
+        mel_s = jnp.take_along_axis(
+            mel, jnp.asarray(ch_perm[s])[None, None, :, None], axis=2
+        ) * jnp.asarray(ch_sign[s])[None, None, :, None]
+        votes_s = np.asarray(fwd(variables, mel_s))
+        np.testing.assert_array_equal(votes_s, votes[..., cg[s]])
+
+
+def test_multi_accdoa_predictor_tta_and_streaming(tmp_path):
+    """Predictor-level multi-ACCDOA TTA: enables without error, identity
+    TTA agrees with the plain prediction, and streaming keeps offline
+    bit-equality under a transform subset."""
+    from conftest import train_tiny_checkpoint
+    from seld_tpu.stream import stream_predict
+
+    mcfg, ckpt = train_tiny_checkpoint(tmp_path, extra_overrides=[
+        "model.model_type=multi_accdoa_conformer",
+        "model.conf_d_model=32",
+        "model.conf_n_layers=1",
+        "features.feature_set=mel_iv",
+        "targets.accdoa=true",
+        "targets.accdoa_tracks=3",
+    ])
+    rng = np.random.default_rng(5)
+    wave = (rng.standard_normal((4, 36_000)) * 0.2).astype(np.float32)
+
+    plain = SELDPredictor(ckpt, batch_windows=1).predict_waveform(wave)
+    p = SELDPredictor(ckpt, batch_windows=1).tta((0,))
+    ident = p.predict_waveform(wave)
+    assert (ident.classes == plain.classes).mean() > 0.99
+
+    p_sub = SELDPredictor(ckpt, batch_windows=1).tta((0, 5, 11))
+    offline = p_sub.predict_waveform(wave)
+    streamed = stream_predict(p_sub, [wave[:, :10_000], wave[:, 10_000:]])
+    np.testing.assert_array_equal(streamed.classes, offline.classes)
+
+    # eval path: multi-ACCDOA TTA wires through decode_vote_grid_jnp;
+    # visualizations ON — the viz second pass must use the PLAIN decoder
+    # on raw vectors (regression: it once received the vote decoder)
+    from seld_tpu.eval import evaluate_model
+
+    test_c = synthetic_corpus(mcfg, n_files=1, seconds=3.0, seed=9,
+                              train=False)
+    m = evaluate_model(mcfg, test_c, ckpt, save_visualizations=True,
+                       tta_transforms=(0, 5))
+    assert np.isfinite(m["test_loss"])
 
 
 def test_stream_bit_equality_under_tta(grid_ckpt):
