@@ -11,12 +11,15 @@ compares on held-out data:
 
 Reports per-cell argmax agreement with each variant's own float
 reference, plus non-background frame F1 vs ground truth for every
-variant. READ THE NUMBERS RIGHT: random synthetic scenes have no
-learnable cross-file structure, so held-out F1 is near-chance for
-EVERY variant — the meaningful column is the agreement (how many cell
-decisions quantization changes) and that F1 is IDENTICAL across
-float/PTQ/weight-only. The real accuracy gate needs STARSS22; this
-exercises the full QAT->PTQ pipeline end to end.
+variant. Scenes are FOA-panned with 45-deg-quantized DOAs
+(data/synthetic.py), so localization is learnable and held-out F1 is a
+real (if fixture-scale) accuracy signal. Measured result (committed
+JSON): on the float-trained model PTQ costs ~10% relative F1
+(marginal decisions flip) while argmax agreement stays >99.99%; on the
+QAT-trained model PTQ F1 >= the float F1 — QAT fully recovers the
+quantized accuracy, the textbook pattern. The corpus-scale accuracy
+gate still needs STARSS22; this exercises the full QAT->PTQ pipeline
+end to end.
 
 Writes benchmarks/results/int8_accuracy.json.
 """
@@ -66,17 +69,22 @@ def main():
         "window.window_seconds=2.0",
         "window.hop_seconds=1.0",
         "train.batch_size=8",
-        "train.num_epochs=12",
-        "train.save_every_n_epochs=12",
-        # 3-term loss: plain MSE collapses to all-background on sparse
-        # synthetic scenes; AIUR+CL push activity (what the chip burn-in
-        # trains with)
-        "loss.use_aiur=true",
-        "loss.use_cl=true",
+        "train.num_epochs=30",
+        "train.save_every_n_epochs=30",
+        "train.patience=30",
+        # weighted CE (the modular reference's recipe): point-target MSE
+        # is unlearnable on sparse scenes (1 active cell in 648), so CE
+        # is what makes the F1 columns meaningful here.
+        "loss.loss_type=ce",
     ]
     cfg = parse_overrides(Config(), base_over)
-    train_c = synthetic_corpus(cfg, n_files=3, seconds=12.0, seed=0)
-    test_c = synthetic_corpus(cfg, n_files=2, seconds=8.0, seed=1)
+    # FOA-panned clips at 45-deg-quantized DOAs: localization is
+    # genuinely learnable (see data/synthetic.py), so held-out F1 is a
+    # real accuracy signal now, not near-chance.
+    train_c = synthetic_corpus(cfg, n_files=4, seconds=20.0, seed=0,
+                               doa_step_deg=45)
+    test_c = synthetic_corpus(cfg, n_files=2, seconds=12.0, seed=1,
+                              doa_step_deg=45)
 
     def heldout_batches(corpus, n=2):
         out = []
