@@ -15,9 +15,9 @@ that needs the real corpus).
 The synthetic scenes are FOA-panned (data/synthetic.py encodes each
 event's labeled (az, el) into the channel gains with the SN3D
 convention the mel_iv intensity vectors decode), so localization is
-genuinely learnable and the DCASE metrics are meaningful; the 3-term
-loss (MSE+AIUR+CL) matches the chip burn-in config (plain MSE can
-still collapse to background on sparse scenes).
+genuinely learnable and the DCASE metrics are meaningful. Training
+uses weighted CE (see the inline comment at the overrides for why
+point-target MSE cannot work here).
 
 Runs on CPU (forced) — small model, minutes. Writes
 benchmarks/results/tta_swa_accuracy.json.
@@ -66,7 +66,11 @@ def main():
     from seld_tpu.tools.average_ckpt import average_checkpoints
     from seld_tpu.train import train_model
 
+    import atexit
+    import shutil
+
     tmp = Path(tempfile.mkdtemp(prefix="tta_swa_"))
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = parse_overrides(Config(), [
         "features.feature_set=mel_iv",
         "model.model_type=crnn",

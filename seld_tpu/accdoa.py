@@ -346,26 +346,17 @@ def decode_multi_accdoa_to_grid_jnp(
 ):
     """Jit-friendly (..., N, C_events, 3) -> (..., G) int8 class grid:
     every active track paints its class, so same-class overlapping
-    sources land in multiple cells."""
-    n, c = vectors.shape[-3], vectors.shape[-2]
-    flat = vectors.reshape(*vectors.shape[:-3], n * c, 3)
-    vectors32 = flat.astype(jnp.float32)
-    norm = jnp.linalg.norm(vectors32, axis=-1)
-    active = norm > activity_threshold
-    az = jnp.rad2deg(jnp.arctan2(vectors32[..., 1], vectors32[..., 0]))
-    el = jnp.rad2deg(
-        jnp.arcsin(jnp.clip(vectors32[..., 2] / jnp.maximum(norm, 1e-9), -1, 1))
-    )
-    i, j = polar_to_grid(az, el, n_el, n_az, xp=jnp)
-    cells = cell_index(i, j, n_az)  # (..., N*C)
+    sources land in multiple cells; when different classes decode into
+    one cell the highest class index wins.
 
-    g = n_el * n_az
-    onehot = jax.nn.one_hot(cells, g, dtype=jnp.int32)  # (..., N*C, G)
-    cls_ids = jnp.tile(jnp.arange(c, dtype=jnp.int32), n)
-    cls_ids = cls_ids.reshape((1,) * (vectors32.ndim - 2) + (n * c, 1))
-    painted = onehot * active[..., None].astype(jnp.int32) * (cls_ids + 1)
-    best = jnp.max(painted, axis=-2)
-    return jnp.where(best > 0, best - 1, num_classes - 1).astype(jnp.int8)
+    Exactly decode_vote_grid_jnp over the {0, 1} class-activity map —
+    one shared implementation of the norm/angle/cell math
+    (multi_accdoa_class_activity_jnp) serves both the plain decode and
+    the TTA vote path (tests/test_tta.py pins their identity)."""
+    activity = multi_accdoa_class_activity_jnp(
+        vectors, n_el, n_az, activity_threshold
+    )
+    return decode_vote_grid_jnp(activity, num_classes)
 
 
 def multi_accdoa_class_activity_jnp(
@@ -381,7 +372,6 @@ def multi_accdoa_class_activity_jnp(
     ACS test-time-augmentation views — track ORDER is arbitrary per
     forward pass, but the set of (class, cell) activations is not
     (seld_tpu/tta.py kind="multi_accdoa")."""
-    n, c = vectors.shape[-3], vectors.shape[-2]
     vectors32 = vectors.astype(jnp.float32)
     norm = jnp.linalg.norm(vectors32, axis=-1)  # (..., N, C)
     active = norm > activity_threshold

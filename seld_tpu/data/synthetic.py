@@ -62,7 +62,10 @@ def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4,
         if doa_step_deg is not None:
             step = int(doa_step_deg)
             az = int(rng.choice(np.arange(-180, 180, step)))
-            el = int(rng.choice(np.arange(-60, 61, step)))
+            # step-aligned and symmetric around 0 so the set is closed
+            # under the ACS elevation flip (el -> -el)
+            el_max = (60 // step) * step
+            el = int(rng.choice(np.arange(-el_max, el_max + 1, step)))
         else:
             az = int(rng.integers(-180, 180))
             el = int(rng.integers(-90, 91))
@@ -77,6 +80,13 @@ def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4,
         # metadata rows at 100 ms cadence over the active span
         for meta_frame in range(int(start_s * 10), int((start_s + dur_s) * 10)):
             rows.append((meta_frame, cls, src, az, el))
+    # uniform rescale if overlapping events could clip the int16 wav
+    # write — clipping is per-sample nonlinear and would corrupt the
+    # SN3D channel RATIOS the intensity vectors decode; a uniform scale
+    # preserves them exactly
+    peak = float(np.max(np.abs(wave)))
+    if peak > 0.99:
+        wave *= np.float32(0.99 / peak)
     rows.sort()
     return wave, np.asarray(rows, dtype=np.int64).reshape(-1, 5)
 
