@@ -188,3 +188,57 @@ def test_device_prefetch_order_and_lookahead():
     assert list(gen) == [10, 20]
     # empty iterable
     assert list(device_prefetch([], place)) == []
+
+
+def test_foa_gains_iv_recovers_labeled_doa():
+    """The synthetic generator's SN3D panning must be decodable by the
+    mel_iv intensity vectors: a panned tone's IV points at the labeled
+    (az, el). Guards the FOA convention agreement between
+    data/synthetic.py, features/spatial.py, and features/acs.py."""
+    import jax.numpy as jnp
+
+    from seld_tpu.data.synthetic import foa_gains
+    from seld_tpu.features import frame_signal
+    from seld_tpu.features.spatial import foa_intensity_mel, stft_frames
+
+    sr, n_fft, hop, n_mels = 24000, 960, 480, 64
+    t = np.arange(sr) / sr
+    for az, el in [(0, 0), (90, 0), (-90, 30), (150, -45), (-135, 60)]:
+        s = np.sin(2 * np.pi * 800 * t).astype(np.float32)
+        wave = foa_gains(az, el)[:, None] * s[None]
+        spec = stft_frames(frame_signal(jnp.asarray(wave), n_fft, hop), n_fft)
+        iv = np.asarray(foa_intensity_mel(spec, n_mels, sr))  # (T, 3, M)
+        ivm = iv.mean(axis=0)  # (3, M)
+        band = np.argmax(np.abs(ivm).sum(axis=0))
+        x, y, z = ivm[:, band]
+        est_az = np.degrees(np.arctan2(y, x))
+        est_el = np.degrees(np.arctan2(z, np.hypot(x, y)))
+        assert abs(((est_az - az) + 180) % 360 - 180) < 1.0, (az, est_az)
+        assert abs(est_el - el) < 1.0, (el, est_el)
+
+
+def test_synthetic_doa_step_closure_and_no_clipping():
+    """doa_step_deg directions must be closed under the 16 ACS
+    transforms (the elevation flip in particular — regression: arange
+    (-60, 61, 45) was not), and panned clips must never clip the int16
+    write (overlap rescale is uniform, preserving channel ratios)."""
+    from seld_tpu.data.synthetic import synthetic_clip
+    from seld_tpu.features.acs import N_TRANSFORMS, transform_angles
+
+    rng = np.random.default_rng(0)
+    azs, els = set(), set()
+    for _ in range(30):
+        wave, rows = synthetic_clip(rng, 4.0, 24000, doa_step_deg=45)
+        assert float(np.max(np.abs(wave))) <= 0.99 + 1e-6
+        if len(rows):
+            azs.update(rows[:, 3].tolist())
+            els.update(rows[:, 4].tolist())
+    assert azs and els
+    assert all(a % 45 == 0 for a in azs)
+    assert all(e % 45 == 0 and -45 <= e <= 45 for e in els)
+    for t in range(N_TRANSFORMS):
+        for a in azs:
+            for e in els:
+                ta, te = transform_angles(a, e, t)
+                assert float(ta) % 45 == 0 and -180 <= float(ta) < 180
+                assert float(te) in {-45.0, 0.0, 45.0}
