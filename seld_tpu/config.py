@@ -286,6 +286,15 @@ class TrainConfig:
     # Checkpoints: best on test loss + rolling every N, keep last K
     # (ref: trainer.py:273-308, config.py:80-82)
     save_every_n_epochs: int = 5
+    # Best-checkpoint selection criterion. "loss" (reference parity:
+    # lowest test loss) or an official DCASE2022 validation metric
+    # computed every epoch from decoded prediction grids:
+    #   "seld_error" (lower is better), "er" (lower), "f_macro" (higher).
+    # Metric selection adds a device->host grid read-back per eval batch
+    # and records the per-epoch DCASE2022 summary in metrics.jsonl.
+    # Early stopping (train loss) and LR plateau (test loss) keep their
+    # reference semantics either way. Single-process runs only.
+    select_metric: str = "loss"
     keep_last_n_checkpoints: int = 3
     seed: int = 0
     # PRNG implementation for the training RNG stream (dropout masks).

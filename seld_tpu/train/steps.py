@@ -237,6 +237,48 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
     return jax.jit(step, donate_argnums=(0,) if donate else (), **kwargs)
 
 
+def make_metric_eval_step(model, loss_fn, num_classes: int,
+                          grid_decoder=None, target_decoder=None,
+                          mesh=None, time_sharded: bool = False):
+    """Eval step that additionally returns decoded class grids, for
+    validation-metric checkpoint selection (train.select_metric).
+
+    Returns step(state, mel, loss_targets, example_mask, label_mask)
+      -> (metrics, pred_cls int8 (B, T, G), true_cls int8 (B, T, G)).
+
+    ``loss_targets`` is whatever the loss consumes (the uint16 bitmasks
+    for grid losses — pass label_mask twice — or ACCDOA/ADPIT vectors);
+    ``label_mask`` is always the uint16 class bitmask, decoded on device
+    into the argmax ground-truth grid. ``grid_decoder`` maps the raw
+    model output to int8 class grids; the default is the class-major
+    argmax used by grid heads (ACCDOA callers pass their decoder)."""
+    from seld_tpu.losses.seld_loss import _bit_labels
+
+    bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
+    if target_decoder is None:
+        target_decoder = lambda m: decode_class_bitmask(
+            m, num_classes, class_major=True
+        )
+    if grid_decoder is None:
+        grid_decoder = lambda out: jnp.argmax(out, axis=2).astype(jnp.int8)
+
+    def step(state: TrainState, mel, loss_targets, example_mask, label_mask):
+        with attention_mesh(mesh, time_sharded=time_sharded):
+            out, _ = _apply(model, state, mel, train=False)
+        if bitmask_native:
+            total, breakdown = loss_fn.from_bitmask(
+                out, loss_targets, example_mask, mesh=mesh,
+            )
+        else:
+            total, breakdown = loss_fn(out, target_decoder(loss_targets),
+                                       example_mask)
+        pred_cls = grid_decoder(out)
+        true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)
+        return {"loss": total, **breakdown}, pred_cls, true_cls
+
+    return jax.jit(step)
+
+
 def make_eval_step(model, loss_fn: SELDLossFn, num_classes: int,
                    return_logits: bool = False, target_decoder=None,
                    mesh=None, time_sharded: bool = False):

@@ -328,6 +328,58 @@ def train_model(
         mesh=mesh, time_sharded=(mesh is not None and cfg.mesh.shard_time),
     )
 
+    # Validation-metric checkpoint selection (train.select_metric): the
+    # per-epoch eval pass additionally decodes prediction + ground-truth
+    # class grids on device, and the BEST checkpoint is chosen on an
+    # official DCASE2022 metric instead of the test loss (the criterion
+    # SELD practitioners actually tune for). Early stopping and LR
+    # plateau keep their reference semantics (train/test loss).
+    _SELECT_METRICS = {  # name -> (dcase2022_metrics key, sign: +1 lower-better)
+        "seld_error": ("SELD_error", 1.0),
+        "er": ("ER", 1.0),
+        "f_macro": ("F_macro", -1.0),
+    }
+    select = cfg.train.select_metric
+    metric_step = None
+    if select != "loss":
+        if select not in _SELECT_METRICS:
+            raise ValueError(
+                f"train.select_metric must be one of "
+                f"{['loss', *_SELECT_METRICS]}, got {select!r}"
+            )
+        if n_proc > 1:
+            raise ValueError(
+                "train.select_metric != 'loss' is single-process only "
+                "(per-epoch metric grids are gathered on the host)"
+            )
+        from seld_tpu.train.steps import make_metric_eval_step
+
+        grid_decoder = None
+        if accdoa_mode:
+            from seld_tpu.accdoa import (
+                decode_accdoa_to_grid_jnp,
+                decode_multi_accdoa_to_grid_jnp,
+            )
+            from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
+
+            _dec = (
+                decode_multi_accdoa_to_grid_jnp
+                if cfg.model.model_type in MULTI_ACCDOA_MODELS
+                else decode_accdoa_to_grid_jnp
+            )
+            grid_decoder = lambda out: _dec(
+                out, cfg.grid.n_el, cfg.grid.n_az, cfg.grid.num_classes
+            )
+        metric_step = make_metric_eval_step(
+            model, loss_fn, cfg.grid.num_classes, grid_decoder=grid_decoder,
+            target_decoder=target_decoder, mesh=mesh,
+            time_sharded=(mesh is not None and cfg.mesh.shard_time),
+        )
+        log.info(
+            "Best-checkpoint selection on DCASE2022 %s (computed every "
+            "epoch from decoded grids)", select,
+        )
+
     plateau = ReduceLROnPlateau(
         lr=cfg.train.learning_rate,
         factor=cfg.train.lr_decay_factor,
@@ -378,7 +430,22 @@ def train_model(
     )
     place_depth = cfg.data.prefetch_depth
 
+    def place_eval_batch(b):
+        """place_batch plus the uint16 label bitmask (metric selection
+        decodes ground-truth grids on device). For grid losses the loss
+        targets already ARE the bitmask — reuse the placed array."""
+        mel, targets, em = place_batch(b)
+        if not accdoa_mode:
+            return mel, targets, em, targets
+        lm = jnp.asarray(np.asarray(b.label_mask))
+        if mesh is not None:
+            lm = jax.device_put(lm, batch_sharding(mesh, lm.ndim))
+        return mel, targets, em, lm
+
     history = {"train_losses": [], "test_losses": [], "lr": []}
+    if metric_step is not None:
+        history["val_metric"] = []
+    best_select = float("inf")
     best_test = float("inf")
     epoch = start_epoch - 1
 
@@ -462,10 +529,29 @@ def train_model(
                 break
 
             eval_metrics = []
-            for mel, mask, em in device_prefetch(
-                test_iter, place_batch, depth=place_depth
-            ):
-                eval_metrics.append(eval_step(eval_state(), mel, mask, em))
+            val22 = None
+            if metric_step is None:
+                for mel, mask, em in device_prefetch(
+                    test_iter, place_batch, depth=place_depth
+                ):
+                    eval_metrics.append(eval_step(eval_state(), mel, mask, em))
+            else:
+                preds, trues = [], []
+                for mel, mask, em, lm in device_prefetch(
+                    test_iter, place_eval_batch, depth=place_depth
+                ):
+                    m, p, t = metric_step(eval_state(), mel, mask, em, lm)
+                    eval_metrics.append(m)
+                    nv = int(np.asarray(em).sum())  # valid rows (tail pad)
+                    preds.append(np.asarray(p)[:nv])
+                    trues.append(np.asarray(t)[:nv])
+                from seld_tpu.eval.metrics import dcase2022_metrics
+
+                val22 = dcase2022_metrics(
+                    np.concatenate(preds, axis=0),
+                    np.concatenate(trues, axis=0),
+                    cfg.grid.n_el, cfg.grid.n_az, cfg.grid.num_classes,
+                )
             test_avg = _epoch_mean(eval_metrics)
 
             if cosine is not None:
@@ -492,14 +578,21 @@ def train_model(
 
             # Machine-readable epoch record (observability beyond the
             # reference's text logs, SURVEY §5).
+            record = {
+                "epoch": epoch,
+                "seconds": round(time.time() - t0, 2),
+                "lr": new_lr,
+                "train": train_avg,
+                "test": test_avg,
+            }
+            if val22 is not None:
+                record["val_dcase2022"] = {
+                    k: float(val22[k])
+                    for k in ("ER", "F_macro", "LE_macro", "LR_macro",
+                              "SELD_error")
+                }
             with (workdir / "metrics.jsonl").open("a") as fh:
-                fh.write(json.dumps({
-                    "epoch": epoch,
-                    "seconds": round(time.time() - t0, 2),
-                    "lr": new_lr,
-                    "train": train_avg,
-                    "test": test_avg,
-                }) + "\n")
+                fh.write(json.dumps(record) + "\n")
 
             log.info(
                 "Epoch %d/%d - %.1fs | train %.6f | test %.6f | lr %.6f",
@@ -510,12 +603,32 @@ def train_model(
                 if k != "loss":
                     log.info("    %s: train %.6f test %.6f", k, train_avg[k], test_avg[k])
 
-            if test_avg["loss"] < best_test - cfg.train.min_delta:
-                best_test = test_avg["loss"]
-                ckpt.save_best(
-                    epoch, eval_state(), train_avg["loss"], test_avg["loss"]
+            if metric_step is None:
+                if test_avg["loss"] < best_test - cfg.train.min_delta:
+                    best_test = test_avg["loss"]
+                    ckpt.save_best(
+                        epoch, eval_state(), train_avg["loss"], test_avg["loss"]
+                    )
+                    log.info("  New best model saved (test loss %.6f)", best_test)
+            else:
+                key, sign = _SELECT_METRICS[select]
+                val = float(val22[key])
+                log.info(
+                    "  DCASE2022 val: ER %.3f F %.3f LE %.1f deg LR %.3f | "
+                    "SELD_error %.3f",
+                    val22["ER"], val22["F_macro"], val22["LE_macro"],
+                    val22["LR_macro"], val22["SELD_error"],
                 )
-                log.info("  New best model saved (test loss %.6f)", best_test)
+                history["val_metric"].append(val)
+                best_test = min(best_test, test_avg["loss"])
+                if sign * val < best_select:
+                    best_select = sign * val
+                    history["best_val_metric"] = val
+                    history["best_val_epoch"] = epoch
+                    ckpt.save_best(
+                        epoch, eval_state(), train_avg["loss"], test_avg["loss"]
+                    )
+                    log.info("  New best model saved (%s %.4f)", select, val)
 
             if epoch % cfg.train.save_every_n_epochs == 0:
                 ckpt.save_rolling(epoch, state, train_avg["loss"], test_avg["loss"])

@@ -524,3 +524,86 @@ def test_cosine_schedule_in_trainer(tmp_path):
     bad = parse_overrides(cfg, ["train.lr_schedule=linear"])
     with pytest.raises(ValueError, match="lr_schedule"):
         train_model(bad, train_c, test_c, workdir=tmp_path / "ckpt2")
+
+
+def test_select_metric_checkpoint_selection(tmp_path):
+    """train.select_metric=seld_error: best checkpoint chosen on the
+    per-epoch DCASE2022 validation metric, recorded in history and
+    metrics.jsonl."""
+    import json
+
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path, **{"train.select_metric": "seld_error"})
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0, train=True)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1, train=False)
+    state, history = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+
+    assert len(history["val_metric"]) == 2
+    assert all(np.isfinite(v) for v in history["val_metric"])
+    assert history["best_val_metric"] == min(history["val_metric"])
+    best_epoch = history["best_val_epoch"]
+    assert history["val_metric"][best_epoch - 1] == history["best_val_metric"]
+    assert (tmp_path / "ckpt" / "best").exists()
+
+    recs = [json.loads(l) for l in
+            (tmp_path / "ckpt" / "metrics.jsonl").read_text().splitlines()]
+    for rec in recs:
+        v = rec["val_dcase2022"]
+        assert {"ER", "F_macro", "LE_macro", "LR_macro", "SELD_error"} <= set(v)
+    # the recorded metric series matches history
+    assert [r["val_dcase2022"]["SELD_error"] for r in recs] == history["val_metric"]
+
+    # the saved best checkpoint is the one from best_val_epoch
+    from seld_tpu.train.checkpoint import CheckpointManager
+    from seld_tpu.train.state import create_train_state
+    ckpt = CheckpointManager(tmp_path / "ckpt", cfg)
+    import jax, jax.numpy as jnp
+    from seld_tpu.models import build_model
+    from seld_tpu.train.optimizer import make_optimizer
+    model = build_model(cfg.model, cfg.grid)
+    sample = jnp.zeros((2, train_c.window_frames, 4, cfg.model.n_mels), jnp.float32)
+    template = create_train_state(
+        model, make_optimizer(1e-3, 1e-4), jax.random.PRNGKey(0), sample)
+    _, meta = ckpt.restore_best(template)
+    ckpt.close()
+    assert meta["epoch"] == best_epoch
+
+
+def test_select_metric_rejects_unknown(tmp_path):
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path, **{"train.select_metric": "bogus"})
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    with pytest.raises(ValueError, match="select_metric"):
+        train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+
+
+def test_select_metric_accdoa(tmp_path):
+    """Metric selection works for ACCDOA models (decoded-grid metrics)."""
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.train import train_model
+
+    cfg = parse_overrides(Config(), [
+        "model.model_type=accdoa_conformer",
+        "model.crnn_cnn_channels=8,16",
+        "model.conf_d_model=32",
+        "model.conf_n_layers=1",
+        "model.compute_dtype=float32",
+        "targets.accdoa=true",
+        "window.window_seconds=1.0",
+        "window.hop_seconds=0.5",
+        "train.batch_size=2",
+        "train.num_epochs=2",
+        "train.save_every_n_epochs=1",
+        "train.select_metric=f_macro",
+        f"data.base_path={tmp_path}",
+    ])
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    state, history = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    assert len(history["val_metric"]) == 2
+    # f_macro is higher-better: best is the max
+    assert history["best_val_metric"] == max(history["val_metric"])
+    assert (tmp_path / "ckpt" / "best").exists()
