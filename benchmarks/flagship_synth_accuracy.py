@@ -132,7 +132,7 @@ def main():
     test_c = synthetic_corpus(cfg, n_files=n_te, seconds=s_te, seed=100,
                               train=False, doa_step_deg=45)
     log(f"corpus: {len(train_c)} train / {len(test_c)} test windows "
-        f"({len(train_c) * 5 / 60:.0f} min of training audio)")
+        f"({n_tr * s_tr / 60:.0f} min of training audio; windows overlap)")
 
     import time
 
