@@ -30,7 +30,8 @@ def foa_gains(az_deg: float, el_deg: float) -> np.ndarray:
 
 
 def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4,
-                   doa_step_deg: int | None = None):
+                   doa_step_deg: int | None = None,
+                   event_rate_hz: float | None = None):
     """A clip of FOA-panned tones + noise, and matching metadata rows.
 
     Events are genuinely spatialized: each source signal is panned onto
@@ -46,11 +47,20 @@ def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4,
     repeat across events, making localization learnable at fixture
     scale (648 cells vs a few hundred events otherwise). Multiples of
     45/90 are closed under the 16 ACS transforms.
+
+    event_rate_hz: expected events per second. The default (None) keeps
+    the legacy 2-8 events per CLIP — fine for the <=12 s fixture clips
+    it was written for, but at 120 s it leaves ~95% of 5 s training
+    windows pure background (the flagship accuracy study collapsed on
+    exactly that corpus). Long training clips should set ~0.3-0.5.
     """
     n = int(seconds * sample_rate)
     t = np.arange(n) / sample_rate
     wave = 0.01 * rng.standard_normal((n_channels, n)).astype(np.float32)
-    n_events = rng.integers(2, 8)
+    if event_rate_hz is None:
+        n_events = rng.integers(2, 8)
+    else:
+        n_events = max(1, int(round(seconds * event_rate_hz)))
     rows = []
     for _ in range(n_events):
         cls = int(rng.integers(0, 13))
@@ -94,6 +104,7 @@ def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4,
 def synthetic_corpus(
     cfg: Config, n_files: int = 2, seconds: float = 12.0, seed: int = 0,
     train: bool = True, doa_step_deg: int | None = None,
+    event_rate_hz: float | None = None,
 ) -> WindowedCorpus:
     """Build a WindowedCorpus directly from in-memory synthetic clips."""
     import tempfile
@@ -101,7 +112,7 @@ def synthetic_corpus(
     with tempfile.TemporaryDirectory() as td:
         audio_files, meta_files = synthetic_raw_files(
             Path(td), cfg, n_files=n_files, seconds=seconds, seed=seed,
-            doa_step_deg=doa_step_deg,
+            doa_step_deg=doa_step_deg, event_rate_hz=event_rate_hz,
         )
         return build_corpus(
             audio_files, meta_files, cfg.features, cfg.grid, cfg.window,
@@ -112,6 +123,7 @@ def synthetic_corpus(
 def synthetic_raw_files(
     root: Path, cfg: Config, n_files: int = 2, seconds: float = 12.0, seed: int = 0,
     split_dirs: bool = False, doa_step_deg: int | None = None,
+    event_rate_hz: float | None = None,
 ):
     """Write synthetic (wav, csv) pairs to disk; with split_dirs=True,
     lay out the STARSS22 directory structure for discovery tests."""
@@ -119,7 +131,8 @@ def synthetic_raw_files(
     audio_files, meta_files = [], []
     for i in range(n_files):
         wave, rows = synthetic_clip(rng, seconds, cfg.features.sample_rate,
-                                    doa_step_deg=doa_step_deg)
+                                    doa_step_deg=doa_step_deg,
+                                    event_rate_hz=event_rate_hz)
         if split_dirs:
             sub = "dev-train-sony" if i % 2 == 0 else "dev-train-tau"
             apath = root / cfg.data.audio_dirname / sub / f"fold3_room1_mix{i:03d}.wav"
