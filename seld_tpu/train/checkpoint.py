@@ -40,13 +40,21 @@ class CheckpointManager:
             ),
         )
 
-    def _meta(self, epoch: int, train_loss: float, test_loss: float) -> dict:
-        return {
+    def _meta(self, epoch: int, train_loss: float, test_loss: float,
+              select: dict | None = None) -> dict:
+        meta = {
             "epoch": int(epoch),
             "train_loss": float(train_loss),
             "test_loss": float(test_loss),
             "config": config_to_dict(self.cfg),
         }
+        if select is not None:
+            # {"metric": train.select_metric, "value": float} — lets a
+            # resumed run re-initialize its best-so-far selection value
+            # instead of overwriting the best checkpoint with the first
+            # post-resume epoch (see trainer.train_model).
+            meta["select"] = select
+        return meta
 
     def _save(self, mgr, step: int, state: TrainState, meta: dict):
         mgr.save(
@@ -57,8 +65,21 @@ class CheckpointManager:
             ),
         )
 
-    def save_best(self, epoch: int, state: TrainState, train_loss, test_loss):
-        self._save(self._best, epoch, state, self._meta(epoch, train_loss, test_loss))
+    def save_best(self, epoch: int, state: TrainState, train_loss, test_loss,
+                  select: dict | None = None):
+        self._save(
+            self._best, epoch, state,
+            self._meta(epoch, train_loss, test_loss, select=select),
+        )
+
+    def best_meta(self) -> dict | None:
+        """Metadata of the stored best checkpoint (no state restore)."""
+        step = self._best.latest_step()
+        if step is None:
+            return None
+        return self._best.restore(
+            step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+        )["meta"]
 
     def save_rolling(self, epoch: int, state: TrainState, train_loss, test_loss):
         self._save(

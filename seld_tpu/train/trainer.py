@@ -234,12 +234,14 @@ def train_model(
 
     ckpt = CheckpointManager(workdir, cfg)
     start_epoch = 1
+    resume_best_meta = None
     if resume:
         restored = ckpt.restore_latest(state)
         if restored is not None:
             state, meta = restored
             start_epoch = meta["epoch"] + 1
             log.info("Resumed from rolling checkpoint at epoch %d", meta["epoch"])
+            resume_best_meta = ckpt.best_meta()
 
     # Parameter EMA (train.ema_decay > 0): shadow weights updated after
     # every step; the EMA weights are what eval sees and what the BEST
@@ -445,8 +447,29 @@ def train_model(
     history = {"train_losses": [], "test_losses": [], "lr": []}
     if metric_step is not None:
         history["val_metric"] = []
+    # A resumed run continues the best-so-far bookkeeping from the stored
+    # best checkpoint — otherwise the first post-resume epoch would
+    # always overwrite the best checkpoint, even when it is worse.
     best_select = float("inf")
     best_test = float("inf")
+    if resume_best_meta is not None:
+        best_test = float(resume_best_meta.get("test_loss", float("inf")))
+        log.info("Resume: best test loss so far %.6f (epoch %d)",
+                 best_test, resume_best_meta.get("epoch", -1))
+        sel = resume_best_meta.get("select")
+        if metric_step is not None:
+            if sel and sel.get("metric") == select:
+                best_select = _SELECT_METRICS[select][1] * float(sel["value"])
+                history["best_val_metric"] = float(sel["value"])
+                history["best_val_epoch"] = int(resume_best_meta["epoch"])
+                log.info("Resume: best %s so far %.4f", select, sel["value"])
+            else:
+                log.warning(
+                    "Resume: stored best checkpoint has no %s record "
+                    "(saved %s) — the first post-resume improvement "
+                    "re-baselines the best checkpoint",
+                    select, (sel or {}).get("metric", "by test loss"),
+                )
     epoch = start_epoch - 1
 
     profiling = cfg.train.profile_steps > 0
@@ -626,7 +649,8 @@ def train_model(
                     history["best_val_metric"] = val
                     history["best_val_epoch"] = epoch
                     ckpt.save_best(
-                        epoch, eval_state(), train_avg["loss"], test_avg["loss"]
+                        epoch, eval_state(), train_avg["loss"],
+                        test_avg["loss"], select={"metric": select, "value": val},
                     )
                     log.info("  New best model saved (%s %.4f)", select, val)
 

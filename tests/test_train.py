@@ -607,3 +607,75 @@ def test_select_metric_accdoa(tmp_path):
     # f_macro is higher-better: best is the max
     assert history["best_val_metric"] == max(history["val_metric"])
     assert (tmp_path / "ckpt" / "best").exists()
+
+
+def test_resume_does_not_regress_best_checkpoint(tmp_path):
+    """A resumed run re-initializes best-so-far from the stored best
+    checkpoint's metadata — a worse first post-resume epoch must NOT
+    overwrite the best checkpoint (it used to: best_test reset to inf)."""
+    from seld_tpu.train import train_model
+    from seld_tpu.train.checkpoint import CheckpointManager
+
+    cfg = tiny_config(tmp_path)
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    mgr = CheckpointManager(tmp_path / "ckpt", cfg)
+    first = mgr.best_meta()
+    mgr.close()
+    assert first is not None
+
+    # resume epoch 3 with the loss scaled 10x: its eval loss is
+    # deterministically worse than the stored best, whatever training
+    # does (a destructive LR is NOT reliable here — collapsing to
+    # all-background LOWERS the CE loss on sparse scenes)
+    cfg2 = parse_overrides(
+        cfg, ["train.num_epochs=3", "loss.w_class=10.0"]
+    )
+    _, h2 = train_model(
+        cfg2, train_c, test_c, workdir=tmp_path / "ckpt", resume=True
+    )
+    assert "aborted_epoch" not in h2  # finite losses: the eval really ran
+    assert h2["test_losses"][-1] > first["test_loss"]  # and really is worse
+    mgr = CheckpointManager(tmp_path / "ckpt", cfg)
+    after = mgr.best_meta()
+    mgr.close()
+    assert after["epoch"] == first["epoch"]
+    assert after["test_loss"] == first["test_loss"]
+
+
+def test_resume_does_not_regress_best_metric_checkpoint(tmp_path):
+    """Same invariant under train.select_metric: the stored best carries
+    its selection value in metadata and a resumed run continues from it
+    (an equal post-resume metric must not re-save the best)."""
+    from seld_tpu.train import train_model
+    from seld_tpu.train.checkpoint import CheckpointManager
+
+    cfg = tiny_config(tmp_path, **{"train.select_metric": "seld_error"})
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    _, h1 = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    mgr = CheckpointManager(tmp_path / "ckpt", cfg)
+    first = mgr.best_meta()
+    mgr.close()
+    assert first["select"] == {
+        "metric": "seld_error", "value": h1["best_val_metric"]
+    }
+
+    cfg2 = parse_overrides(cfg, ["train.num_epochs=3"])
+    _, h2 = train_model(
+        cfg2, train_c, test_c, workdir=tmp_path / "ckpt", resume=True
+    )
+    mgr = CheckpointManager(tmp_path / "ckpt", cfg)
+    after = mgr.best_meta()
+    mgr.close()
+    # strictly-better-only selection: epoch 3 overwrote iff it improved
+    if h2["val_metric"][-1] < first["select"]["value"]:
+        assert after["epoch"] == 3
+    else:
+        assert after["epoch"] == first["epoch"]
+        assert after["select"] == first["select"]
+    # resumed history carries the baseline forward
+    assert h2["best_val_metric"] == min(
+        [first["select"]["value"]] + h2["val_metric"]
+    )
