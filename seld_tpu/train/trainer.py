@@ -114,6 +114,40 @@ def _epoch_mean(metric_list):
     return {k: float(jnp.mean(v)) for k, v in stacked.items()}
 
 
+def _replay_schedules(workdir, start_epoch: int, plateau, stopper, log):
+    """Rebuild the host-side schedule state (plateau LR decay + early-stop
+    patience) for a resumed run by replaying the completed epochs'
+    metrics.jsonl loss records through the same step functions. Without
+    this a resume restarts both schedules — most visibly, the first
+    epoch-end plateau step would rewrite a previously REDUCED learning
+    rate back up to the initial value. Duplicate epoch numbers keep the
+    LAST record (a run resumed after mid-epoch preemption re-trains and
+    re-appends the epochs past its rolling checkpoint)."""
+    path = Path(workdir) / "metrics.jsonl"
+    if not path.exists():
+        return
+    by_epoch: dict[int, dict] = {}
+    for line in path.read_text().splitlines():
+        try:
+            rec = json.loads(line)
+            by_epoch[int(rec["epoch"])] = rec
+        except (ValueError, KeyError, TypeError):
+            continue
+    replayed = [e for e in sorted(by_epoch) if e < start_epoch]
+    for e in replayed:
+        rec = by_epoch[e]
+        plateau.step(float(rec["test"]["loss"]))
+        stopper.step(float(rec["train"]["loss"]), e)
+    if replayed:
+        log.info(
+            "Resume: replayed %d epoch records through the schedules "
+            "(plateau lr %.6f, early-stop best %.6f @ epoch %d, "
+            "%d epochs without improvement)",
+            len(replayed), plateau.lr, stopper.best, stopper.best_epoch,
+            stopper.epochs_without_improvement,
+        )
+
+
 def train_model(
     cfg: Config,
     train_corpus: WindowedCorpus,
@@ -227,6 +261,14 @@ def train_model(
                 if d.exists():
                     shutil.rmtree(d)
                     log.info("Cleared previous %s checkpoints (fresh run)", sub)
+            # metrics.jsonl is opened in append mode by the epoch loop; a
+            # fresh run must not inherit a previous run's records (they
+            # would poison both resume's schedule replay and any consumer
+            # reading the file whole).
+            stale = workdir / "metrics.jsonl"
+            if stale.exists():
+                stale.unlink()
+                log.info("Cleared previous metrics.jsonl (fresh run)")
         if n_proc > 1:
             from jax.experimental import multihost_utils
 
@@ -411,6 +453,8 @@ def train_model(
             f"got {cfg.train.lr_schedule!r}"
         )
     stopper = EarlyStopping(patience=cfg.train.patience, min_delta=cfg.train.min_delta)
+    if start_epoch > 1:
+        _replay_schedules(workdir, start_epoch, plateau, stopper, log)
 
     train_iter = BatchIterator(
         train_corpus, cfg.train.batch_size, shuffle=True,

@@ -609,6 +609,78 @@ def test_select_metric_accdoa(tmp_path):
     assert (tmp_path / "ckpt" / "best").exists()
 
 
+def test_replay_schedules_unit(tmp_path):
+    """_replay_schedules rebuilds plateau/early-stop state from
+    metrics.jsonl: dedups epochs (last record wins), ignores records at
+    or past start_epoch, and reproduces the reduction arithmetic."""
+    import json
+
+    from seld_tpu.train.schedule import EarlyStopping, ReduceLROnPlateau
+    from seld_tpu.train.trainer import _replay_schedules
+    from seld_tpu.utils.logging import get_logger
+
+    recs = [
+        {"epoch": 1, "train": {"loss": 1.0}, "test": {"loss": 1.0}},
+        {"epoch": 2, "train": {"loss": 0.9}, "test": {"loss": 1.2}},
+        {"epoch": 3, "train": {"loss": 0.9}, "test": {"loss": 1.2}},
+        # rerun after a mid-epoch preemption: supersedes the row above
+        {"epoch": 3, "train": {"loss": 0.8}, "test": {"loss": 1.3}},
+        # at/past start_epoch: not replayed
+        {"epoch": 9, "train": {"loss": 0.1}, "test": {"loss": 0.1}},
+    ]
+    (tmp_path / "metrics.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs) + "garbage line\n"
+    )
+    plateau = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=1)
+    stopper = EarlyStopping(patience=5, min_delta=1e-4)
+    _replay_schedules(tmp_path, 4, plateau, stopper, get_logger())
+    # test-loss replay: 1.0 best, then 1.2 (bad 1), 1.3 (bad 2 -> halve)
+    assert plateau.lr == 0.5
+    assert plateau.best == 1.0
+    # train-loss replay: monotone improvement through the deduped epoch 3
+    assert stopper.best == 0.8 and stopper.best_epoch == 3
+    assert stopper.epochs_without_improvement == 0
+
+
+def test_resume_preserves_reduced_learning_rate(tmp_path):
+    """An LR reduced by the plateau scheduler before a restart must not
+    bounce back to the initial value after --resume (the scheduler state
+    is replayed from metrics.jsonl)."""
+    from seld_tpu.train import train_model
+
+    # near-zero LR: losses barely move, so the 1e-4-relative plateau
+    # threshold fails every epoch and patience-0 reduces deterministically
+    cfg = tiny_config(
+        tmp_path, **{"train.lr_decay_patience": 0, "train.num_epochs": 3,
+                     "train.learning_rate": 1e-7}
+    )
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    _, h1 = train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    assert h1["lr"][-1] < cfg.train.learning_rate  # a reduction happened
+
+    cfg2 = parse_overrides(cfg, ["train.num_epochs=4"])
+    _, h2 = train_model(
+        cfg2, train_c, test_c, workdir=tmp_path / "ckpt", resume=True
+    )
+    assert h2["lr"][0] <= h1["lr"][-1]  # never back up to the initial LR
+
+
+def test_fresh_run_clears_stale_metrics(tmp_path):
+    """metrics.jsonl is append-mode: a FRESH run into the same workdir
+    must clear the previous run's records (they would poison resume's
+    schedule replay and whole-file consumers)."""
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path, **{"train.num_epochs": 1})
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+    lines = (tmp_path / "ckpt" / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 1
+
+
 def test_resume_does_not_regress_best_checkpoint(tmp_path):
     """A resumed run re-initializes best-so-far from the stored best
     checkpoint's metadata — a worse first post-resume epoch must NOT
