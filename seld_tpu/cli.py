@@ -120,10 +120,18 @@ def cmd_eval(cfg: Config, args, logger):
         tta = validate_transforms(
             _parse_tta_transforms(getattr(args, "tta_transforms", None))
         )
+    # getattr: `train --eval-after` re-enters here with the train
+    # parser's namespace, which has no eval-only flags
+    int8 = getattr(args, "int8", False)
+    int8_wo = getattr(args, "int8_weight_only", False)
+    if int8_wo and not int8:
+        raise ValueError("--int8-weight-only requires --int8")
     results = evaluate_model(
         cfg, test_c, cfg.data.checkpoint_path,
-        num_visualizations=args.num_visualizations,
+        num_visualizations=getattr(args, "num_visualizations", 5),
         tta_transforms=tta,
+        int8=int8,
+        int8_weight_only=int8_wo,
     )
     printable = {k: v for k, v in results.items() if k != "visualizations"}
     print(json.dumps(printable, indent=2, default=str))
@@ -424,6 +432,17 @@ def main(argv=None) -> int:
         "--tta-transforms", default=None,
         help="comma-separated transform subset for --tta (e.g. '0,1,2,3' "
         "= the four azimuth rotations); default all 16",
+    )
+    p_eval.add_argument(
+        "--int8", action="store_true",
+        help="evaluate the int8 post-training-quantized forward "
+        "(self-calibrated on the first eval batches) — the accuracy "
+        "gate for int8 serving/export on your own labeled data",
+    )
+    p_eval.add_argument(
+        "--int8-weight-only", action="store_true",
+        help="with --int8: quantize weights only (original-precision "
+        "compute — the export --int8-weight-only numerics)",
     )
     p_eval.set_defaults(fn=cmd_eval)
 

@@ -47,13 +47,27 @@ def evaluate_model(
     seed: int = 0,
     mesh=None,
     tta_transforms=None,
+    int8: bool = False,
+    int8_weight_only: bool = False,
+    int8_calib_batches: int = 4,
 ) -> dict:
     """tta_transforms: optional ACS TTA subset (seld_tpu.tta) — prediction
     grids (and therefore every accuracy/DCASE metric) come from the
     transform-averaged forward; losses stay on the plain forward so they
     remain comparable across eval runs. Visualizations also show the
-    plain forward."""
+    plain forward.
+
+    int8=True evaluates the int8 post-training-quantized forward
+    (seld_tpu.quant, self-calibrated on the first eval batches) — the
+    accuracy gate for `predict --int8` / int8 export on YOUR labeled
+    data. Losses, metrics, and visualizations all come from the
+    quantized forward. Composes with TTA; not with a device mesh."""
     log = get_logger()
+    if int8 and mesh is not None:
+        raise ValueError(
+            "eval --int8 does not compose with a device mesh — the "
+            "quantized forward runs single-device, like the predictor"
+        )
     stored_cfg = load_checkpoint_config(checkpoint_dir)
     if stored_cfg is not None:
         if stored_cfg.model != cfg.model:
@@ -99,6 +113,38 @@ def evaluate_model(
     from seld_tpu.models.registry import ACCDOA_MODELS
 
     accdoa_mode = cfg.model.model_type in ACCDOA_MODELS
+
+    qtree = None
+    if int8:
+        from seld_tpu.quant import quantize_model
+
+        bs = cfg.train.batch_size
+        calib = []
+        for start in range(
+            0, min(int8_calib_batches * bs, len(test_corpus)), bs
+        ):
+            idx = np.arange(start, min(start + bs, len(test_corpus)))
+            mel_b, _ = test_corpus.gather(idx)
+            calib.append(np.asarray(mel_b, np.float32))
+        qtree = quantize_model(
+            model, state.variables(), calib, weight_only=int8_weight_only
+        )
+        log.info(
+            "Eval int8 PTQ: %d quantized layers, %d calibration batches%s",
+            len(qtree), len(calib),
+            ", weight-only" if int8_weight_only else "",
+        )
+
+    def _apply_raw(qt, st, mel_in):
+        """Eval-mode forward; qt rides as a jit ARGUMENT (closure int8
+        weights would bake into the HLO as constants — same rule as
+        SELDPredictor.quantize)."""
+        if qt is None:
+            return model.apply(st.variables(), mel_in, train=False)
+        from seld_tpu.quant import quantized_apply
+
+        return quantized_apply(model, st.variables(), qt, mel_in)
+
     tta_fwd = None
     if tta_transforms:
         from seld_tpu.models.registry import MULTI_ACCDOA_MODELS as _MULTI
@@ -111,7 +157,7 @@ def evaluate_model(
         else:
             tta_kind = "grid"
         tta_fwd = make_tta_forward(
-            lambda st, m: model.apply(st.variables(), m, train=False),
+            lambda ctx, m: _apply_raw(ctx[0], ctx[1], m),
             cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set,
             transforms=tta_transforms,
             kind=tta_kind,
@@ -149,12 +195,14 @@ def evaluate_model(
             decode = plain_decode
 
         @jax.jit
-        def infer_step(state, mel, label_mask, acc_targets, example_mask):
+        def infer_step(qt, state, mel, label_mask, acc_targets, example_mask):
             from seld_tpu.ops.attention import attention_mesh
 
             with attention_mesh(mesh):
-                vectors = model.apply(state.variables(), mel, train=False)
-                dec_in = vectors if tta_fwd is None else tta_fwd(state, mel)
+                vectors = _apply_raw(qt, state, mel)
+                dec_in = (
+                    vectors if tta_fwd is None else tta_fwd((qt, state), mel)
+                )
             total, breakdown = acc_loss_fn(vectors, acc_targets, example_mask)
             pred_cls = decode(
                 dec_in, cfg.grid.n_el, cfg.grid.n_az, num_classes
@@ -169,15 +217,17 @@ def evaluate_model(
         from seld_tpu.losses.seld_loss import _bit_labels
 
         @jax.jit
-        def infer_step(state, mel, label_mask, acc_targets, example_mask):
+        def infer_step(qt, state, mel, label_mask, acc_targets, example_mask):
             from seld_tpu.ops.attention import attention_mesh
 
             with attention_mesh(mesh):
-                logits = model.apply(state.variables(), mel, train=False)
+                logits = _apply_raw(qt, state, mel)
                 # TTA: decisions from transform-averaged probabilities
                 # (same argmax as plain when tta_fwd is None — softmax is
                 # monotone per (frame, cell))
-                dec_in = logits if tta_fwd is None else tta_fwd(state, mel)
+                dec_in = (
+                    logits if tta_fwd is None else tta_fwd((qt, state), mel)
+                )
             # bitmask-native loss + argmax labels: value-identical to the
             # dense one-hot route without materializing (B, T, M, G).
             # Under a mesh the fused kernel runs in shard_map over the
@@ -206,7 +256,7 @@ def evaluate_model(
             if accdoa_mode:
                 acc = jax.device_put(acc, batch_sharding(mesh, acc.ndim))
             em = jax.device_put(em, batch_sharding(mesh, 1))
-        metrics, p, t = infer_step(state, mel, mask, acc, em)
+        metrics, p, t = infer_step(qtree, state, mel, mask, acc, em)
         losses.append(metrics)
         preds.append(np.asarray(p)[: batch.n_valid])
         trues.append(np.asarray(t)[: batch.n_valid])
@@ -287,9 +337,7 @@ def evaluate_model(
 
         with attention_mesh(mesh):
             out_sel = np.asarray(
-                jax.jit(lambda s, x: model.apply(s.variables(), x, train=False))(
-                    state, jnp.asarray(mel_sel)
-                )
+                jax.jit(_apply_raw)(qtree, state, jnp.asarray(mel_sel))
             )
         if accdoa_mode:
             cls_sel = np.asarray(
@@ -331,4 +379,5 @@ def evaluate_model(
         "num_frames_with_events": len(frames_with_events),
         "visualizations": viz_records,
         "checkpoint_epoch": meta["epoch"],
+        "quantized_int8": bool(int8),
     }

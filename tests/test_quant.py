@@ -179,6 +179,36 @@ def test_quantized_predictor_end_to_end(tiny_crnn_ckpt):
     assert np.array_equal(st.classes, got.classes)
 
 
+def test_eval_int8(tiny_crnn_ckpt):
+    """eval --int8: evaluate_model scores the int8-quantized forward
+    (self-calibrated on the first eval batches) — the accuracy gate for
+    int8 serving/export on labeled data. Near-float metrics on a trained
+    tiny checkpoint; weight-only mode runs too; a mesh is rejected."""
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+    from seld_tpu.train.checkpoint import load_checkpoint_config
+
+    cfg = load_checkpoint_config(tiny_crnn_ckpt)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1,
+                              train=False)
+    m_f = evaluate_model(cfg, test_c, tiny_crnn_ckpt,
+                         save_visualizations=False)
+    m_q = evaluate_model(cfg, test_c, tiny_crnn_ckpt,
+                         save_visualizations=False, int8=True)
+    assert m_f["quantized_int8"] is False and m_q["quantized_int8"] is True
+    assert np.isfinite(m_q["test_loss"])
+    assert abs(m_q["overall_accuracy"] - m_f["overall_accuracy"]) < 2.0
+
+    m_w = evaluate_model(cfg, test_c, tiny_crnn_ckpt,
+                         save_visualizations=False, int8=True,
+                         int8_weight_only=True)
+    # weight-only compute is original-precision: even closer to float
+    assert abs(m_w["overall_accuracy"] - m_f["overall_accuracy"]) < 1.0
+
+    with pytest.raises(ValueError, match="mesh"):
+        evaluate_model(cfg, test_c, tiny_crnn_ckpt, int8=True, mesh=object())
+
+
 def test_weight_only_mode(tiny_crnn_ckpt):
     """weight_only=True: int8 weight storage with original-precision
     compute — closer to float than full w8a8 (no activation clipping),
