@@ -209,6 +209,32 @@ def test_eval_int8(tiny_crnn_ckpt):
         evaluate_model(cfg, test_c, tiny_crnn_ckpt, int8=True, mesh=object())
 
 
+def test_eval_int8_composes_with_tta(tiny_crnn_ckpt):
+    """int8 + identity-only TTA: the TTA forward must wrap the QUANTIZED
+    apply, so averaging over just the identity transform reproduces the
+    plain int8 eval's decisions exactly (softmax is monotone per cell).
+    Needs mel_iv for TTA -> retrain a tiny mel_iv checkpoint."""
+    from conftest import train_tiny_checkpoint
+
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+
+    base = tiny_crnn_ckpt.parent / "iv_eval_tta"
+    base.mkdir(exist_ok=True)
+    cfg, ckpt = train_tiny_checkpoint(
+        base, extra_overrides=["features.feature_set=mel_iv"]
+    )
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1,
+                              train=False)
+    m_q = evaluate_model(cfg, test_c, ckpt, save_visualizations=False,
+                         int8=True)
+    m_qt = evaluate_model(cfg, test_c, ckpt, save_visualizations=False,
+                          int8=True, tta_transforms=(0,))
+    for k in ("overall_accuracy", "non_bg_accuracy", "test_loss"):
+        assert m_qt[k] == m_q[k], (k, m_qt[k], m_q[k])
+    assert m_qt["dcase2022"]["SELD_error"] == m_q["dcase2022"]["SELD_error"]
+
+
 def test_weight_only_mode(tiny_crnn_ckpt):
     """weight_only=True: int8 weight storage with original-precision
     compute — closer to float than full w8a8 (no activation clipping),
