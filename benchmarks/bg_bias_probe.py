@@ -122,7 +122,11 @@ def main():
             mel, mask = corpus.gather(idx)
             pad = bs - len(idx)
             if pad:
-                mel = np.concatenate([mel, np.zeros_like(mel[:pad])])
+                # zeros_like(mel[:pad]) under-pads when the tail has
+                # fewer than `pad` rows — build the pad shape explicitly
+                mel = np.concatenate(
+                    [mel, np.zeros((pad, *mel.shape[1:]), mel.dtype)]
+                )
             out = np.asarray(fwd(jnp.asarray(mel)))[:len(idx)]
             logits.append(out)
             trues.append(mask)

@@ -136,14 +136,11 @@ def evaluate_model(
         )
 
     def _apply_raw(qt, st, mel_in):
-        """Eval-mode forward; qt rides as a jit ARGUMENT (closure int8
-        weights would bake into the HLO as constants — same rule as
-        SELDPredictor.quantize)."""
-        if qt is None:
-            return model.apply(st.variables(), mel_in, train=False)
-        from seld_tpu.quant import quantized_apply
+        """Eval-mode forward; qt rides as a jit ARGUMENT (see
+        quant.apply_maybe_quantized for the closure-constant rule)."""
+        from seld_tpu.quant import apply_maybe_quantized
 
-        return quantized_apply(model, st.variables(), qt, mel_in)
+        return apply_maybe_quantized(model, st.variables(), qt, mel_in)
 
     tta_fwd = None
     if tta_transforms:

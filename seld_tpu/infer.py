@@ -230,13 +230,13 @@ class SELDPredictor:
 
     def _raw_apply(self, qtree, state, mel):
         """Model output (pre-decode) for one feature batch; qtree=None is
-        the float path, otherwise the int8-quantized one. Trace-time
-        branch: qtree rides as a jit argument (see quantize() below)."""
-        if qtree is None:
-            return self.model.apply(state.variables(), mel, train=False)
-        from seld_tpu.quant import quantized_apply
+        the float path, otherwise the int8-quantized one (qtree rides as
+        a jit argument — see quant.apply_maybe_quantized)."""
+        from seld_tpu.quant import apply_maybe_quantized
 
-        return quantized_apply(self.model, state.variables(), qtree, mel)
+        return apply_maybe_quantized(
+            self.model, state.variables(), qtree, mel
+        )
 
     def tta(self, transforms=None):
         """Enable ACS test-time augmentation (seld_tpu.tta): every window

@@ -301,6 +301,20 @@ def quantized_apply(model, variables, quant_tree, x, **kwargs):
         return model.apply(variables, x, train=False, **kwargs)
 
 
+def apply_maybe_quantized(model, variables, quant_tree, x, **kwargs):
+    """Eval-mode forward that is the float path when quant_tree is None
+    and the int8 path otherwise — the shared dispatch for every int8
+    serving/eval surface. The quant tree must ride as a jit ARGUMENT,
+    never a closure: closed-over int8 weights inline into the HLO as
+    constants (remote compiles over the tunnel reject very large
+    programs) and a re-quantize would keep serving the stale tree
+    through the old jit cache entry. Baked-in constants are only right
+    for export_serving's standalone artifact."""
+    if quant_tree is None:
+        return model.apply(variables, x, train=False, **kwargs)
+    return quantized_apply(model, variables, quant_tree, x, **kwargs)
+
+
 def quantize_model(model, variables, calib_batches, weight_only=False):
     """One-call PTQ: calibrate activation scales on `calib_batches`
     (iterable of eval-mode inputs) and quantize the weights. Returns the

@@ -67,6 +67,12 @@ class CheckpointManager:
 
     def save_best(self, epoch: int, state: TrainState, train_loss, test_loss,
                   select: dict | None = None):
+        # orbax silently SKIPS saving a step number that already exists;
+        # a restarted run (resume with no rolling checkpoint) can
+        # legitimately improve at the same epoch number the stored best
+        # carries — delete first so the save really happens.
+        if epoch in self._best.all_steps():
+            self._best.delete(epoch)
         self._save(
             self._best, epoch, state,
             self._meta(epoch, train_loss, test_loss, select=select),

@@ -122,30 +122,35 @@ def _replay_schedules(workdir, start_epoch: int, plateau, stopper, log):
     epoch-end plateau step would rewrite a previously REDUCED learning
     rate back up to the initial value. Duplicate epoch numbers keep the
     LAST record (a run resumed after mid-epoch preemption re-trains and
-    re-appends the epochs past its rolling checkpoint)."""
+    re-appends the epochs past its rolling checkpoint). Returns the
+    minimum replayed test loss, or None if nothing replayed."""
     path = Path(workdir) / "metrics.jsonl"
     if not path.exists():
-        return
-    by_epoch: dict[int, dict] = {}
+        return None
+    by_epoch: dict[int, tuple[float, float]] = {}
     for line in path.read_text().splitlines():
         try:
             rec = json.loads(line)
-            by_epoch[int(rec["epoch"])] = rec
+            by_epoch[int(rec["epoch"])] = (
+                float(rec["train"]["loss"]), float(rec["test"]["loss"]),
+            )
         except (ValueError, KeyError, TypeError):
-            continue
+            continue  # tolerate hand-edited/truncated lines
     replayed = [e for e in sorted(by_epoch) if e < start_epoch]
     for e in replayed:
-        rec = by_epoch[e]
-        plateau.step(float(rec["test"]["loss"]))
-        stopper.step(float(rec["train"]["loss"]), e)
-    if replayed:
-        log.info(
-            "Resume: replayed %d epoch records through the schedules "
-            "(plateau lr %.6f, early-stop best %.6f @ epoch %d, "
-            "%d epochs without improvement)",
-            len(replayed), plateau.lr, stopper.best, stopper.best_epoch,
-            stopper.epochs_without_improvement,
-        )
+        train_loss, test_loss = by_epoch[e]
+        plateau.step(test_loss)
+        stopper.step(train_loss, e)
+    if not replayed:
+        return None
+    log.info(
+        "Resume: replayed %d epoch records through the schedules "
+        "(plateau lr %.6f, early-stop best %.6f @ epoch %d, "
+        "%d epochs without improvement)",
+        len(replayed), plateau.lr, stopper.best, stopper.best_epoch,
+        stopper.epochs_without_improvement,
+    )
+    return min(by_epoch[e][1] for e in replayed)
 
 
 def train_model(
@@ -277,13 +282,29 @@ def train_model(
     ckpt = CheckpointManager(workdir, cfg)
     start_epoch = 1
     resume_best_meta = None
+    resumed_lr = None
     if resume:
+        # The best-so-far baseline comes from the best checkpoint's meta
+        # whenever one exists — even with no rolling checkpoint to resume
+        # the weights from (otherwise the restarted run's first epoch
+        # would overwrite the stored best).
+        resume_best_meta = ckpt.best_meta()
         restored = ckpt.restore_latest(state)
         if restored is not None:
             state, meta = restored
             start_epoch = meta["epoch"] + 1
+            # ground truth for the plateau scheduler's current LR: the
+            # restored optimizer state (exact even if metrics.jsonl is
+            # missing or was replayed under different cfg semantics)
+            resumed_lr = float(current_learning_rate(state.opt_state))
             log.info("Resumed from rolling checkpoint at epoch %d", meta["epoch"])
-            resume_best_meta = ckpt.best_meta()
+        elif resume_best_meta is not None:
+            log.warning(
+                "Resume: no rolling checkpoint under %s — restarting "
+                "training from scratch, but keeping the stored best "
+                "checkpoint (epoch %d) as the improvement baseline",
+                workdir, resume_best_meta.get("epoch", -1),
+            )
 
     # Parameter EMA (train.ema_decay > 0): shadow weights updated after
     # every step; the EMA weights are what eval sees and what the BEST
@@ -453,8 +474,16 @@ def train_model(
             f"got {cfg.train.lr_schedule!r}"
         )
     stopper = EarlyStopping(patience=cfg.train.patience, min_delta=cfg.train.min_delta)
+    replayed_min_test = None
     if start_epoch > 1:
-        _replay_schedules(workdir, start_epoch, plateau, stopper, log)
+        replayed_min_test = _replay_schedules(
+            workdir, start_epoch, plateau, stopper, log
+        )
+        if resumed_lr is not None:
+            # the restored optimizer state is the ground truth for the
+            # current LR (covers a missing/partial metrics.jsonl; within
+            # f32 tolerance of the replayed value otherwise)
+            plateau.lr = resumed_lr
 
     train_iter = BatchIterator(
         train_corpus, cfg.train.batch_size, shuffle=True,
@@ -498,7 +527,12 @@ def train_model(
     best_test = float("inf")
     if resume_best_meta is not None:
         best_test = float(resume_best_meta.get("test_loss", float("inf")))
-        log.info("Resume: best test loss so far %.6f (epoch %d)",
+        if replayed_min_test is not None:
+            # under select_metric the best checkpoint's test_loss is the
+            # metric-best epoch's, not the historical minimum — take the
+            # replayed minimum so best_test_loss reporting stays exact
+            best_test = min(best_test, replayed_min_test)
+        log.info("Resume: best test loss so far %.6f (best epoch %d)",
                  best_test, resume_best_meta.get("epoch", -1))
         sel = resume_best_meta.get("select")
         if metric_step is not None:

@@ -193,9 +193,12 @@ def test_eval_int8(tiny_crnn_ckpt):
                               train=False)
     m_f = evaluate_model(cfg, test_c, tiny_crnn_ckpt,
                          save_visualizations=False)
+    # visualizations ON: the int8 viz second pass (quantized forward on
+    # the arbitrary-size selected-window batch) must run too
     m_q = evaluate_model(cfg, test_c, tiny_crnn_ckpt,
-                         save_visualizations=False, int8=True)
+                         num_visualizations=1, int8=True)
     assert m_f["quantized_int8"] is False and m_q["quantized_int8"] is True
+    assert m_q["visualizations"], "int8 viz pass produced no artifact"
     assert np.isfinite(m_q["test_loss"])
     assert abs(m_q["overall_accuracy"] - m_f["overall_accuracy"]) < 2.0
 
