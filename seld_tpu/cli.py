@@ -132,6 +132,12 @@ def cmd_eval(cfg: Config, args, logger):
         tta_transforms=tta,
         int8=int8,
         int8_weight_only=int8_wo,
+        bg_bias=getattr(args, "bg_bias", 0.0),
+        bg_bias_sweep=(
+            [float(b) for b in str(sweep_spec).split(",") if b.strip()]
+            if (sweep_spec := getattr(args, "bg_bias_sweep", None))
+            else None
+        ),
     )
     printable = {k: v for k, v in results.items() if k != "visualizations"}
     print(json.dumps(printable, indent=2, default=str))
@@ -206,9 +212,15 @@ def cmd_predict(cfg: Config, args, logger):
                 "--int8 does not compose with --artifact: int8 is baked "
                 "at export time (export --int8-calib-wavs)"
             )
+        if args.bg_bias:
+            raise ValueError(
+                "--bg-bias does not compose with --artifact: the bias is "
+                "baked at export time (export --bg-bias)"
+            )
         predictor = SELDPredictor.from_artifact(args.artifact)
     else:
-        predictor = SELDPredictor(cfg.data.checkpoint_path, cfg)
+        predictor = SELDPredictor(cfg.data.checkpoint_path, cfg,
+                                  bg_bias=args.bg_bias)
     if args.int8:
         # self-calibration on the inputs being served: PTQ activation
         # scales from the first clip(s), then int8 inference throughout
@@ -254,6 +266,7 @@ def cmd_export(cfg: Config, args, logger):
         batch_windows=args.batch_windows, platforms=platforms, cfg=cfg,
         int8_calib_waves=calib_waves,
         int8_weight_only=args.int8_weight_only,
+        bg_bias=args.bg_bias,
     )
     logger.info("Serving artifact written: %s", out)
     return 0
@@ -341,9 +354,15 @@ def cmd_serve(cfg: Config, args, logger):
                 "--int8-calib-wavs does not compose with --artifact: "
                 "int8 is baked at export time (export --int8-calib-wavs)"
             )
+        if args.bg_bias:
+            raise ValueError(
+                "--bg-bias does not compose with --artifact: the bias is "
+                "baked at export time (export --bg-bias)"
+            )
         predictor = SELDPredictor.from_artifact(args.artifact)
     else:
-        predictor = SELDPredictor(cfg.data.checkpoint_path, cfg)
+        predictor = SELDPredictor(cfg.data.checkpoint_path, cfg,
+                                  bg_bias=args.bg_bias)
     if args.int8_calib_wavs:
         from seld_tpu.data.audio import load_wav
 
@@ -440,6 +459,16 @@ def main(argv=None) -> int:
         "gate for int8 serving/export on your own labeled data",
     )
     p_eval.add_argument(
+        "--bg-bias", type=float, default=0.0, metavar="B",
+        help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep)",
+    )
+    p_eval.add_argument(
+        "--bg-bias-sweep", default=None, metavar="B1,B2,...",
+        help="calibrate --bg-bias: ONE forward per batch, every listed "
+        "bias decoded on device, per-bias DCASE2022 table + the "
+        "SELD_error-best bias in the report",
+    )
+    p_eval.add_argument(
         "--int8-weight-only", action="store_true",
         help="with --int8: quantize weights only (original-precision "
         "compute — the export --int8-weight-only numerics)",
@@ -490,6 +519,10 @@ def main(argv=None) -> int:
         "checkpoint (no model code / weight restore; int8 is baked at "
         "export time, so --int8 is rejected here)",
     )
+    p_pred.add_argument(
+        "--bg-bias", type=float, default=0.0, metavar="B",
+        help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep)",
+    )
     p_pred.set_defaults(fn=cmd_predict)
 
     p_imp = sub.add_parser("import-torch", parents=[common])
@@ -513,6 +546,11 @@ def main(argv=None) -> int:
         help="with --int8-calib-wavs: quantize weights only (int8 "
         "storage, original-precision compute — smaller artifact at "
         "near-float accuracy, no MXU int8 speedup)",
+    )
+    p_exp.add_argument(
+        "--bg-bias", type=float, default=0.0, metavar="B",
+        help="bake a validation-tuned background decode bias into the "
+        "exported forwards (grid models; see eval --bg-bias-sweep)",
     )
     p_exp.set_defaults(fn=cmd_export)
 
@@ -560,6 +598,10 @@ def main(argv=None) -> int:
         help="serve from an exported StableHLO artifact instead of a "
         "checkpoint (int8 is baked at export time, so "
         "--int8-calib-wavs is rejected here)",
+    )
+    p_serve.add_argument(
+        "--bg-bias", type=float, default=0.0, metavar="B",
+        help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep)",
     )
     p_serve.set_defaults(fn=cmd_serve)
 

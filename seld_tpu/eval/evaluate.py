@@ -50,6 +50,8 @@ def evaluate_model(
     int8: bool = False,
     int8_weight_only: bool = False,
     int8_calib_batches: int = 4,
+    bg_bias: float = 0.0,
+    bg_bias_sweep=None,
 ) -> dict:
     """tta_transforms: optional ACS TTA subset (seld_tpu.tta) — prediction
     grids (and therefore every accuracy/DCASE metric) come from the
@@ -61,7 +63,17 @@ def evaluate_model(
     (seld_tpu.quant, self-calibrated on the first eval batches) — the
     accuracy gate for `predict --int8` / int8 export on YOUR labeled
     data. Losses, metrics, and visualizations all come from the
-    quantized forward. Composes with TTA; not with a device mesh."""
+    quantized forward. Composes with TTA; not with a device mesh.
+
+    bg_bias (grid models): reduce the background class's logit by this
+    amount before every decode — the detection operating point
+    (SELDPredictor.bg_bias); losses stay on the unbiased logits for
+    comparability, decisions/metrics/visualizations use the biased ones.
+    bg_bias_sweep (iterable of floats): ONE forward per batch, every
+    bias decoded on device, and the report gains a per-bias DCASE2022
+    table + the SELD_error-best bias — the calibration tool that tunes
+    bg_bias on a validation corpus (sweep decodes are always from the
+    PLAIN per-window logits, not the TTA average)."""
     log = get_logger()
     if int8 and mesh is not None:
         raise ValueError(
@@ -77,6 +89,15 @@ def evaluate_model(
                 stored_cfg.model.model_type, cfg.model.model_type,
             )
         cfg = cfg.replace_path("model", stored_cfg.model)
+
+    if bg_bias or bg_bias_sweep is not None:
+        from seld_tpu.models.registry import ACCDOA_MODELS as _ACC
+
+        if cfg.model.model_type in _ACC:
+            raise ValueError(
+                "bg_bias applies to grid models only — ACCDOA decodes "
+                "have no background logit"
+            )
 
     model = build_model(cfg.model, cfg.grid)
     loss_fn = SELDLossFn(cfg.loss, cfg.grid)
@@ -113,6 +134,12 @@ def evaluate_model(
     from seld_tpu.models.registry import ACCDOA_MODELS
 
     accdoa_mode = cfg.model.model_type in ACCDOA_MODELS
+    sweep = None
+    if bg_bias_sweep is not None:
+        bg_bias_sweep = [float(b) for b in bg_bias_sweep]
+        if not bg_bias_sweep:
+            raise ValueError("bg_bias_sweep must list at least one bias")
+        sweep = jnp.asarray(bg_bias_sweep, jnp.float32)
 
     qtree = None
     if int8:
@@ -142,6 +169,19 @@ def evaluate_model(
 
         return apply_maybe_quantized(model, st.variables(), qt, mel_in)
 
+    def _bias_logits(out, b=None):
+        """Background decode bias on class-major (B, T, M, G) logits;
+        identity at bias 0 (losses always consume UNBIASED logits)."""
+        b = bg_bias if b is None else b
+        if isinstance(b, float) and not b:
+            return out
+        return out.at[:, :, -1, :].add(jnp.asarray(b, out.dtype) * -1)
+
+    def _apply_dec(qt, st, mel_in):
+        """Decode-path forward (bias applied pre-softmax so TTA views
+        average biased probabilities)."""
+        return _bias_logits(_apply_raw(qt, st, mel_in))
+
     tta_fwd = None
     if tta_transforms:
         from seld_tpu.models.registry import MULTI_ACCDOA_MODELS as _MULTI
@@ -154,7 +194,7 @@ def evaluate_model(
         else:
             tta_kind = "grid"
         tta_fwd = make_tta_forward(
-            lambda ctx, m: _apply_raw(ctx[0], ctx[1], m),
+            lambda ctx, m: _apply_dec(ctx[0], ctx[1], m),
             cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set,
             transforms=tta_transforms,
             kind=tta_kind,
@@ -207,7 +247,8 @@ def evaluate_model(
             from seld_tpu.losses.seld_loss import _bit_labels
 
             true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)
-            return {"loss": total, **breakdown}, pred_cls, true_cls
+            return ({"loss": total, **breakdown}, pred_cls, true_cls,
+                    jnp.zeros((), jnp.int8))
 
     else:
 
@@ -223,12 +264,14 @@ def evaluate_model(
                 # (same argmax as plain when tta_fwd is None — softmax is
                 # monotone per (frame, cell))
                 dec_in = (
-                    logits if tta_fwd is None else tta_fwd((qt, state), mel)
+                    _bias_logits(logits) if tta_fwd is None
+                    else tta_fwd((qt, state), mel)
                 )
             # bitmask-native loss + argmax labels: value-identical to the
             # dense one-hot route without materializing (B, T, M, G).
             # Under a mesh the fused kernel runs in shard_map over the
-            # data axis (same rule as steps.py).
+            # data axis (same rule as steps.py). Losses use UNBIASED
+            # logits (bg_bias shapes decisions, not the loss).
             total, breakdown = loss_fn.from_bitmask(
                 logits, label_mask, example_mask, mesh=mesh,
             )
@@ -236,10 +279,21 @@ def evaluate_model(
             # over the class axis
             pred_cls = jnp.argmax(dec_in, axis=2).astype(jnp.int8)
             true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)
-            return {"loss": total, **breakdown}, pred_cls, true_cls
+            if sweep is None:
+                pred_sw = jnp.zeros((), jnp.int8)
+            else:
+                # one forward, every candidate bias decoded on device
+                # (sequential map keeps peak memory at ~one logits copy)
+                pred_sw = jax.lax.map(
+                    lambda b: jnp.argmax(
+                        _bias_logits(logits, b), axis=2
+                    ).astype(jnp.int8),
+                    sweep,
+                )  # (K, B, T, G)
+            return {"loss": total, **breakdown}, pred_cls, true_cls, pred_sw
 
     it = BatchIterator(test_corpus, cfg.train.batch_size, shuffle=False, prefetch=2)
-    losses, preds, trues = [], [], []
+    losses, preds, trues, sweep_rows = [], [], [], []
     for batch in it:
         mel = jnp.asarray(batch.mel)
         mask = jnp.asarray(batch.label_mask)
@@ -253,10 +307,12 @@ def evaluate_model(
             if accdoa_mode:
                 acc = jax.device_put(acc, batch_sharding(mesh, acc.ndim))
             em = jax.device_put(em, batch_sharding(mesh, 1))
-        metrics, p, t = infer_step(qtree, state, mel, mask, acc, em)
+        metrics, p, t, psw = infer_step(qtree, state, mel, mask, acc, em)
         losses.append(metrics)
         preds.append(np.asarray(p)[: batch.n_valid])
         trues.append(np.asarray(t)[: batch.n_valid])
+        if sweep is not None:
+            sweep_rows.append(np.asarray(psw)[:, : batch.n_valid])
 
     keys = losses[0].keys()
     avg = {k: float(np.mean([float(m[k]) for m in losses])) for k in keys}
@@ -292,6 +348,36 @@ def evaluate_model(
         dcase22["macro_gt"]["F"], dcase22["macro_gt"]["LE"],
         dcase22["macro_gt"]["LR"], dcase22["macro_gt"]["SELD_error"],
     )
+
+    sweep_report = None
+    if sweep is not None:
+        sweep_report = {"metrics": {}}
+        for k, b in enumerate(bg_bias_sweep):
+            pk = np.concatenate([rows[k] for rows in sweep_rows], axis=0)
+            mk = dcase2022_metrics(
+                pk, true_classes, cfg.grid.n_el, cfg.grid.n_az, num_classes
+            )
+            row = {key: float(mk[key]) for key in
+                   ("ER", "F_macro", "LE_macro", "LR_macro", "SELD_error")}
+            sweep_report["metrics"][f"{b:g}"] = row
+            log.info(
+                "  bg_bias %+.2f: ER %.3f F %.3f LE %.1f deg LR %.3f | "
+                "SELD_error %.3f", b, row["ER"], row["F_macro"],
+                row["LE_macro"], row["LR_macro"], row["SELD_error"],
+            )
+        best_b = min(
+            bg_bias_sweep,
+            key=lambda b: sweep_report["metrics"][f"{b:g}"]["SELD_error"],
+        )
+        sweep_report["best"] = {
+            "bg_bias": best_b,
+            **sweep_report["metrics"][f"{best_b:g}"],
+        }
+        log.info(
+            "  -> best bg_bias %+.2f (SELD_error %.3f); serve with "
+            "`predict --bg-bias %g`", best_b,
+            sweep_report["best"]["SELD_error"], best_b,
+        )
     # Per-class breakdown (classes present in the ground truth).
     from seld_tpu.config import STARSS22_CLASSES
 
@@ -333,8 +419,10 @@ def evaluate_model(
         from seld_tpu.ops.attention import attention_mesh
 
         with attention_mesh(mesh):
+            # _apply_dec: visualizations reflect the decode rule (incl.
+            # bg_bias); still the PLAIN untransformed forward under TTA
             out_sel = np.asarray(
-                jax.jit(_apply_raw)(qtree, state, jnp.asarray(mel_sel))
+                jax.jit(_apply_dec)(qtree, state, jnp.asarray(mel_sel))
             )
         if accdoa_mode:
             cls_sel = np.asarray(
@@ -377,4 +465,6 @@ def evaluate_model(
         "visualizations": viz_records,
         "checkpoint_epoch": meta["epoch"],
         "quantized_int8": bool(int8),
+        "bg_bias": float(bg_bias),
+        **({"bg_bias_sweep": sweep_report} if sweep_report else {}),
     }

@@ -41,6 +41,7 @@ def export_serving(
     int8_calib_waves=None,
     int8_calib_mel=None,
     int8_weight_only: bool = False,
+    bg_bias: float = 0.0,
 ) -> Path:
     """Export the checkpoint's forward pass; returns the artifact path.
 
@@ -60,7 +61,10 @@ def export_serving(
 
     from seld_tpu.infer import SELDPredictor
 
-    p = SELDPredictor(checkpoint_dir, cfg, batch_windows=batch_windows)
+    # bg_bias (grid models): the validation-tuned background decode bias
+    # bakes into the exported forwards (see SELDPredictor.bg_bias)
+    p = SELDPredictor(checkpoint_dir, cfg, batch_windows=batch_windows,
+                      bg_bias=bg_bias)
     if int8_calib_waves is not None or int8_calib_mel is not None:
         # weight-only: int8 storage (smaller artifact), original-
         # precision compute — near-float accuracy without the MXU int8
@@ -123,6 +127,7 @@ def export_serving(
         "source_epoch": int(p.meta["epoch"]),
         "quantized_int8": bool(p.quantized),
         "int8_weight_only": bool(p.quantized and int8_weight_only),
+        "bg_bias": float(bg_bias),
         # Full config: lets SELDPredictor.from_artifact rebuild the
         # feature front-end + window geometry with no checkpoint tree.
         "config": config_to_dict(cfg),

@@ -84,7 +84,15 @@ class SELDPredictor:
     """Checkpoint-backed predictor with a single compiled forward."""
 
     def __init__(self, checkpoint_dir, cfg: Config | None = None,
-                 batch_windows: int = 8):
+                 batch_windows: int = 8, bg_bias: float = 0.0):
+        """bg_bias: background-logit decode bias (grid models only). The
+        background class's logit is reduced by this amount before every
+        argmax/softmax — a post-hoc detection operating point, tuned on
+        validation data with `eval --bg-bias-sweep` (weighted CE trains
+        toward a likelihood whose plain argmax need not be the best
+        decision rule; measured +18% SELD_error on the probe corpus,
+        benchmarks/results/bg_bias_probe.json). Applies uniformly to
+        plain/int8/TTA/streaming forwards."""
         stored = load_checkpoint_config(checkpoint_dir)
         if stored is None and cfg is None:
             raise FileNotFoundError(f"no checkpoint config under {checkpoint_dir}")
@@ -120,11 +128,17 @@ class SELDPredictor:
         from seld_tpu.models.registry import ACCDOA_MODELS
 
         self.accdoa_mode = self.cfg.model.model_type in ACCDOA_MODELS
+        self.bg_bias = float(bg_bias)
+        if self.bg_bias and self.accdoa_mode:
+            raise ValueError(
+                "bg_bias applies to grid models only — ACCDOA decodes "
+                "have no background logit"
+            )
         grid_cfg = self.cfg.grid
 
         @jax.jit
         def forward(state, mel):  # (B, win, C, F) -> (B, win, G) int8
-            out = self.model.apply(state.variables(), mel, train=False)
+            out = self._raw_apply(None, state, mel)
             if self.accdoa_mode:
                 from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
 
@@ -147,7 +161,7 @@ class SELDPredictor:
                 "overlapped probability averaging applies to grid models; "
                 "ACCDOA predictions use overlap=0"
             )
-            logits = self.model.apply(state.variables(), mel, train=False)
+            logits = self._raw_apply(None, state, mel)
             return jax.nn.softmax(logits, axis=2).astype(jnp.float16)
 
         self._forward = forward
@@ -202,6 +216,8 @@ class SELDPredictor:
         from seld_tpu.models.registry import ACCDOA_MODELS
 
         self.accdoa_mode = sidecar["model_type"] in ACCDOA_MODELS
+        # decode bias, if any, was baked into the exported forwards
+        self.bg_bias = float(sidecar.get("bg_bias", 0.0))
         fwd = jax.jit(call)
         self._forward = lambda state, mel: fwd(mel)
         if sidecar.get("has_probs"):
@@ -231,12 +247,17 @@ class SELDPredictor:
     def _raw_apply(self, qtree, state, mel):
         """Model output (pre-decode) for one feature batch; qtree=None is
         the float path, otherwise the int8-quantized one (qtree rides as
-        a jit argument — see quant.apply_maybe_quantized)."""
+        a jit argument — see quant.apply_maybe_quantized). Grid models
+        apply the bg_bias decode bias here — the single injection point
+        every forward (plain/int8/TTA, and streaming through them)
+        inherits, so the stream==offline bit-equality holds under bias."""
         from seld_tpu.quant import apply_maybe_quantized
 
-        return apply_maybe_quantized(
-            self.model, state.variables(), qtree, mel
-        )
+        out = apply_maybe_quantized(self.model, state.variables(), qtree, mel)
+        if self.bg_bias and not self.accdoa_mode:
+            # class-major (B, T, M, G): background is the last class row
+            out = out.at[:, :, -1, :].add(jnp.asarray(-self.bg_bias, out.dtype))
+        return out
 
     def tta(self, transforms=None):
         """Enable ACS test-time augmentation (seld_tpu.tta): every window
@@ -331,7 +352,7 @@ class SELDPredictor:
                 "artifact-backed predictors cannot re-quantize: int8 is "
                 "baked at export time (export --int8-calib-wavs)"
             )
-        from seld_tpu.quant import quantize_model, quantized_apply
+        from seld_tpu.quant import quantize_model
 
         cfg = self.cfg
         batches = []
@@ -371,7 +392,7 @@ class SELDPredictor:
         # are only right for export_serving's standalone artifact.
         @jax.jit
         def forward_q(qtree, state, mel):
-            out = quantized_apply(self.model, state.variables(), qtree, mel)
+            out = self._raw_apply(qtree, state, mel)
             if self.accdoa_mode:
                 from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
 
@@ -389,7 +410,7 @@ class SELDPredictor:
         @jax.jit
         def forward_probs_q(qtree, state, mel):
             assert not self.accdoa_mode
-            logits = quantized_apply(self.model, state.variables(), qtree, mel)
+            logits = self._raw_apply(qtree, state, mel)
             return jax.nn.softmax(logits, axis=2).astype(jnp.float16)
 
         self._forward = lambda state, mel: forward_q(
