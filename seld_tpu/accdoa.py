@@ -407,6 +407,23 @@ def decode_vote_grid_jnp(
     ).astype(jnp.int8)
 
 
+def decode_vote_grid(
+    votes: np.ndarray,
+    num_classes: int = 14,
+    min_vote: float = 0.5,
+) -> np.ndarray:
+    """numpy mirror of decode_vote_grid_jnp (same majority threshold and
+    highest-class tie-break) — the host-side decode for overlapped
+    serving's averaged vote maps (infer.SELDPredictor._decode_avg), where
+    a per-emit device dispatch would cost a tunnel round trip."""
+    votes = np.asarray(votes, np.float32)
+    c = votes.shape[-2]
+    rev = votes[..., ::-1, :]
+    winner = (c - 1) - np.argmax(rev, axis=-2)
+    best = votes.max(axis=-2)
+    return np.where(best >= min_vote, winner, num_classes - 1).astype(np.int8)
+
+
 def decode_multi_accdoa_to_grid(
     vectors: np.ndarray,
     n_el: int = 18,

@@ -487,9 +487,11 @@ def main(argv=None) -> int:
     )
     p_pred.add_argument(
         "--overlap", type=float, default=0.0,
-        help="window overlap in [0,1): average class probabilities over "
-        "overlapping windows before the argmax (smoother boundaries, "
-        "1/(1-overlap)x compute; grid models only; composes with --stream)",
+        help="window overlap in [0,1): average the per-frame "
+        "representation over overlapping windows before decoding "
+        "(grid: class probabilities; ACCDOA: vectors; multi-ACCDOA: "
+        "class-activity votes) — smoother boundaries, 1/(1-overlap)x "
+        "compute; composes with --stream)",
     )
     p_pred.add_argument(
         "--int8", action="store_true",

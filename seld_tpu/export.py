@@ -93,13 +93,13 @@ def export_serving(
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_bytes(exported.serialize())
 
-    # Grid models additionally export the PROBABILITY forward (softmax
-    # class grids, the overlapped-serving executable) to `<out>.probs`,
-    # so an artifact-backed predictor (SELDPredictor.from_artifact)
-    # serves every mode the checkpoint-backed one does. ACCDOA decodes
-    # have no probability path (overlap=0 only), matching the live
-    # predictor's contract.
-    has_probs = not p.accdoa_mode
+    # Every model also exports the REPRESENTATION forward (the
+    # overlapped-serving executable: softmax probs for grid models,
+    # vectors for ACCDOA, class-activity votes for multi-ACCDOA) to
+    # `<out>.probs`, so an artifact-backed predictor
+    # (SELDPredictor.from_artifact) serves every mode the
+    # checkpoint-backed one does.
+    has_probs = True
     if has_probs:
         def forward_probs(mel):
             return p._forward_probs(state, mel)

@@ -125,9 +125,15 @@ class SELDPredictor:
             self.cfg.model.model_type, self.meta["epoch"],
         )
 
-        from seld_tpu.models.registry import ACCDOA_MODELS
+        from seld_tpu.models.registry import ACCDOA_MODELS, MULTI_ACCDOA_MODELS
 
         self.accdoa_mode = self.cfg.model.model_type in ACCDOA_MODELS
+        if self.cfg.model.model_type in MULTI_ACCDOA_MODELS:
+            self.kind = "multi_accdoa"
+        elif self.accdoa_mode:
+            self.kind = "accdoa"
+        else:
+            self.kind = "grid"
         self.bg_bias = float(bg_bias)
         if self.bg_bias and self.accdoa_mode:
             raise ValueError(
@@ -156,13 +162,8 @@ class SELDPredictor:
             return jnp.argmax(out, axis=2).astype(jnp.int8)
 
         @jax.jit
-        def forward_probs(state, mel):  # (B, win, C, F) -> (B, win, M, G) f16
-            assert not self.accdoa_mode, (
-                "overlapped probability averaging applies to grid models; "
-                "ACCDOA predictions use overlap=0"
-            )
-            logits = self._raw_apply(None, state, mel)
-            return jax.nn.softmax(logits, axis=2).astype(jnp.float16)
+        def forward_probs(state, mel):  # (B, win, ...) averageable rep, f16
+            return self._rep_from_raw(self._raw_apply(None, state, mel))
 
         self._forward = forward
         self._forward_probs = forward_probs
@@ -215,7 +216,15 @@ class SELDPredictor:
 
         from seld_tpu.models.registry import ACCDOA_MODELS
 
+        from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
+
         self.accdoa_mode = sidecar["model_type"] in ACCDOA_MODELS
+        if sidecar["model_type"] in MULTI_ACCDOA_MODELS:
+            self.kind = "multi_accdoa"
+        elif self.accdoa_mode:
+            self.kind = "accdoa"
+        else:
+            self.kind = "grid"
         # decode bias, if any, was baked into the exported forwards
         self.bg_bias = float(sidecar.get("bg_bias", 0.0))
         fwd = jax.jit(call)
@@ -228,8 +237,9 @@ class SELDPredictor:
         else:
             def _no_probs(state, mel):
                 raise RuntimeError(
-                    "this artifact has no probability forward (ACCDOA "
-                    "model) — overlapped serving needs overlap=0"
+                    "this artifact has no representation forward "
+                    "(exported before ACCDOA overlap support) — "
+                    "re-export, or serve with overlap=0"
                 )
 
             self._forward_probs = _no_probs
@@ -258,6 +268,48 @@ class SELDPredictor:
             # class-major (B, T, M, G): background is the last class row
             out = out.at[:, :, -1, :].add(jnp.asarray(-self.bg_bias, out.dtype))
         return out
+
+    def _rep_from_raw(self, out):
+        """Raw model output -> the AVERAGEABLE per-frame representation
+        overlapped serving accumulates (device side, f16):
+
+          grid:         (B, T, M, G) softmax class probabilities
+          accdoa:       (B, T, C_ev, 3) Cartesian vectors (mean vectors
+                        shrink toward 0 on disagreement — conservative)
+          multi_accdoa: (B, T, C_ev, G) {0, 1} class-activity votes
+                        (track order is arbitrary per forward pass; the
+                        activity map is not — same representation TTA
+                        averages, seld_tpu/tta.py)
+        """
+        import jax
+
+        if self.kind == "grid":
+            return jax.nn.softmax(out, axis=2).astype(jnp.float16)
+        if self.kind == "multi_accdoa":
+            from seld_tpu.accdoa import multi_accdoa_class_activity_jnp
+
+            grid_cfg = self.cfg.grid
+            return multi_accdoa_class_activity_jnp(
+                out, grid_cfg.n_el, grid_cfg.n_az
+            ).astype(jnp.float16)
+        return out.astype(jnp.float16)
+
+    def _decode_avg(self, avg: np.ndarray) -> np.ndarray:
+        """Coverage-averaged representation (T, ...) f32 -> (T, G) int8
+        class grid. Host-side and shared verbatim by the offline and
+        streaming overlap paths (their bit-equality needs one decoder)."""
+        grid_cfg = self.cfg.grid
+        if self.kind == "grid":
+            return np.argmax(avg, axis=1).astype(np.int8)
+        if self.kind == "multi_accdoa":
+            from seld_tpu.accdoa import decode_vote_grid
+
+            return decode_vote_grid(avg, grid_cfg.num_classes)
+        from seld_tpu.accdoa import decode_accdoa_to_grid
+
+        return decode_accdoa_to_grid(
+            avg, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes
+        )
 
     def tta(self, transforms=None):
         """Enable ACS test-time augmentation (seld_tpu.tta): every window
@@ -315,11 +367,10 @@ class SELDPredictor:
             return jnp.argmax(avg, axis=2).astype(jnp.int8)
 
         @jax.jit
-        def forward_probs_tta(qtree, state, mel):  # -> (B, win, M, G) f16
-            assert kind == "grid", (
-                "overlapped probability averaging applies to grid models; "
-                "ACCDOA predictions use overlap=0"
-            )
+        def forward_probs_tta(qtree, state, mel):  # (B, win, ...) rep, f16
+            # the TTA average IS the averageable representation for every
+            # kind (grid: mean probs; accdoa: mean inverse-rotated
+            # vectors; multi_accdoa: mean cell-activity votes)
             return tta_fwd((qtree, state), mel).astype(jnp.float16)
 
         self._forward = lambda state, mel: forward_tta(
@@ -409,9 +460,7 @@ class SELDPredictor:
 
         @jax.jit
         def forward_probs_q(qtree, state, mel):
-            assert not self.accdoa_mode
-            logits = self._raw_apply(qtree, state, mel)
-            return jax.nn.softmax(logits, axis=2).astype(jnp.float16)
+            return self._rep_from_raw(self._raw_apply(qtree, state, mel))
 
         self._forward = lambda state, mel: forward_q(
             self._quant_tree, state, mel
@@ -466,11 +515,13 @@ class SELDPredictor:
 
         overlap=0 tiles non-overlapping windows (one argmax pass).
         overlap in (0, 1) strides windows at hop = win*(1-overlap) and
-        AVERAGES the class probabilities over overlapping coverage before
-        the argmax — smoother decisions at window boundaries, at the cost
-        of 1/(1-overlap) more compute and a host-side class-major
-        (T, M, G) float32 probability accumulator (~110 MB per audio
-        minute).
+        AVERAGES the per-frame representation over overlapping coverage
+        before decoding — smoother decisions at window boundaries, at
+        the cost of 1/(1-overlap) more compute and a host-side float32
+        accumulator (grid models: class-major (T, M, G) probabilities,
+        ~110 MB per audio minute; ACCDOA: (T, C, 3) vectors;
+        multi-ACCDOA: (T, C, G) class-activity votes — see
+        _rep_from_raw/_decode_avg).
         """
         if overlap < 0.0:
             raise ValueError(f"overlap must be in [0, 1), got {overlap}")
@@ -498,12 +549,6 @@ class SELDPredictor:
 
         if not 0.0 < overlap < 1.0:
             raise ValueError(f"overlap must be in [0, 1), got {overlap}")
-        if self.accdoa_mode:
-            raise ValueError(
-                "overlapped probability averaging requires a grid model; "
-                f"{self.cfg.model.model_type} emits ACCDOA vectors — "
-                "use overlap=0"
-            )
         hop = max(int(win * (1.0 - overlap)), 1)
         starts = list(range(0, max(t_total - win, 0) + 1, hop))
         if starts[-1] + win < t_total:  # tail coverage
@@ -515,22 +560,29 @@ class SELDPredictor:
             )
         windows = np.stack([mel[s : s + win] for s in starts])
 
-        g, m = cfg.grid.n_cells, cfg.grid.num_classes
-        prob_sum = np.zeros((t_total + max(pad_t, 0), m, g), np.float32)
-        count = np.zeros((t_total + max(pad_t, 0), 1, 1), np.float32)
+        # representation-shaped accumulation (see _rep_from_raw): probs
+        # for grid models, vectors for ACCDOA, class-activity votes for
+        # multi-ACCDOA — averaged over coverage, decoded by _decode_avg.
+        prob_sum = None
+        count = None
         row = 0
         for probs in self._batched(windows, self._forward_probs):
-            for p in probs:  # class-major (win, M, G)
+            if prob_sum is None:
+                rep = probs.shape[2:]
+                total = t_total + max(pad_t, 0)
+                prob_sum = np.zeros((total, *rep), np.float32)
+                count = np.zeros((total,) + (1,) * len(rep), np.float32)
+            for p in probs:  # (win, *rep)
                 s = starts[row]
                 prob_sum[s : s + win] += p.astype(np.float32)
                 count[s : s + win] += 1.0
                 row += 1
         avg = prob_sum[:t_total] / np.maximum(count[:t_total], 1.0)
         return Prediction(
-            classes=np.argmax(avg, axis=1).astype(np.int8),
+            classes=self._decode_avg(avg),
             n_el=cfg.grid.n_el,
             n_az=cfg.grid.n_az,
-            num_classes=m,
+            num_classes=cfg.grid.num_classes,
         )
 
     def predict_file(self, wav_path, csv_out=None, overlap: float = 0.0,

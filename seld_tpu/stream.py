@@ -29,14 +29,16 @@ class StreamingSession:
     """One audio stream. push() chunks, collect (start_frame, classes)
     fragments, flush() at end-of-stream.
 
-    With overlap > 0, windows stride at hop = win*(1-overlap) and class
-    PROBABILITIES are averaged over every window covering a frame before
-    the argmax — the streaming mirror of
+    With overlap > 0, windows stride at hop = win*(1-overlap) and the
+    per-frame representation (class probabilities for grid models,
+    vectors for ACCDOA, class-activity votes for multi-ACCDOA — see
+    SELDPredictor._rep_from_raw) is averaged over every window covering
+    a frame before decoding — the streaming mirror of
     `SELDPredictor.predict_waveform(..., overlap=)` with the identical
-    window schedule and accumulation order, so results stay bit-equal.
-    A frame is emitted once the last window covering it has run, i.e.
-    with latency one window + hop. Grid models only (ACCDOA emits
-    vectors, not probabilities)."""
+    window schedule, accumulation order, and decoder
+    (SELDPredictor._decode_avg), so results stay bit-equal. A frame is
+    emitted once the last window covering it has run, i.e. with latency
+    one window + hop."""
 
     def __init__(self, predictor: SELDPredictor, overlap: float = 0.0):
         self.p = predictor
@@ -57,18 +59,12 @@ class StreamingSession:
         if overlap:
             if not 0.0 < overlap < 1.0:
                 raise ValueError(f"overlap must be in [0, 1), got {overlap}")
-            if predictor.accdoa_mode:
-                raise ValueError(
-                    "overlapped probability averaging requires a grid "
-                    "model; ACCDOA checkpoints stream with overlap=0"
-                )
             self.whop = max(int(self.win * (1.0 - overlap)), 1)
         else:
             self.whop = None
         self._next_start = 0  # next window start (overlap mode)
-        self._prob = None  # class-major (pending, M, G) f32 accumulator
-        # (overlap mode)
-        self._pcount = None  # (pending, 1, 1) f32 coverage counts
+        self._prob = None  # (pending, *rep) f32 accumulator (overlap mode)
+        self._pcount = None  # (pending, 1...) f32 coverage counts
 
     # -- mel-frame production ------------------------------------------------
 
@@ -209,12 +205,12 @@ class StreamingSession:
                 list(self.p._batched(windows, self.p._forward_probs)), axis=0
             )
             # grow the accumulator to cover the touched frames
-            m, g = probs.shape[2], probs.shape[3]
+            rep = probs.shape[2:]  # per-frame representation dims
             have = (self._prob.shape[0] if self._prob is not None else 0)
             grow = need_through - self._emitted_frames - have
             if grow > 0:
-                z = np.zeros((grow, m, g), np.float32)
-                zc = np.zeros((grow, 1, 1), np.float32)
+                z = np.zeros((grow, *rep), np.float32)
+                zc = np.zeros((grow,) + (1,) * len(rep), np.float32)
                 self._prob = z if self._prob is None else np.concatenate(
                     [self._prob, z])
                 self._pcount = zc if self._pcount is None else np.concatenate(
@@ -235,7 +231,7 @@ class StreamingSession:
         if n_emit > 0 and self._prob is not None:
             n_emit = min(n_emit, self._prob.shape[0])
             avg = self._prob[:n_emit] / np.maximum(self._pcount[:n_emit], 1.0)
-            classes = np.argmax(avg, axis=1).astype(np.int8)
+            classes = self.p._decode_avg(avg)
             frags.append((self._emitted_frames, classes))
             self._emitted_frames += n_emit
             self._prob = self._prob[n_emit:]

@@ -218,18 +218,35 @@ def test_cli_stream_with_overlap_matches_offline_overlap(predictor, tmp_path):
         (tmp_path / "b" / "predictions" / "x.csv").read_text()
 
 
-def test_overlap_rejected_for_accdoa_models(tmp_path):
+@pytest.mark.parametrize("model_over", [
+    ["model.model_type=accdoa_conformer"],
+    ["model.model_type=multi_accdoa_conformer", "targets.accdoa_tracks=3"],
+])
+def test_overlap_for_accdoa_models(tmp_path, model_over):
+    """ACCDOA-family overlap: the averageable representation (vectors /
+    class-activity votes) is accumulated over overlapping windows and
+    decoded by the shared _decode_avg — streamed output stays bit-equal
+    to offline, and the decode produces a valid class grid."""
     from conftest import train_tiny_checkpoint
 
+    from seld_tpu.stream import stream_predict
+
     _, ckpt = train_tiny_checkpoint(tmp_path, extra_overrides=[
-        "model.model_type=accdoa_conformer",
+        *model_over,
         "model.conf_d_model=32",
         "model.conf_n_layers=1",
         "targets.accdoa=true",
     ])
-    p = SELDPredictor(ckpt, batch_windows=1)
-    with pytest.raises(ValueError, match="grid model"):
-        p.predict_waveform(_clip(1.5), overlap=0.5)
+    p = SELDPredictor(ckpt, batch_windows=2)
+    wave = _clip(2.3)
+    off = p.predict_waveform(wave, overlap=0.5)
+    assert off.classes.dtype == np.int8
+    assert off.classes.shape[1] == p.cfg.grid.n_cells
+    assert off.classes.max() <= p.cfg.grid.num_classes - 1
+
+    chunks = [wave[:, i: i + 6000] for i in range(0, wave.shape[1], 6000)]
+    st = stream_predict(p, chunks, overlap=0.5)
+    np.testing.assert_array_equal(st.classes, off.classes)
 
 
 @pytest.mark.parametrize("n_fft,hop", [(961, 480), (511, 256), (960, 480)])
