@@ -170,12 +170,14 @@ def evaluate_model(
         return apply_maybe_quantized(model, st.variables(), qt, mel_in)
 
     def _bias_logits(out, b=None):
-        """Background decode bias on class-major (B, T, M, G) logits;
-        identity at bias 0 (losses always consume UNBIASED logits)."""
+        """Background decode bias (the predictor's shared op); identity
+        at bias 0 (losses always consume UNBIASED logits)."""
+        from seld_tpu.infer import bias_background_logits
+
         b = bg_bias if b is None else b
         if isinstance(b, float) and not b:
             return out
-        return out.at[:, :, -1, :].add(jnp.asarray(b, out.dtype) * -1)
+        return bias_background_logits(out, b)
 
     def _apply_dec(qt, st, mel_in):
         """Decode-path forward (bias applied pre-softmax so TTA views
@@ -351,6 +353,8 @@ def evaluate_model(
 
     sweep_report = None
     if sweep is not None:
+        # keys are repr(float) — full precision, so near-identical biases
+        # can never collide into one row
         sweep_report = {"metrics": {}}
         for k, b in enumerate(bg_bias_sweep):
             pk = np.concatenate([rows[k] for rows in sweep_rows], axis=0)
@@ -359,7 +363,7 @@ def evaluate_model(
             )
             row = {key: float(mk[key]) for key in
                    ("ER", "F_macro", "LE_macro", "LR_macro", "SELD_error")}
-            sweep_report["metrics"][f"{b:g}"] = row
+            sweep_report["metrics"][repr(b)] = row
             log.info(
                 "  bg_bias %+.2f: ER %.3f F %.3f LE %.1f deg LR %.3f | "
                 "SELD_error %.3f", b, row["ER"], row["F_macro"],
@@ -367,11 +371,11 @@ def evaluate_model(
             )
         best_b = min(
             bg_bias_sweep,
-            key=lambda b: sweep_report["metrics"][f"{b:g}"]["SELD_error"],
+            key=lambda b: sweep_report["metrics"][repr(b)]["SELD_error"],
         )
         sweep_report["best"] = {
             "bg_bias": best_b,
-            **sweep_report["metrics"][f"{best_b:g}"],
+            **sweep_report["metrics"][repr(best_b)],
         }
         log.info(
             "  -> best bg_bias %+.2f (SELD_error %.3f); serve with "

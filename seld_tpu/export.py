@@ -99,15 +99,13 @@ def export_serving(
     # `<out>.probs`, so an artifact-backed predictor
     # (SELDPredictor.from_artifact) serves every mode the
     # checkpoint-backed one does.
-    has_probs = True
-    if has_probs:
-        def forward_probs(mel):
-            return p._forward_probs(state, mel)
+    def forward_probs(mel):
+        return p._forward_probs(state, mel)
 
-        exported_probs = jexport.export(jax.jit(forward_probs), **kwargs)(
-            mel_shape
-        )
-        Path(str(out_path) + ".probs").write_bytes(exported_probs.serialize())
+    exported_probs = jexport.export(jax.jit(forward_probs), **kwargs)(
+        mel_shape
+    )
+    Path(str(out_path) + ".probs").write_bytes(exported_probs.serialize())
 
     from seld_tpu.config import config_to_dict
 
@@ -122,7 +120,7 @@ def export_serving(
         "feature_set": cfg.features.feature_set,
         "window_frames": p.win,
         "batch_windows": int(batch_windows),
-        "has_probs": has_probs,
+        "has_probs": True,  # sidecar key kept for pre-overlap artifacts
         "platforms": list(exported.platforms),
         "source_epoch": int(p.meta["epoch"]),
         "quantized_int8": bool(p.quantized),

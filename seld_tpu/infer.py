@@ -29,6 +29,15 @@ from seld_tpu.train.state import create_train_state
 from seld_tpu.utils.logging import get_logger
 
 
+def bias_background_logits(out, bias):
+    """Background decode bias on class-major (B, T, M, G) grid logits:
+    reduce the background class's (last) row by `bias`. THE one encoding
+    of the op — SELDPredictor._raw_apply and eval's decode path both
+    call it, so sign/axis can never desynchronize between served and
+    eval-reported operating points."""
+    return out.at[:, :, -1, :].add(jnp.asarray(bias, out.dtype) * -1)
+
+
 @dataclass
 class Prediction:
     """Per-frame grid predictions for one clip."""
@@ -90,7 +99,7 @@ class SELDPredictor:
         argmax/softmax — a post-hoc detection operating point, tuned on
         validation data with `eval --bg-bias-sweep` (weighted CE trains
         toward a likelihood whose plain argmax need not be the best
-        decision rule; measured +18% SELD_error on the probe corpus,
+        decision rule; measured -18% SELD_error on the probe corpus,
         benchmarks/results/bg_bias_probe.json). Applies uniformly to
         plain/int8/TTA/streaming forwards."""
         stored = load_checkpoint_config(checkpoint_dir)
@@ -214,9 +223,7 @@ class SELDPredictor:
         self.state = None
         self.meta = {"epoch": int(sidecar.get("source_epoch", -1))}
 
-        from seld_tpu.models.registry import ACCDOA_MODELS
-
-        from seld_tpu.models.registry import MULTI_ACCDOA_MODELS
+        from seld_tpu.models.registry import ACCDOA_MODELS, MULTI_ACCDOA_MODELS
 
         self.accdoa_mode = sidecar["model_type"] in ACCDOA_MODELS
         if sidecar["model_type"] in MULTI_ACCDOA_MODELS:
@@ -265,8 +272,7 @@ class SELDPredictor:
 
         out = apply_maybe_quantized(self.model, state.variables(), qtree, mel)
         if self.bg_bias and not self.accdoa_mode:
-            # class-major (B, T, M, G): background is the last class row
-            out = out.at[:, :, -1, :].add(jnp.asarray(-self.bg_bias, out.dtype))
+            out = bias_background_logits(out, self.bg_bias)
         return out
 
     def _rep_from_raw(self, out):
@@ -281,8 +287,6 @@ class SELDPredictor:
                         activity map is not — same representation TTA
                         averages, seld_tpu/tta.py)
         """
-        import jax
-
         if self.kind == "grid":
             return jax.nn.softmax(out, axis=2).astype(jnp.float16)
         if self.kind == "multi_accdoa":

@@ -74,12 +74,12 @@ def test_eval_bias_and_sweep_consistency(tiny_crnn_ckpt):
                              save_visualizations=False, bg_bias=b)
         assert m_b["bg_bias"] == b
         for k in ("ER", "F_macro", "LE_macro", "LR_macro", "SELD_error"):
-            assert sweep[f"{b:g}"][k] == float(m_b["dcase2022"][k]), (b, k)
+            assert sweep[repr(b)][k] == float(m_b["dcase2022"][k]), (b, k)
         # losses are bias-independent (decisions shift, not the loss)
         assert m_b["test_loss"] == m_sweep["test_loss"]
     best = m_sweep["bg_bias_sweep"]["best"]
     assert best["SELD_error"] == min(
-        sweep[f"{b:g}"]["SELD_error"] for b in biases
+        sweep[repr(b)]["SELD_error"] for b in biases
     )
 
 
