@@ -77,6 +77,14 @@ def main():
     import os
 
     smoke = os.environ.get("FLAGSHIP_SMOKE") == "1"
+    # Reduced-scale chip runs (fewer epochs/clips, e.g. to fit a session
+    # budget) write to a SEPARATE artifact so the full 30-epoch result
+    # is never overwritten by a weaker rerun.
+    n_epochs = int(os.environ.get("FLAGSHIP_EPOCHS", "30"))
+    n_clips = int(os.environ.get("FLAGSHIP_CLIPS", "24"))
+    reduced = (n_epochs, n_clips) != (30, 24)
+    out_name = ("flagship_decode_stages.json" if reduced
+                else "flagship_synth_accuracy.json")
     if smoke:
         # plumbing-only validation: tiny model/corpus/epochs on CPU;
         # writes nothing under results/
@@ -109,7 +117,7 @@ def main():
         "loss.loss_type=ce",
         "train.batch_size=16",
         "train.learning_rate=3e-4",
-        "train.num_epochs=30",
+        f"train.num_epochs={n_epochs}",
         "train.patience=30",
         "train.save_every_n_epochs=1",
         "train.keep_last_n_checkpoints=5",
@@ -137,7 +145,7 @@ def main():
     # transforms, so fixture-scale localization is learnable (see
     # data/synthetic.py). Held-out test scenes use the same direction
     # and class-tone conventions with fresh layouts.
-    n_tr, s_tr, n_te, s_te = (2, 10.0, 1, 10.0) if smoke else (24, 120.0, 6, 60.0)
+    n_tr, s_tr, n_te, s_te = (2, 10.0, 1, 10.0) if smoke else (n_clips, 120.0, 6, 60.0)
     rate = 0.4  # events/s: ~48 events per 120 s training clip
     train_c = synthetic_corpus(cfg, n_files=n_tr, seconds=s_tr, seed=0,
                                doa_step_deg=45, event_rate_hz=rate)
@@ -235,8 +243,10 @@ def main():
         cfg, test_c, tmp / "ckpt", save_visualizations=False, int8=True))
     log("best_int8", json.dumps(results["best_int8"]))
 
+    if reduced:
+        results["reduced"] = {"epochs": n_epochs, "clips": n_clips}
     if not smoke:
-        (RESULTS / "flagship_synth_accuracy.json").write_text(
+        (RESULTS / out_name).write_text(
             json.dumps(results, indent=2) + "\n"
         )
     print(json.dumps(results))
