@@ -327,6 +327,20 @@ class TrainConfig:
     # raw params on resume). A production-training extra the reference
     # does not have.
     ema_decay: float = 0.0
+    # Knowledge distillation (empty = off): path to a trained TEACHER
+    # checkpoint tree. The teacher (architecture from the ckpt-embedded
+    # config, BEST weights — EMA if it trained with ema_decay) runs an
+    # eval-mode forward on the student's augmented batches inside the
+    # jitted step, and the objective becomes
+    #   (1 - alpha) * hard_loss + alpha * kd_loss
+    # with kd = T^2-scaled KL over classes (grid heads) or vector MSE
+    # (ACCDOA). Teacher and student must share features/window/grid and
+    # output kind; architectures may differ (flagship teacher -> cheap
+    # serving student). seld_tpu/distill.py. A production-serving extra
+    # the reference does not have.
+    distill_ckpt: str = ""
+    distill_alpha: float = 0.5
+    distill_temperature: float = 2.0
     # SpecAugment (on-device, inside the jitted step; 0 masks = off).
     # A north-star extra — the reference only augments labels
     # (smrl_seld_gaussian.py:397-535), never features.

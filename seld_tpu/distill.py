@@ -1,0 +1,195 @@
+"""Knowledge distillation: train a small student against a trained teacher.
+
+The reference has no distillation anywhere (SURVEY §2 — repo-wide search);
+this is a production-serving lever in the same family as int8 PTQ/QAT
+(`seld_tpu.quant`): train a cheap serving model (e.g. a CRNN) to mimic
+the flagship ResNet50-Conformer's outputs, then serve the student —
+optionally int8-quantized — at a fraction of the flagship's cost.
+
+Config-driven (`train.distill_ckpt` + `distill_alpha` / `distill_temperature`):
+
+  * the teacher is loaded from its checkpoint tree exactly like eval does
+    (architecture from the ckpt-embedded config, BEST weights — which are
+    the EMA weights when the teacher trained with `train.ema_decay>0`);
+  * inside the jitted train step the teacher runs an eval-mode forward on
+    the SAME augmented features the student sees (ACS / SpecAugment
+    consistency comes for free), under `stop_gradient`;
+  * the total objective is `(1 - alpha) * hard_loss + alpha * kd_loss`,
+    where the KD term depends on the output representation:
+      - grid heads (class-major (B, T, M, G) logits): temperature-scaled
+        KL(teacher || student) over the class axis, scaled by T^2
+        (Hinton et al. 2015) so gradients keep their magnitude as T grows;
+      - ACCDOA / multi-ACCDOA heads: masked MSE between the teacher's and
+        student's Cartesian vectors (the representation IS already a
+        regression target; multi-ACCDOA distills the teacher's track
+        arrangement as-is — the teacher's track assignment is a
+        deterministic function of the input, so position-wise MSE is
+        well-posed);
+  * teacher variables travel as jitted-step ARGUMENTS, never closure
+    constants (a 60M-param constant tree blows up remote TPU compiles —
+    the same rule `seld_tpu.quant` follows for quant trees).
+
+Cross-representation distillation (grid teacher -> ACCDOA student or the
+reverse) is rejected with a named error: the output semantics differ and
+a principled mapping (decode -> re-encode) would break differentiability.
+With `train.qat=true`, fake-quantization applies to the STUDENT only —
+the teacher forward runs outside the QAT interceptor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_example_mean(per_example, example_mask):
+    if example_mask is None:
+        return jnp.mean(per_example)
+    em = example_mask.astype(per_example.dtype)
+    return jnp.sum(per_example * em) / jnp.maximum(jnp.sum(em), 1e-8)
+
+
+def grid_kd_loss(student_logits, teacher_logits, example_mask=None,
+                 temperature: float = 1.0):
+    """Temperature-scaled KL(teacher || student) over the class axis.
+
+    Logits are class-major `(B, T, M, G)` (class axis = -2, the layout
+    every grid head emits). Per-cell KL is averaged over (T, G) per
+    example, example-mask-weighted like every loss in
+    `seld_tpu.losses.seld_loss`, and scaled by `temperature**2`.
+    """
+    s = student_logits.astype(jnp.float32) / temperature
+    t = teacher_logits.astype(jnp.float32) / temperature
+    log_ps = jax.nn.log_softmax(s, axis=-2)
+    log_pt = jax.nn.log_softmax(t, axis=-2)
+    # sum_M p_t * (log p_t - log p_s): compute in log space for stability
+    kl = jnp.sum(jnp.exp(log_pt) * (log_pt - log_ps), axis=-2)  # (B, T, G)
+    per_example = jnp.mean(kl.reshape(kl.shape[0], -1), axis=-1)
+    return _masked_example_mean(per_example, example_mask) * temperature**2
+
+
+def vector_kd_loss(student_vectors, teacher_vectors, example_mask=None,
+                   temperature: float = 1.0):
+    """Masked MSE between ACCDOA vector outputs (any track layout).
+
+    `temperature` is accepted for interface symmetry and ignored — MSE
+    between bounded regression outputs has no softening knob.
+    """
+    del temperature
+    diff = (student_vectors.astype(jnp.float32)
+            - teacher_vectors.astype(jnp.float32))
+    sq = diff * diff
+    per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=-1)
+    return _masked_example_mean(per_example, example_mask)
+
+
+@dataclass(frozen=True)
+class DistillSpec:
+    """Everything the jitted train step needs to add a KD term.
+
+    `apply(variables, mel)` is the teacher's eval-mode forward (module
+    structure only — the weights arrive as the step's `teacher_variables`
+    argument). `kd(student_out, teacher_out, example_mask)` is the
+    representation-matched loss above.
+    """
+
+    apply: Callable[[Any, Any], Any]
+    kd: Callable[..., Any]
+    alpha: float
+    temperature: float
+
+
+def _model_kind(model_type: str) -> str:
+    from seld_tpu.models.registry import ACCDOA_MODELS, MULTI_ACCDOA_MODELS
+
+    if model_type in MULTI_ACCDOA_MODELS:
+        return "multi_accdoa"
+    if model_type in ACCDOA_MODELS:
+        return "accdoa"
+    return "grid"
+
+
+def load_teacher(cfg, checkpoint_dir, window_frames: int, n_feat_ch: int):
+    """Load the teacher for `train.distill_ckpt`.
+
+    Returns `(spec: DistillSpec, teacher_variables, ckpt_meta)`. The teacher's
+    input contract (features + window + grid geometry) must match the
+    student's — the student consumes the same corpus batches — and the
+    output representations must be the same kind; both are enforced with
+    named errors. The teacher architecture itself is free to differ
+    (that is the point: flagship teacher, cheap student).
+    """
+    from seld_tpu.models import build_model
+    from seld_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_checkpoint_config,
+    )
+    from seld_tpu.train.optimizer import make_optimizer
+    from seld_tpu.train.state import create_train_state
+
+    checkpoint_dir = Path(checkpoint_dir)
+    stored = load_checkpoint_config(checkpoint_dir)
+    if stored is None:
+        raise FileNotFoundError(
+            f"train.distill_ckpt: no checkpoint config under {checkpoint_dir}"
+        )
+    for section in ("features", "window", "grid"):
+        if getattr(stored, section) != getattr(cfg, section):
+            raise ValueError(
+                f"train.distill_ckpt: teacher {section} config differs from "
+                f"the student's — teacher and student must consume the same "
+                f"corpus (teacher {getattr(stored, section)!r} vs student "
+                f"{getattr(cfg, section)!r})"
+            )
+    t_kind = _model_kind(stored.model.model_type)
+    s_kind = _model_kind(cfg.model.model_type)
+    if t_kind != s_kind:
+        raise ValueError(
+            f"train.distill_ckpt: teacher emits {t_kind!r} outputs but the "
+            f"student emits {s_kind!r} — cross-representation distillation "
+            f"is unsupported (teacher {stored.model.model_type}, student "
+            f"{cfg.model.model_type})"
+        )
+    # (multi-ACCDOA track counts are fixed per model type in the
+    # registry, so kind equality already implies matching track layouts)
+
+    tcfg = cfg.replace_path("model", stored.model)
+    teacher = build_model(tcfg.model, tcfg.grid)
+    sample = jnp.zeros((1, window_frames, n_feat_ch, tcfg.model.n_mels),
+                       jnp.float32)
+    template = create_train_state(
+        teacher, make_optimizer(1e-3), jax.random.PRNGKey(0), sample
+    )
+    ckpt = CheckpointManager(checkpoint_dir, tcfg)
+    try:
+        restored = ckpt.restore_best(template)
+        if restored is None:
+            restored = ckpt.restore_latest(template)
+        if restored is None:
+            raise FileNotFoundError(
+                f"train.distill_ckpt: no checkpoint found under {checkpoint_dir}"
+            )
+    finally:
+        ckpt.close()
+    state, meta = restored
+    # Only the forward-pass variables are kept; the restored optimizer
+    # moments are dropped (and freed) — the teacher never trains.
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    def apply(vars_, mel):
+        return teacher.apply(vars_, mel, train=False)
+
+    kd = grid_kd_loss if t_kind == "grid" else vector_kd_loss
+    spec = DistillSpec(
+        apply=apply,
+        kd=kd,
+        alpha=float(cfg.train.distill_alpha),
+        temperature=float(cfg.train.distill_temperature),
+    )
+    return spec, variables, meta

@@ -56,7 +56,8 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                     donate: bool = True, out_state_shardings=None,
                     target_decoder=None, input_augment=None,
                     spatial_augment=None, accum_steps: int = 1,
-                    qat: bool = False, time_sharded: bool = False):
+                    qat: bool = False, time_sharded: bool = False,
+                    distill=None):
     """Returns step(state, mel, raw_targets, example_mask, rng) ->
     (state, metrics). `out_state_shardings` pins the output TrainState's
     shardings (e.g. ZeRO-sharded optimizer moments) so GSPMD keeps them
@@ -86,7 +87,16 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
     `qat=True` trains quantization-aware: eligible layers (the PTQ set,
     seld_tpu.quant) fake-quantize weights and activations to the int8
     grid with straight-through gradients, so the learned weights
-    survive int8 PTQ serving with minimal accuracy loss."""
+    survive int8 PTQ serving with minimal accuracy loss.
+
+    `distill` (a seld_tpu.distill.DistillSpec) adds knowledge
+    distillation: the returned step takes a trailing
+    `teacher_variables` argument (jit ARGS, never closure constants —
+    big constant trees blow up remote compiles), runs the teacher's
+    eval-mode forward on each (augmented) microbatch under
+    stop_gradient OUTSIDE the QAT interceptor, and blends
+    (1 - alpha) * hard + alpha * kd into the total. The metrics gain
+    "kd" and "hard" entries."""
     bitmask_native = target_decoder is None and hasattr(loss_fn, "from_bitmask")
     if target_decoder is None:
         target_decoder = lambda m: decode_class_bitmask(
@@ -94,7 +104,8 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
         )
     step_mesh = _mesh_of(out_state_shardings)
 
-    def step(state: TrainState, mel, label_mask, example_mask, rng):
+    def step(state: TrainState, mel, label_mask, example_mask, rng,
+             teacher_vars=None):
         dropout_rng = jax.random.fold_in(rng, state.step)
         if spatial_augment is not None:
             sp_rng, dropout_rng = jax.random.split(dropout_rng)
@@ -131,6 +142,20 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
                 )
             else:
                 total, breakdown = loss_fn(out, mb_targets, mb_em)
+            if distill is not None:
+                # Teacher forward: same augmented inputs, eval mode,
+                # OUTSIDE the QAT interceptor (only the student is
+                # fake-quantized), inside the attention-mesh context so
+                # SP meshes dispatch its attention correctly too.
+                with attention_mesh(step_mesh, time_sharded=time_sharded):
+                    t_out = jax.lax.stop_gradient(
+                        distill.apply(teacher_vars, mb_mel)
+                    )
+                kd = distill.kd(out, t_out, mb_em,
+                                temperature=distill.temperature)
+                hard = total
+                total = (1.0 - distill.alpha) * hard + distill.alpha * kd
+                breakdown = {**breakdown, "hard": hard, "kd": kd}
             return total, (breakdown, new_stats)
 
         grad_fn = jax.value_and_grad(loss_of, has_aux=True)

@@ -381,13 +381,53 @@ def train_model(
             "Quantization-aware training: int8 fake-quant with "
             "straight-through gradients on the PTQ layer set"
         )
+    distill_spec = None
+    teacher_vars = None
+    if cfg.train.distill_ckpt:
+        from seld_tpu.distill import load_teacher
+
+        if not 0.0 <= cfg.train.distill_alpha <= 1.0:
+            raise ValueError(
+                f"train.distill_alpha must be in [0, 1], got "
+                f"{cfg.train.distill_alpha}"
+            )
+        distill_spec, teacher_vars, t_meta = load_teacher(
+            cfg, cfg.train.distill_ckpt, win, n_feat_ch
+        )
+        log.info(
+            "Distillation: teacher %s (epoch %d, %s params) -> student %s; "
+            "alpha=%g temperature=%g",
+            t_meta.get("config", {}).get("model", {}).get(
+                "model_type", "?"),
+            t_meta.get("epoch", -1),
+            f"{sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(teacher_vars)):,}",
+            cfg.model.model_type,
+            cfg.train.distill_alpha, cfg.train.distill_temperature,
+        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # the teacher is replicated across the mesh; GSPMD treats
+            # its forward like any other replicated-weight compute
+            teacher_vars = jax.device_put(
+                teacher_vars, NamedSharding(mesh, PartitionSpec())
+            )
     train_step = make_train_step(
         model, loss_fn, optimizer, cfg.grid.num_classes,
         out_state_shardings=out_state_shardings, target_decoder=target_decoder,
         input_augment=input_augment, spatial_augment=spatial_augment,
         accum_steps=cfg.train.accum_steps, qat=cfg.train.qat,
         time_sharded=(mesh is not None and cfg.mesh.shard_time),
+        distill=distill_spec,
     )
+    if distill_spec is not None:
+        # teacher weights ride along as jit ARGUMENTS on every call
+        # (constant-folding a 60M-param tree into the HLO blows up
+        # remote compiles — the seld_tpu.quant rule)
+        _raw_train_step = train_step
+        train_step = lambda s, b_mel, b_mask, b_em, r: _raw_train_step(
+            s, b_mel, b_mask, b_em, r, teacher_vars
+        )
     eval_step = make_eval_step(
         model, loss_fn, cfg.grid.num_classes, target_decoder=target_decoder,
         mesh=mesh, time_sharded=(mesh is not None and cfg.mesh.shard_time),
@@ -701,8 +741,13 @@ def train_model(
                 train_avg["loss"], test_avg["loss"], new_lr,
             )
             for k in train_avg:
-                if k != "loss":
+                if k == "loss":
+                    continue
+                if k in test_avg:
                     log.info("    %s: train %.6f test %.6f", k, train_avg[k], test_avg[k])
+                else:
+                    # train-only terms (e.g. the distillation kd/hard split)
+                    log.info("    %s: train %.6f", k, train_avg[k])
 
             if metric_step is None:
                 if test_avg["loss"] < best_test - cfg.train.min_delta:

@@ -1,0 +1,297 @@
+"""Knowledge distillation (seld_tpu/distill.py): KD-loss oracles, the
+distilling train step, and the trainer integration.
+
+The reference has no distillation (repo-wide search; SURVEY §2) — this is
+a production-serving extra in the quant/QAT family, so the tests follow
+the repo's golden-oracle convention: the KD math is restated as literal
+numpy loops in test code, never by importing the implementation's path.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from seld_tpu.config import Config, parse_overrides
+from seld_tpu.data import synthetic_corpus
+
+
+def tiny_config(tmp_path, **extra):
+    over = [
+        "model.model_type=crnn",
+        "model.crnn_cnn_channels=8,16",
+        "model.crnn_rnn_hidden=16",
+        "model.crnn_rnn_layers=1",
+        "model.compute_dtype=float32",
+        "window.window_seconds=1.0",
+        "window.hop_seconds=0.5",
+        "train.batch_size=2",
+        "train.num_epochs=1",
+        "train.save_every_n_epochs=1",
+        f"data.base_path={tmp_path}",
+    ] + [f"{k}={v}" for k, v in extra.items()]
+    return parse_overrides(Config(), over)
+
+
+# ---------------------------------------------------------------- KD math
+
+
+def _kd_oracle(student, teacher, em, temperature):
+    """Literal restatement: per-cell KL(teacher||student) over the class
+    axis of class-major (B, T, M, G) logits, averaged over (T, G) per
+    example, example-mask-weighted, times T^2."""
+    b, t, m, g = student.shape
+    per_example = np.zeros(b)
+    for i in range(b):
+        acc = 0.0
+        for f in range(t):
+            for c in range(g):
+                s = student[i, f, :, c] / temperature
+                q = teacher[i, f, :, c] / temperature
+                ps = np.exp(s - s.max())
+                ps /= ps.sum()
+                pt = np.exp(q - q.max())
+                pt /= pt.sum()
+                acc += float(np.sum(pt * (np.log(pt) - np.log(ps))))
+        per_example[i] = acc / (t * g)
+    if em is None:
+        return per_example.mean() * temperature**2
+    w = np.asarray(em, np.float64)
+    return float((per_example * w).sum() / max(w.sum(), 1e-8)) * temperature**2
+
+
+@pytest.mark.parametrize("temperature", [1.0, 2.0, 4.0])
+def test_grid_kd_loss_matches_literal_oracle(temperature):
+    from seld_tpu.distill import grid_kd_loss
+
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=(3, 2, 5, 4)).astype(np.float32) * 3
+    t = rng.normal(size=(3, 2, 5, 4)).astype(np.float32) * 3
+    em = np.array([1.0, 0.0, 1.0], np.float32)
+    got = float(grid_kd_loss(s, t, em, temperature=temperature))
+    want = _kd_oracle(s, t, em, temperature)
+    assert got == pytest.approx(want, rel=1e-5)
+    # no mask
+    got_nm = float(grid_kd_loss(s, t, None, temperature=temperature))
+    assert got_nm == pytest.approx(_kd_oracle(s, t, None, temperature), rel=1e-5)
+
+
+def test_grid_kd_loss_zero_iff_equal():
+    from seld_tpu.distill import grid_kd_loss
+
+    rng = np.random.default_rng(1)
+    s = rng.normal(size=(2, 3, 4, 6)).astype(np.float32)
+    assert float(grid_kd_loss(s, s, None, temperature=2.0)) == pytest.approx(
+        0.0, abs=1e-6
+    )
+    t = s + rng.normal(size=s.shape).astype(np.float32)
+    assert float(grid_kd_loss(s, t, None, temperature=2.0)) > 1e-4
+
+
+def test_vector_kd_loss_is_masked_mse():
+    from seld_tpu.distill import vector_kd_loss
+
+    rng = np.random.default_rng(2)
+    s = rng.normal(size=(3, 4, 5, 3)).astype(np.float32)
+    t = rng.normal(size=(3, 4, 5, 3)).astype(np.float32)
+    em = np.array([1.0, 1.0, 0.0], np.float32)
+    got = float(vector_kd_loss(s, t, em))
+    per_ex = ((s - t) ** 2).reshape(3, -1).mean(axis=1)
+    want = float((per_ex * em).sum() / em.sum())
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+# ------------------------------------------------------------- step wiring
+
+
+def _teacher_ckpt(cfg, tmp_path, corpus_train, corpus_test):
+    from seld_tpu.train import train_model
+
+    workdir = tmp_path / "teacher"
+    train_model(cfg, corpus_train, corpus_test, workdir=workdir)
+    return workdir
+
+
+def test_distilling_step_alpha0_matches_plain(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.distill import DistillSpec, grid_kd_loss
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.models import build_model
+    from seld_tpu.train import create_train_state, make_optimizer, make_train_step
+
+    cfg = tiny_config(tmp_path)
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    model = build_model(cfg.model, cfg.grid)
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    mel, mask = corpus.gather(np.arange(2))
+    mel, mask = jnp.asarray(mel), jnp.asarray(mask)
+    em = jnp.ones((2,), jnp.float32)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), mel)
+    # "teacher" = an independently initialized copy of the same tiny model
+    t_state = create_train_state(model, opt, jax.random.PRNGKey(7), mel)
+    t_vars = {"params": t_state.params}
+    if t_state.batch_stats:
+        t_vars["batch_stats"] = t_state.batch_stats
+    spec = lambda alpha: DistillSpec(
+        apply=lambda v, x: model.apply(v, x, train=False),
+        kd=grid_kd_loss, alpha=alpha, temperature=2.0,
+    )
+
+    plain = make_train_step(model, loss_fn, opt, cfg.grid.num_classes,
+                            donate=False)
+    dist0 = make_train_step(model, loss_fn, opt, cfg.grid.num_classes,
+                            donate=False, distill=spec(0.0))
+    rng = jax.random.PRNGKey(1)
+    _, m_plain = plain(state, mel, mask, em, rng)
+    _, m_dist0 = dist0(state, mel, mask, em, rng, t_vars)
+    # alpha=0: the hard objective is untouched; kd is still reported
+    assert float(m_dist0["loss"]) == pytest.approx(float(m_plain["loss"]),
+                                                   rel=1e-6)
+    assert float(m_dist0["hard"]) == pytest.approx(float(m_plain["loss"]),
+                                                   rel=1e-6)
+    assert np.isfinite(float(m_dist0["kd"])) and float(m_dist0["kd"]) > 0
+
+    # alpha=0.7 blends the reported total
+    dist = make_train_step(model, loss_fn, opt, cfg.grid.num_classes,
+                           donate=False, distill=spec(0.7))
+    _, m1 = dist(state, mel, mask, em, rng, t_vars)
+    assert float(m1["loss"]) == pytest.approx(
+        0.3 * float(m1["hard"]) + 0.7 * float(m1["kd"]), rel=1e-5
+    )
+
+
+def test_distill_accum_decomposes_exactly():
+    """Gradient accumulation decomposes the KD term exactly (it is an
+    em-normalized per-example mean, like MSE) — pinned on a BN-free,
+    dropout-free model, the regime where accumulation is exact (BN
+    models deviate by construction: per-microbatch statistics)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.distill import DistillSpec, grid_kd_loss
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.train import create_train_state, make_optimizer
+    from seld_tpu.train.steps import make_train_step
+
+    class NoBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            b, t, c, f = x.shape
+            y = nn.Dense(32)(x.reshape(b, t, c * f))
+            y = nn.relu(y)
+            y = nn.DenseGeneral(features=(14, 648))(y)
+            return y.astype(jnp.float32)
+
+    cfg = Config()
+    model = NoBN()
+    loss_fn = SELDLossFn(cfg.loss, cfg.grid)
+    opt = make_optimizer(1e-3)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((4, 6, 4, 64)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2**13, (4, 6, 648)).astype(np.uint16))
+    em = jnp.ones((4,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    t_state = create_train_state(model, opt, jax.random.PRNGKey(9), mel)
+    t_vars = {"params": t_state.params}
+    spec = DistillSpec(
+        apply=lambda v, x: model.apply(v, x, train=False),
+        kd=grid_kd_loss, alpha=0.7, temperature=2.0,
+    )
+
+    def run(accum):
+        state = create_train_state(model, opt, jax.random.PRNGKey(1), mel)
+        step = make_train_step(model, loss_fn, opt, 14, donate=False,
+                               accum_steps=accum, distill=spec)
+        return step(state, mel, mask, em, key, t_vars)
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    assert float(m2["kd"]) == pytest.approx(float(m1["kd"]), rel=1e-5)
+    assert float(m2["hard"]) == pytest.approx(float(m1["hard"]), rel=1e-5)
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+# ------------------------------------------------------------- trainer e2e
+
+
+def test_trainer_distills_from_teacher_checkpoint(tmp_path):
+    from seld_tpu.train import train_model
+
+    cfg_t = tiny_config(tmp_path)
+    train_c = synthetic_corpus(cfg_t, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg_t, n_files=1, seconds=3.0, seed=1)
+    teacher_dir = _teacher_ckpt(cfg_t, tmp_path, train_c, test_c)
+
+    # student: a DIFFERENT (smaller) architecture, same corpus contract
+    cfg_s = tiny_config(
+        tmp_path,
+        **{
+            "model.crnn_cnn_channels": "4,8",
+            "model.crnn_rnn_hidden": "8",
+            "train.distill_ckpt": str(teacher_dir),
+            "train.distill_alpha": "0.5",
+            "train.distill_temperature": "3.0",
+        },
+    )
+    workdir = tmp_path / "student"
+    _, history = train_model(cfg_s, train_c, test_c, workdir=workdir)
+    recs = [json.loads(l) for l in
+            (workdir / "metrics.jsonl").read_text().splitlines()]
+    assert recs, "no metrics records written"
+    for r in recs:
+        assert "kd" in r["train"] and "hard" in r["train"]
+        assert np.isfinite(r["train"]["kd"])
+        assert r["train"]["loss"] == pytest.approx(
+            0.5 * r["train"]["hard"] + 0.5 * r["train"]["kd"], rel=1e-4
+        )
+
+
+def test_distill_rejects_cross_representation_and_mismatched_inputs(tmp_path):
+    from seld_tpu.distill import load_teacher
+    from seld_tpu.train import train_model
+
+    cfg_t = tiny_config(tmp_path)
+    train_c = synthetic_corpus(cfg_t, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg_t, n_files=1, seconds=3.0, seed=1)
+    teacher_dir = _teacher_ckpt(cfg_t, tmp_path, train_c, test_c)
+    win = train_c.window_frames
+    ch = train_c.mel.shape[1]
+
+    # grid teacher -> ACCDOA student: named error
+    cfg_acc = tiny_config(tmp_path, **{
+        "model.model_type": "accdoa_conformer",
+        "train.distill_ckpt": str(teacher_dir),
+    })
+    with pytest.raises(ValueError, match="cross-representation"):
+        load_teacher(cfg_acc, teacher_dir, win, ch)
+
+    # mismatched window config: named error
+    cfg_win = tiny_config(tmp_path, **{
+        "window.window_seconds": "2.0",
+        "train.distill_ckpt": str(teacher_dir),
+    })
+    with pytest.raises(ValueError, match="window"):
+        load_teacher(cfg_win, teacher_dir, win, ch)
+
+    # alpha out of range: named error from the trainer
+    cfg_bad = tiny_config(tmp_path, **{
+        "train.distill_ckpt": str(teacher_dir),
+        "train.distill_alpha": "1.5",
+    })
+    with pytest.raises(ValueError, match="distill_alpha"):
+        train_model(cfg_bad, train_c, test_c, workdir=tmp_path / "bad")
+
+    # missing checkpoint: named error
+    cfg_missing = tiny_config(tmp_path, **{
+        "train.distill_ckpt": str(tmp_path / "nowhere"),
+    })
+    with pytest.raises(FileNotFoundError):
+        load_teacher(cfg_missing, tmp_path / "nowhere", win, ch)
