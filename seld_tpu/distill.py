@@ -24,7 +24,9 @@ Config-driven (`train.distill_ckpt` + `distill_alpha` / `distill_temperature`):
         regression target; multi-ACCDOA distills the teacher's track
         arrangement as-is — the teacher's track assignment is a
         deterministic function of the input, so position-wise MSE is
-        well-posed);
+        well-defined, though noisier near teacher track-swap
+        boundaries than the permutation-invariant hard ADPIT loss;
+        see docs/RECIPES.md for the user-facing guidance);
   * teacher variables travel as jitted-step ARGUMENTS, never closure
     constants (a 60M-param constant tree blows up remote TPU compiles —
     the same rule `seld_tpu.quant` follows for quant trees).

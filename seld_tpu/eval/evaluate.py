@@ -69,11 +69,15 @@ def evaluate_model(
     amount before every decode — the detection operating point
     (SELDPredictor.bg_bias); losses stay on the unbiased logits for
     comparability, decisions/metrics/visualizations use the biased ones.
-    bg_bias_sweep (iterable of floats): ONE forward per batch, every
-    bias decoded on device, and the report gains a per-bias DCASE2022
-    table + the SELD_error-best bias — the calibration tool that tunes
-    bg_bias on a validation corpus (sweep decodes are always from the
-    PLAIN per-window logits, not the TTA average)."""
+    bg_bias_sweep (iterable of floats): one forward per batch PER VIEW,
+    every bias decoded on device, and the report gains a per-bias
+    DCASE2022 table + the SELD_error-best bias — the calibration tool
+    that tunes bg_bias on a validation corpus. The sweep calibrates the
+    decode path THIS eval uses: with tta_transforms set, candidate
+    biases are decoded from the TTA-averaged biased probabilities
+    (the bias enters pre-softmax per view, so a bias tuned on the plain
+    decode does not transfer to the TTA decode — calibrate per path);
+    otherwise from the plain per-window logits."""
     log = get_logger()
     if int8 and mesh is not None:
         raise ValueError(
@@ -202,6 +206,20 @@ def evaluate_model(
             kind=tta_kind,
         )
         log.info("Eval TTA enabled (%d transforms)", len(tta_transforms))
+    tta_sweep_fwd = None
+    if tta_fwd is not None and sweep is not None:
+        # calibrate the bias UNDER the TTA decode (see the docstring) —
+        # raw (unbiased) logits per view, each candidate bias applied
+        # pre-softmax inside the TTA average
+        from seld_tpu.tta import make_tta_forward as _mk_tta
+
+        tta_sweep_fwd = _mk_tta(
+            lambda ctx, m: _apply_raw(ctx[0], ctx[1], m),
+            cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set,
+            transforms=tta_transforms,
+            kind="grid",
+            bias_sweep=sweep,
+        )
     if accdoa_mode:
         from seld_tpu.accdoa import (
             ACCDOALossFn,
@@ -283,6 +301,13 @@ def evaluate_model(
             true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)
             if sweep is None:
                 pred_sw = jnp.zeros((), jnp.int8)
+            elif tta_sweep_fwd is not None:
+                # per-bias TTA-averaged probs (K, B, T, M, G) -> argmax
+                # over the class axis: the sweep scores the decode path
+                # in use
+                with attention_mesh(mesh):
+                    probs_k = tta_sweep_fwd((qt, state), mel)
+                pred_sw = jnp.argmax(probs_k, axis=3).astype(jnp.int8)
             else:
                 # one forward, every candidate bias decoded on device
                 # (sequential map keeps peak memory at ~one logits copy)

@@ -106,6 +106,13 @@ def make_train_step(model, loss_fn: SELDLossFn, optimizer, num_classes: int,
 
     def step(state: TrainState, mel, label_mask, example_mask, rng,
              teacher_vars=None):
+        if distill is not None and teacher_vars is None:
+            # Caught at trace time: without this, the teacher forward
+            # fails deep inside model.apply with a cryptic flax error.
+            raise ValueError(
+                "this train step was built with distillation "
+                "(distill is set): pass the teacher_vars argument"
+            )
         dropout_rng = jax.random.fold_in(rng, state.step)
         if spatial_augment is not None:
             sp_rng, dropout_rng = jax.random.split(dropout_rng)

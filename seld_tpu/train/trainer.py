@@ -391,6 +391,12 @@ def train_model(
                 f"train.distill_alpha must be in [0, 1], got "
                 f"{cfg.train.distill_alpha}"
             )
+        if cfg.train.distill_temperature <= 0.0:
+            raise ValueError(
+                f"train.distill_temperature must be > 0 (it divides the "
+                f"logits inside the KD loss), got "
+                f"{cfg.train.distill_temperature}"
+            )
         distill_spec, teacher_vars, t_meta = load_teacher(
             cfg, cfg.train.distill_ckpt, win, n_feat_ch
         )

@@ -66,7 +66,8 @@ def validate_transforms(transforms) -> tuple:
 
 def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
                      transforms=None, kind: str = "grid",
-                     activity_threshold: float = 0.5):
+                     activity_threshold: float = 0.5,
+                     bias_sweep=None):
     """Build the TTA-averaged forward.
 
     apply_fn(ctx, mel) -> model output for one feature batch
@@ -82,12 +83,28 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
         ambiguity that makes raw multi-ACCDOA outputs unaverageable),
         inverse-permuted, and averaged; threshold with
         seld_tpu.accdoa.decode_vote_grid_jnp (majority vote).
+
+    `bias_sweep` (grid kind only): a length-K vector of candidate
+    background decode biases. The returned fwd then yields
+    (K, B, T, M, G) — for each candidate bias, the view-average of
+    softmax(bias_background_logits(logits, b)). The model forward runs
+    ONCE per view (the expensive part); only the bias+softmax+gather is
+    replayed per candidate — this is the calibration path that tunes
+    bg_bias UNDER the TTA decode (the bias enters pre-softmax per view,
+    so the biased average is not recoverable from the unbiased one, and
+    a bias tuned on the plain decode can sit far from the TTA-decode
+    optimum — see benchmarks/flagship_synth_accuracy.py).
     """
     import jax
     import jax.numpy as jnp
 
     if kind not in ("grid", "accdoa", "multi_accdoa"):
         raise ValueError(f"unknown TTA kind {kind!r}")
+    if bias_sweep is not None and kind != "grid":
+        raise ValueError(
+            "bias_sweep applies to grid TTA only — ACCDOA decodes have "
+            "no background logit"
+        )
     sel = validate_transforms(transforms)
     cell_gather, ch_perm, ch_sign = acs_tables(n_el, n_az, feature_set)
     cp = jnp.asarray(ch_perm[list(sel)])
@@ -109,12 +126,18 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
         xs = {"cp": cp, "cs": cs, "inv": jnp.asarray(ivp),
               "inv_sign": jnp.asarray(ivs)}
 
+    biases = None
+    if bias_sweep is not None:
+        biases = jnp.asarray(bias_sweep, jnp.float32).reshape(-1)
+
     def fwd(ctx, mel):
         out_sd = jax.eval_shape(lambda m: apply_fn(ctx, m), mel)
         if kind == "multi_accdoa":
             # (B, T, N, C, 3) model output -> (B, T, C, G) vote maps
             b, t, _, c_ev, _ = out_sd.shape
             acc0 = jnp.zeros((b, t, c_ev, n_el * n_az), jnp.float32)
+        elif biases is not None:
+            acc0 = jnp.zeros((biases.shape[0],) + out_sd.shape, jnp.float32)
         else:
             acc0 = jnp.zeros(out_sd.shape, jnp.float32)
 
@@ -123,7 +146,22 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
                 mel, row["cp"][None, None, :, None], axis=2
             ) * row["cs"][None, None, :, None]
             out = apply_fn(ctx, feats).astype(jnp.float32)
-            if kind == "grid":
+            if kind == "grid" and biases is not None:
+                from seld_tpu.infer import bias_background_logits
+
+                # one forward per view; each candidate bias replays only
+                # bias+softmax+gather (lax.map keeps one (B,T,M,G) probs
+                # copy live at a time)
+                back = jax.lax.map(
+                    lambda b: jnp.take_along_axis(
+                        jax.nn.softmax(
+                            bias_background_logits(out, b), axis=2
+                        ),
+                        row["inv"][None, None, None, :], axis=3,
+                    ),
+                    biases,
+                )  # (K, B, T, M, G)
+            elif kind == "grid":
                 probs = jax.nn.softmax(out, axis=2)  # class axis, (B,T,M,G)
                 back = jnp.take_along_axis(
                     probs, row["inv"][None, None, None, :], axis=3

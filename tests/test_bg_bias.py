@@ -124,6 +124,31 @@ def test_bias_bakes_into_export(tiny_crnn_ckpt, tmp_path):
     np.testing.assert_array_equal(got.classes, ref.classes)
 
 
+def test_sweep_under_tta_matches_dedicated_tta_evals(tmp_path):
+    """With tta_transforms set, the sweep calibrates the TTA decode:
+    each sweep row equals a dedicated eval at that bias under the SAME
+    transforms (the per-path calibration rule — a bias tuned on the
+    plain decode does not transfer to the TTA average, which is how the
+    round-3 swa_tta16_bias stage collapsed to background)."""
+    from seld_tpu.eval import evaluate_model
+
+    cfg, ckpt = train_tiny_checkpoint(
+        tmp_path, extra_overrides=["features.feature_set=mel_iv"]
+    )
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1,
+                              train=False)
+    biases = [0.0, 1.2]
+    views = (0, 3, 8)
+    m_sweep = evaluate_model(cfg, test_c, ckpt, save_visualizations=False,
+                             bg_bias_sweep=biases, tta_transforms=views)
+    sweep = m_sweep["bg_bias_sweep"]["metrics"]
+    for b in biases:
+        m_b = evaluate_model(cfg, test_c, ckpt, save_visualizations=False,
+                             bg_bias=b, tta_transforms=views)
+        for k in ("ER", "F_macro", "LE_macro", "LR_macro", "SELD_error"):
+            assert sweep[repr(b)][k] == float(m_b["dcase2022"][k]), (b, k)
+
+
 def test_bias_composes_with_tta_identity(tmp_path):
     """Bias applies inside each TTA view (pre-softmax): identity-only
     TTA at bias b reproduces the plain biased decisions exactly."""
