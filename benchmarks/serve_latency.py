@@ -1,0 +1,219 @@
+"""Serve-daemon tail latency: per-push p50/p95/p99 at 1/4/8 streams.
+
+serve_batch_perf.json proves AGGREGATE throughput (2.17x at 8 streams
+with cross-stream batching) but publishes no per-push percentiles — a
+serving claim without tail latency is half a claim (round-3 review #8).
+
+Methodology: the protocol is fire-and-forget (chunks stream in, result
+fragments stream out as windows complete — seld_tpu/serve.py), so
+"latency" is measured under PACED real-time streaming, the live-audio
+scenario: each client sends one 1 s chunk every 1 s of wall clock and
+records each result fragment's EMISSION LAG — fragment arrival time
+minus the send time of the most recent push (the push that completed
+the fragment's window; pacing gaps, 1 s, far exceed service time, so
+the attribution is unambiguous). The flush counts as the final push
+(it triggers the tail windows). Lag percentiles are pooled over all
+fragments of all streams per configuration.
+
+Configurations: 1 / 4 / 8 concurrent streams with cross-stream
+batching (the production mode, batch_wait=25 ms ~ one tunnel RTT), and
+8 streams without batching (the lock-serialized contrast). Outputs are
+asserted bit-equal to the offline predictor in every configuration.
+
+Note on the measurement floor: every device call here pays a ~30-40 ms
+tunnel round trip that a real TPU-VM deployment would not; the
+percentiles are upper bounds for production.
+
+Writes benchmarks/results/serve_latency.json.
+Run in background on the chip; NEVER timeout-kill (wedges the grant).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+RESULTS = REPO / "benchmarks" / "results"
+SR, SECONDS, CHUNK_S = 24000, 30.0, 1.0
+CONFIGS = [("batched_1", 1, True), ("batched_4", 4, True),
+           ("batched_8", 8, True), ("locked_8", 8, False)]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def paced_client(host, port, chunks, pace_s: float):
+    """Send chunks at real-time pace; return (classes, lags_s)."""
+    import base64
+    import socket
+
+    from seld_tpu.serve import _LEN
+
+    frags, lags, err = [], [], []
+    send_times = []  # monotonic stamps, appended before each write
+    lock = threading.Lock()
+
+    with socket.create_connection((host, port)) as sock:
+        wf = sock.makefile("wb")
+        rf = sock.makefile("rb")
+
+        def reader():
+            try:
+                while True:
+                    line = rf.readline()
+                    if not line:
+                        raise ConnectionError("server closed without done")
+                    msg = json.loads(line.decode())
+                    if "error" in msg:
+                        raise RuntimeError(msg["error"])
+                    if msg.get("done"):
+                        return
+                    t_arr = time.monotonic()
+                    with lock:
+                        t_send = max(
+                            (t for t in send_times if t <= t_arr),
+                            default=t_arr,
+                        )
+                    lags.append(t_arr - t_send)
+                    classes = np.frombuffer(
+                        base64.b64decode(msg["classes_b64"]), np.int8
+                    ).reshape(msg["shape"])
+                    frags.append((msg["start_frame"], classes))
+            except Exception as e:
+                err.append(e)
+
+        t = threading.Thread(target=reader)
+        t.start()
+        wf.write((json.dumps({"channels": 4}) + "\n").encode())
+        wf.flush()
+        t_next = time.monotonic()
+        for chunk in chunks:
+            now = time.monotonic()
+            if now < t_next:
+                time.sleep(t_next - now)
+            data = np.ascontiguousarray(chunk, np.float32).tobytes()
+            with lock:
+                send_times.append(time.monotonic())
+            wf.write(_LEN.pack(len(data)))
+            wf.write(data)
+            wf.flush()
+            t_next += pace_s
+        with lock:
+            send_times.append(time.monotonic())  # flush = final push
+        wf.write(_LEN.pack(0))
+        wf.flush()
+        t.join(timeout=600)
+        if err:
+            raise err[0]
+        assert not t.is_alive(), "no done message within 600 s"
+
+    frags.sort(key=lambda kv: kv[0])
+    classes = np.concatenate([c for _, c in frags], axis=0)
+    return classes, lags
+
+
+def main():
+    RESULTS.mkdir(exist_ok=True)
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from seld_tpu.config import Config
+    from seld_tpu.infer import SELDPredictor
+    from seld_tpu.models import build_model
+    from seld_tpu.serve import SELDServer
+    from seld_tpu.train import create_train_state, make_optimizer
+    from seld_tpu.train.checkpoint import CheckpointManager
+
+    cfg = Config()
+    root = Path(tempfile.mkdtemp(prefix="serve_latency_"))
+    model = build_model(cfg.model, cfg.grid)
+    opt = make_optimizer(cfg.train.learning_rate)
+    sample = jnp.zeros((8, 250, 4, 64), jnp.float32)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), sample)
+    mgr = CheckpointManager(root / "ckpt", cfg)
+    mgr.save_best(1, state, 1.0, 1.0)
+    mgr.wait()
+    mgr.close()
+
+    rng = np.random.default_rng(0)
+    wave = (rng.standard_normal((4, int(SR * SECONDS))) * 0.1).astype(
+        np.float32
+    )
+    chunk = int(SR * CHUNK_S)
+    chunks = [wave[:, i: i + chunk] for i in range(0, wave.shape[1], chunk)]
+
+    predictor = SELDPredictor(root / "ckpt", batch_windows=8)
+    t0 = time.time()
+    ref = predictor.predict_waveform(wave)  # warms the compile
+    log(f"warmup (compile + offline reference) {time.time() - t0:.1f}s")
+
+    results = {}
+    for key, n_streams, batched in CONFIGS:
+        server = SELDServer(predictor, port=0, max_streams=n_streams,
+                            batch_streams=batched,
+                            batch_wait_s=0.025 if batched else 0.0)
+        thread = server.serve_background()
+        outs, all_lags = {}, []
+
+        def run(name):
+            classes, lags = paced_client(
+                "127.0.0.1", server.port, chunks, CHUNK_S
+            )
+            outs[name] = classes
+            all_lags.extend(lags)
+
+        threads = [threading.Thread(target=run, args=(f"s{i}",))
+                   for i in range(n_streams)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=1200)
+        wall = time.time() - t0
+        assert not any(t.is_alive() for t in threads), "client stream hung"
+        assert len(outs) == n_streams, f"{len(outs)}/{n_streams} completed"
+        thread.join(timeout=120)
+        server.server_close()
+        for name, classes in outs.items():
+            np.testing.assert_array_equal(classes, ref.classes, err_msg=name)
+
+        lags_ms = np.asarray(all_lags) * 1e3
+        entry = {
+            "n_streams": n_streams,
+            "batched": batched,
+            "pace_s": CHUNK_S,
+            "clip_seconds": SECONDS,
+            "fragments": int(lags_ms.size),
+            "p50_ms": round(float(np.percentile(lags_ms, 50)), 1),
+            "p95_ms": round(float(np.percentile(lags_ms, 95)), 1),
+            "p99_ms": round(float(np.percentile(lags_ms, 99)), 1),
+            "max_ms": round(float(lags_ms.max()), 1),
+            "wall_s": round(wall, 1),
+            "bit_equal_streams": len(outs),
+        }
+        results[key] = entry
+        log(f"[{key}] {entry}")
+        print(json.dumps({key: entry}), flush=True)
+
+    (RESULTS / "serve_latency.json").write_text(
+        json.dumps(results, indent=2) + "\n"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,15 @@ genuinely learnable and the DCASE metrics are meaningful. Training
 uses weighted CE (see the inline comment at the overrides for why
 point-target MSE cannot work here).
 
+SCOPE (round-4 re-scope): this fixture-scale study operates in the
+collapse regime (best F_macro <= 0.14, LE >= 152 deg), where individual
+lever deltas sit inside the noise — e.g. acs_tta16 scores WORSE than
+acs alone here while the flagship-scale capstone shows TTA16 clearly
+helping (SELD 0.129 -> 0.118). Treat flagship_synth_accuracy.json as
+the accuracy evidence for lever magnitudes; this artifact remains the
+pinned record of the FAILURE MODES (TTA suppressing a non-ACS model to
+background; MSE unlearnable on point targets) — see docs/RECIPES.md.
+
 Runs on CPU (forced) — small model, minutes. Writes
 benchmarks/results/tta_swa_accuracy.json.
 """
