@@ -23,9 +23,17 @@ reduced scale, on CPU (both sides — removes the device variable):
     wd=1e-4, ReduceLROnPlateau(0.5, patience 5), batch 16, same number
     of epochs, plain 4-channel log-mel features (the reference has no
     spatial features), no augmentation/EMA on the seld side;
-  * compared: per-epoch train/test loss trajectories, final test loss,
-    and the reference's own accuracy metrics (overall + non-background
-    cell accuracy, trainer.py:541-556) from each side's eval.
+  * compared: per-epoch train/test loss trajectories (weighted CE on
+    both sides — the reference's final test_model loss is excluded
+    from deltas because it rebuilds the criterion WITHOUT class
+    weights, trainer.py:482-488), and the reference's own accuracy
+    metrics (overall + non-background cell accuracy,
+    trainer.py:541-556) on BOTH the held-out test windows and the
+    train windows: at this deliberately small scale both frameworks
+    memorize train events and decode test scenes to background, and
+    parity means they agree on both behaviors, not that either
+    generalizes (the capstone with ACS/SpecAugment is the
+    generalization evidence).
 
 torchaudio is not installed in this environment, so the study installs
 a minimal semantics-faithful shim before importing the reference:
@@ -208,6 +216,14 @@ def run_reference(tmp: Path, train_files, test_files) -> dict:
         test_loader, model_path=ckpt_dir / "best_model.pth",
         device=torch.device("cpu"), save_visualizations=False,
     )
+    # memorization check: the reference's own eval on the TRAIN windows
+    # (its test_model takes any loader; shuffle off for determinism)
+    train_eval_loader = DataLoader(train_ds, batch_size=BATCH,
+                                   shuffle=False, num_workers=0)
+    results_train = ref_trainer.test_model(
+        train_eval_loader, model_path=ckpt_dir / "best_model.pth",
+        device=torch.device("cpu"), save_visualizations=False,
+    )
     return {
         "train_windows": len(train_ds),
         "test_windows": len(test_ds),
@@ -216,10 +232,17 @@ def run_reference(tmp: Path, train_files, test_files) -> dict:
         "test_losses": [float(x) for x in history["test_losses"]],
         "best_test_loss": float(history["best_test_loss"]),
         "best_epoch": int(history["best_epoch"]),
-        "test_loss": float(results["test_loss"]),
+        # NOTE: the reference's test_model rebuilds its criterion WITHOUT
+        # the class weights train-time uses (trainer.py:482-488), so this
+        # loss is unweighted CE — comparable only to another unweighted
+        # CE, not to the weighted epoch-loop losses above (a faithful
+        # reference quirk, kept as-is).
+        "test_loss_unweighted": float(results["test_loss"]),
         "overall_accuracy": float(results["overall_accuracy"]),
         "non_bg_accuracy": float(results["non_bg_accuracy"]),
         "checkpoint_epoch": int(results["checkpoint_epoch"]),
+        "train_overall_accuracy": float(results_train["overall_accuracy"]),
+        "train_non_bg_accuracy": float(results_train["non_bg_accuracy"]),
     }
 
 
@@ -259,6 +282,13 @@ def run_seld_tpu(tmp: Path, train_files, test_files) -> dict:
     recs = [json.loads(l) for l in
             (workdir / "metrics.jsonl").read_text().splitlines()]
     m = evaluate_model(cfg, test_c, workdir, save_visualizations=False)
+    # memorization check: eval on the TRAIN windows (rebuilt train=False:
+    # no augmentation path — matches the reference's eval of train data)
+    train_eval_c = build_corpus(train_files[0], train_files[1],
+                                cfg.features, cfg.grid, cfg.window,
+                                cfg.targets, train=False)
+    m_tr = evaluate_model(cfg, train_eval_c, workdir,
+                          save_visualizations=False)
     return {
         "train_windows": len(train_c),
         "test_windows": len(test_c),
@@ -267,12 +297,14 @@ def run_seld_tpu(tmp: Path, train_files, test_files) -> dict:
         "test_losses": [r["test"]["loss"] for r in recs],
         "best_test_loss": min(r["test"]["loss"] for r in recs),
         "best_epoch": min(recs, key=lambda r: r["test"]["loss"])["epoch"],
-        "test_loss": float(m["test_loss"]),
+        "test_loss_weighted": float(m["test_loss"]),
         "overall_accuracy": float(m["overall_accuracy"]),
         "non_bg_accuracy": float(m["non_bg_accuracy"]),
         "checkpoint_epoch": int(m["checkpoint_epoch"]),
         "dcase2022_SELD_error": float(m["dcase2022"]["SELD_error"]),
         "dcase2022_F_macro": float(m["dcase2022"]["F_macro"]),
+        "train_overall_accuracy": float(m_tr["overall_accuracy"]),
+        "train_non_bg_accuracy": float(m_tr["non_bg_accuracy"]),
     }
 
 
@@ -308,13 +340,21 @@ def main():
             "reference": ref,
             "seld_tpu": seld,
             "deltas": {
-                "final_test_loss": seld["test_loss"] - ref["test_loss"],
+                # weighted-CE epoch-loop losses: like-for-like on both
+                # sides (the reference's final test_model loss is
+                # UNWEIGHTED CE — its own quirk, see run_reference)
                 "best_test_loss":
                     seld["best_test_loss"] - ref["best_test_loss"],
                 "overall_accuracy":
                     seld["overall_accuracy"] - ref["overall_accuracy"],
                 "non_bg_accuracy":
                     seld["non_bg_accuracy"] - ref["non_bg_accuracy"],
+                "train_overall_accuracy":
+                    seld["train_overall_accuracy"]
+                    - ref["train_overall_accuracy"],
+                "train_non_bg_accuracy":
+                    seld["train_non_bg_accuracy"]
+                    - ref["train_non_bg_accuracy"],
             },
         }
         (RESULTS / "reference_parity.json").write_text(

@@ -295,3 +295,45 @@ def test_distill_rejects_cross_representation_and_mismatched_inputs(tmp_path):
     })
     with pytest.raises(FileNotFoundError):
         load_teacher(cfg_missing, tmp_path / "nowhere", win, ch)
+
+    # temperature <= 0 would divide by zero inside the KD loss: named
+    # error from the trainer (ADVICE r3)
+    cfg_temp = tiny_config(tmp_path, **{
+        "train.distill_ckpt": str(teacher_dir),
+        "train.distill_temperature": "0.0",
+    })
+    with pytest.raises(ValueError, match="distill_temperature"):
+        train_model(cfg_temp, train_c, test_c, workdir=tmp_path / "bad_t")
+
+
+def test_distilling_step_requires_teacher_vars(tmp_path):
+    """A step built with distill set fails with a NAMED error at trace
+    time when the trailing teacher_vars argument is omitted (ADVICE r3:
+    the raw failure was a cryptic flax error deep in model.apply)."""
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.distill import DistillSpec, grid_kd_loss
+    from seld_tpu.losses import SELDLossFn
+    from seld_tpu.models import build_model
+    from seld_tpu.train import create_train_state, make_optimizer
+    from seld_tpu.train.steps import make_train_step
+
+    cfg = tiny_config(tmp_path)
+    corpus = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=0)
+    model = build_model(cfg.model, cfg.grid)
+    mel, mask = corpus.gather(np.arange(2) % len(corpus))
+    state = create_train_state(
+        model, make_optimizer(1e-3), jax.random.PRNGKey(0),
+        jnp.asarray(mel),
+    )
+    spec = DistillSpec(
+        apply=lambda v, m: model.apply(v, m, train=False),
+        kd=grid_kd_loss, alpha=0.5, temperature=2.0,
+    )
+    step = make_train_step(model, SELDLossFn(cfg.loss, cfg.grid),
+                           make_optimizer(1e-3), cfg.grid.num_classes,
+                           donate=False, distill=spec)
+    with pytest.raises(ValueError, match="teacher_vars"):
+        step(state, jnp.asarray(mel), jnp.asarray(mask),
+             jnp.ones((2,), jnp.float32), jax.random.PRNGKey(1))
