@@ -306,6 +306,21 @@ def main():
         cfg, test_c, tmp / "ckpt", save_visualizations=False, int8=True))
     log("best_int8", json.dumps(results["best_int8"]))
 
+    # Temporal majority smoothing (predict --median-filter): width tuned
+    # on the validation corpus (host-side — the sweep costs one eval
+    # pass), scored on held-out test.
+    widths = [1, 3, 5, 7, 9]
+    m_mf = evaluate_model(cfg, tune_c, tmp / "ckpt",
+                          save_visualizations=False,
+                          median_filter_sweep=widths)
+    results["median_sweep_val"] = m_mf["median_filter_sweep"]
+    w_star = int(m_mf["median_filter_sweep"]["best"]["median_filter"])
+    log(f"median sweep (val, seed 300): best width {w_star}")
+    results["best_median"] = pick(evaluate_model(
+        cfg, test_c, tmp / "ckpt", save_visualizations=False,
+        median_filter=w_star))
+    log("best_median", json.dumps(results["best_median"]))
+
     # Full advertised composition: SWA + TTA16 + per-path bias + int8.
     results["swa_tta16_bias_int8"] = pick(evaluate_model(
         cfg, test_c, swa_dir, save_visualizations=False, bg_bias=b_tta,

@@ -138,6 +138,12 @@ def cmd_eval(cfg: Config, args, logger):
             if (sweep_spec := getattr(args, "bg_bias_sweep", None))
             else None
         ),
+        median_filter=getattr(args, "median_filter", 0),
+        median_filter_sweep=(
+            [int(w) for w in str(mf_spec).split(",") if w.strip()]
+            if (mf_spec := getattr(args, "median_filter_sweep", None))
+            else None
+        ),
     )
     printable = {k: v for k, v in results.items() if k != "visualizations"}
     print(json.dumps(printable, indent=2, default=str))
@@ -218,9 +224,16 @@ def cmd_predict(cfg: Config, args, logger):
                 "baked at export time (export --bg-bias)"
             )
         predictor = SELDPredictor.from_artifact(args.artifact)
+        if args.median_filter:
+            from seld_tpu.postprocess import validate_width
+
+            # host-side post-op — composes with artifacts (unlike the
+            # baked-in bias/int8)
+            predictor.median_filter = validate_width(args.median_filter)
     else:
         predictor = SELDPredictor(cfg.data.checkpoint_path, cfg,
-                                  bg_bias=args.bg_bias)
+                                  bg_bias=args.bg_bias,
+                                  median_filter=args.median_filter)
     if args.int8:
         # self-calibration on the inputs being served: PTQ activation
         # scales from the first clip(s), then int8 inference throughout
@@ -473,6 +486,19 @@ def main(argv=None) -> int:
         help="with --int8: quantize weights only (original-precision "
         "compute — the export --int8-weight-only numerics)",
     )
+    p_eval.add_argument(
+        "--median-filter", type=int, default=0, metavar="W",
+        help="temporal majority smoothing of decoded prediction grids "
+        "over an odd W-frame window before metrics (the eval gate for "
+        "predict --median-filter; composes with --tta/--int8/--bg-bias)",
+    )
+    p_eval.add_argument(
+        "--median-filter-sweep", default=None, metavar="W1,W2,...",
+        help="calibrate --median-filter: the filter runs host-side on "
+        "already-decoded grids, so every listed width is scored from "
+        "ONE eval pass — per-width DCASE2022 table + best width in the "
+        "report",
+    )
     p_eval.set_defaults(fn=cmd_eval)
 
     p_verify = sub.add_parser("verify", parents=[common])
@@ -524,6 +550,13 @@ def main(argv=None) -> int:
     p_pred.add_argument(
         "--bg-bias", type=float, default=0.0, metavar="B",
         help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep)",
+    )
+    p_pred.add_argument(
+        "--median-filter", type=int, default=0, metavar="W",
+        help="temporal majority smoothing of the decoded class grid over "
+        "an odd W-frame window (tune with eval --median-filter-sweep; "
+        "applies to assembled predictions, so --stream output stays "
+        "bit-equal to offline; composes with --artifact)",
     )
     p_pred.set_defaults(fn=cmd_predict)
 

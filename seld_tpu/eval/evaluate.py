@@ -52,6 +52,8 @@ def evaluate_model(
     int8_calib_batches: int = 4,
     bg_bias: float = 0.0,
     bg_bias_sweep=None,
+    median_filter: int = 0,
+    median_filter_sweep=None,
 ) -> dict:
     """tta_transforms: optional ACS TTA subset (seld_tpu.tta) — prediction
     grids (and therefore every accuracy/DCASE metric) come from the
@@ -77,7 +79,18 @@ def evaluate_model(
     biases are decoded from the TTA-averaged biased probabilities
     (the bias enters pre-softmax per view, so a bias tuned on the plain
     decode does not transfer to the TTA decode — calibrate per path);
-    otherwise from the plain per-window logits."""
+    otherwise from the plain per-window logits.
+
+    median_filter (odd frames): temporal majority smoothing of the
+    decoded prediction grids (seld_tpu.postprocess) before metrics —
+    the eval gate for `predict --median-filter`. Composes with
+    bias/TTA/int8 (it smooths whatever those decode). Applied
+    per eval window (the corpus windows are the decode unit here).
+    median_filter_sweep (iterable of odd widths): the filter runs on
+    the HOST on already-gathered grids, so sweeping widths costs zero
+    extra forwards — the report gains a per-width DCASE2022 table and
+    the SELD_error-best width. The bg_bias_sweep rows stay unfiltered
+    (one sweep dimension at a time)."""
     log = get_logger()
     if int8 and mesh is not None:
         raise ValueError(
@@ -346,6 +359,17 @@ def evaluate_model(
     pred_classes = np.concatenate(preds, axis=0)  # (N, T, G) int8
     true_classes = np.concatenate(trues, axis=0)
 
+    from seld_tpu.postprocess import smooth_classes, validate_width
+
+    median_filter = validate_width(median_filter)
+    raw_pred_classes = pred_classes
+    if median_filter > 1:
+        pred_classes = smooth_classes(
+            pred_classes, median_filter, num_classes
+        )
+        log.info("Median filter (majority, %d frames) applied to "
+                 "prediction grids", median_filter)
+
     acc = accuracy_metrics(pred_classes, true_classes, cfg.grid.background_class)
     dcase = seld_metrics(
         pred_classes, true_classes, cfg.grid.n_el, cfg.grid.n_az, num_classes
@@ -407,6 +431,38 @@ def evaluate_model(
             "`predict --bg-bias %g`", best_b,
             sweep_report["best"]["SELD_error"], best_b,
         )
+    mf_report = None
+    if median_filter_sweep is not None:
+        widths = [validate_width(w) for w in median_filter_sweep]
+        if not widths:
+            raise ValueError("median_filter_sweep must list >=1 width")
+        mf_report = {"metrics": {}}
+        for w in widths:
+            pw = (raw_pred_classes if w <= 1 else
+                  smooth_classes(raw_pred_classes, w, num_classes))
+            mw = dcase2022_metrics(
+                pw, true_classes, cfg.grid.n_el, cfg.grid.n_az, num_classes
+            )
+            row = {key: float(mw[key]) for key in
+                   ("ER", "F_macro", "LE_macro", "LR_macro", "SELD_error")}
+            mf_report["metrics"][str(w)] = row
+            log.info(
+                "  median_filter %d: ER %.3f F %.3f LE %.1f deg LR %.3f | "
+                "SELD_error %.3f", w, row["ER"], row["F_macro"],
+                row["LE_macro"], row["LR_macro"], row["SELD_error"],
+            )
+        best_w = min(
+            widths, key=lambda w: mf_report["metrics"][str(w)]["SELD_error"]
+        )
+        mf_report["best"] = {
+            "median_filter": best_w, **mf_report["metrics"][str(best_w)]
+        }
+        log.info(
+            "  -> best median_filter %d (SELD_error %.3f); serve with "
+            "`predict --median-filter %d`", best_w,
+            mf_report["best"]["SELD_error"], best_w,
+        )
+
     # Per-class breakdown (classes present in the ground truth).
     from seld_tpu.config import STARSS22_CLASSES
 
@@ -496,4 +552,6 @@ def evaluate_model(
         "quantized_int8": bool(int8),
         "bg_bias": float(bg_bias),
         **({"bg_bias_sweep": sweep_report} if sweep_report else {}),
+        "median_filter": int(median_filter),
+        **({"median_filter_sweep": mf_report} if mf_report else {}),
     }

@@ -93,7 +93,8 @@ class SELDPredictor:
     """Checkpoint-backed predictor with a single compiled forward."""
 
     def __init__(self, checkpoint_dir, cfg: Config | None = None,
-                 batch_windows: int = 8, bg_bias: float = 0.0):
+                 batch_windows: int = 8, bg_bias: float = 0.0,
+                 median_filter: int = 0):
         """bg_bias: background-logit decode bias (grid models only). The
         background class's logit is reduced by this amount before every
         argmax/softmax — a post-hoc detection operating point, tuned on
@@ -101,7 +102,14 @@ class SELDPredictor:
         toward a likelihood whose plain argmax need not be the best
         decision rule; measured -18% SELD_error on the probe corpus,
         benchmarks/results/bg_bias_probe.json). Applies uniformly to
-        plain/int8/TTA/streaming forwards."""
+        plain/int8/TTA/streaming forwards.
+
+        median_filter: odd temporal window (frames) for majority
+        smoothing of the decoded class grid (seld_tpu.postprocess) —
+        applied to COMPLETE assembled predictions (predict_waveform and
+        stream_predict filter the same assembled grid, keeping
+        offline==stream bit-equality by construction; the serve
+        daemon's incremental fragments stay raw). 0 disables."""
         stored = load_checkpoint_config(checkpoint_dir)
         if stored is None and cfg is None:
             raise FileNotFoundError(f"no checkpoint config under {checkpoint_dir}")
@@ -149,6 +157,9 @@ class SELDPredictor:
                 "bg_bias applies to grid models only — ACCDOA decodes "
                 "have no background logit"
             )
+        from seld_tpu.postprocess import validate_width
+
+        self.median_filter = validate_width(median_filter)
         grid_cfg = self.cfg.grid
 
         @jax.jit
@@ -234,6 +245,9 @@ class SELDPredictor:
             self.kind = "grid"
         # decode bias, if any, was baked into the exported forwards
         self.bg_bias = float(sidecar.get("bg_bias", 0.0))
+        # host-side post-op: settable after construction (predict
+        # --median-filter composes with artifacts)
+        self.median_filter = 0
         fwd = jax.jit(call)
         self._forward = lambda state, mel: fwd(mel)
         if sidecar.get("has_probs"):
@@ -514,6 +528,17 @@ class SELDPredictor:
                 ])
             yield np.asarray(fn(self.state, jnp.asarray(chunk)))[:n_valid]
 
+    def _smooth(self, classes: np.ndarray) -> np.ndarray:
+        """Temporal majority smoothing on an ASSEMBLED (T, G) grid (the
+        median_filter decode option); identity at width 0/1."""
+        if self.median_filter <= 1:
+            return classes
+        from seld_tpu.postprocess import smooth_classes
+
+        return smooth_classes(
+            classes, self.median_filter, self.cfg.grid.num_classes
+        )
+
     def predict_waveform(self, wave: np.ndarray, overlap: float = 0.0) -> Prediction:
         """wave: float32 (C, N) at the configured sample rate.
 
@@ -545,7 +570,7 @@ class SELDPredictor:
             outs = list(self._batched(windows, self._forward))
             classes = np.concatenate(outs, axis=0).reshape(n_windows * win, -1)
             return Prediction(
-                classes=classes[:t_total],
+                classes=self._smooth(classes[:t_total]),
                 n_el=cfg.grid.n_el,
                 n_az=cfg.grid.n_az,
                 num_classes=cfg.grid.num_classes,
@@ -583,7 +608,7 @@ class SELDPredictor:
                 row += 1
         avg = prob_sum[:t_total] / np.maximum(count[:t_total], 1.0)
         return Prediction(
-            classes=self._decode_avg(avg),
+            classes=self._smooth(self._decode_avg(avg)),
             n_el=cfg.grid.n_el,
             n_az=cfg.grid.n_az,
             num_classes=cfg.grid.num_classes,

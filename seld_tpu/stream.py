@@ -311,7 +311,12 @@ def stream_predict(predictor: SELDPredictor, chunks,
         np.concatenate(parts, axis=0)
         if parts else np.zeros((0, cfg.grid.n_cells), np.int8)
     )
+    # median_filter applies to the ASSEMBLED grid — the same input the
+    # offline path filters, so bit-equality with predict_waveform is
+    # preserved by construction (per-fragment emissions above stay raw:
+    # a centered filter needs lookahead).
     return Prediction(
-        classes=classes, n_el=cfg.grid.n_el, n_az=cfg.grid.n_az,
+        classes=predictor._smooth(classes),
+        n_el=cfg.grid.n_el, n_az=cfg.grid.n_az,
         num_classes=cfg.grid.num_classes,
     )
