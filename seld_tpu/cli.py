@@ -280,6 +280,7 @@ def cmd_export(cfg: Config, args, logger):
         int8_calib_waves=calib_waves,
         int8_weight_only=args.int8_weight_only,
         bg_bias=args.bg_bias,
+        median_filter=args.median_filter,
     )
     logger.info("Serving artifact written: %s", out)
     return 0
@@ -586,6 +587,12 @@ def main(argv=None) -> int:
         "--bg-bias", type=float, default=0.0, metavar="B",
         help="bake a validation-tuned background decode bias into the "
         "exported forwards (grid models; see eval --bg-bias-sweep)",
+    )
+    p_exp.add_argument(
+        "--median-filter", type=int, default=0, metavar="W",
+        help="record a tuned temporal-smoothing width in the artifact "
+        "sidecar (host-side post-op; from_artifact applies it "
+        "automatically; see eval --median-filter-sweep)",
     )
     p_exp.set_defaults(fn=cmd_export)
 

@@ -29,6 +29,7 @@ from pathlib import Path
 import jax
 import numpy as np
 
+from seld_tpu.postprocess import validate_width
 from seld_tpu.utils.logging import get_logger
 
 
@@ -42,6 +43,7 @@ def export_serving(
     int8_calib_mel=None,
     int8_weight_only: bool = False,
     bg_bias: float = 0.0,
+    median_filter: int = 0,
 ) -> Path:
     """Export the checkpoint's forward pass; returns the artifact path.
 
@@ -126,6 +128,9 @@ def export_serving(
         "quantized_int8": bool(p.quantized),
         "int8_weight_only": bool(p.quantized and int8_weight_only),
         "bg_bias": float(bg_bias),
+        # host-side post-op: recorded so from_artifact applies the tuned
+        # width automatically (not baked into the device program)
+        "median_filter": int(validate_width(median_filter)),
         # Full config: lets SELDPredictor.from_artifact rebuild the
         # feature front-end + window geometry with no checkpoint tree.
         "config": config_to_dict(cfg),

@@ -245,9 +245,14 @@ class SELDPredictor:
             self.kind = "grid"
         # decode bias, if any, was baked into the exported forwards
         self.bg_bias = float(sidecar.get("bg_bias", 0.0))
-        # host-side post-op: settable after construction (predict
-        # --median-filter composes with artifacts)
-        self.median_filter = 0
+        # host-side post-op: the sidecar carries the export-time tuned
+        # width; predict --median-filter can still override after
+        # construction
+        from seld_tpu.postprocess import validate_width
+
+        self.median_filter = validate_width(
+            sidecar.get("median_filter", 0)
+        )
         fwd = jax.jit(call)
         self._forward = lambda state, mel: fwd(mel)
         if sidecar.get("has_probs"):

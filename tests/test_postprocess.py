@@ -138,6 +138,37 @@ def test_eval_filter_and_sweep_consistency(tiny_crnn_ckpt):
     )
 
 
+def test_export_sidecar_carries_median_filter(tiny_crnn_ckpt, tmp_path):
+    """export --median-filter records the tuned width in the sidecar;
+    from_artifact applies it automatically and reproduces the live
+    filtered predictor bit-for-bit."""
+    import json as _json
+
+    from seld_tpu.export import export_serving
+    from seld_tpu.train.checkpoint import load_checkpoint_config
+
+    cfg = load_checkpoint_config(tiny_crnn_ckpt)
+    wavs, _ = synthetic_raw_files(tmp_path / "wav", cfg, n_files=1,
+                                  seconds=2.5)
+    wave = load_wav(wavs[0])[0]
+    out = export_serving(tiny_crnn_ckpt, tmp_path / "m.stablehlo",
+                         batch_windows=2, median_filter=5)
+    assert _json.loads((tmp_path / "m.stablehlo.json").read_text())[
+        "median_filter"] == 5
+
+    live = SELDPredictor(tiny_crnn_ckpt, batch_windows=2, median_filter=5)
+    art = SELDPredictor.from_artifact(out)
+    assert art.median_filter == 5
+    np.testing.assert_array_equal(
+        art.predict_waveform(wave).classes,
+        live.predict_waveform(wave).classes,
+    )
+
+    with pytest.raises(ValueError, match="odd"):
+        export_serving(tiny_crnn_ckpt, tmp_path / "bad.stablehlo",
+                       batch_windows=2, median_filter=2)
+
+
 def test_cli_predict_median_filter(tiny_crnn_ckpt, tmp_path, monkeypatch):
     from seld_tpu.cli import main
     from seld_tpu.train.checkpoint import load_checkpoint_config
