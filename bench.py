@@ -8,6 +8,16 @@ Pipeline measured (the BASELINE.json north-star workload): 5 s windows of
 forward (the reference's default model, ref config.py:39), end to end in
 one jitted program.
 
+Headline config (round 4): int8 w8a8 PTQ — the accuracy-gated production
+serving configuration (argmax agreement 0.99997 in int8_accuracy.json;
+full-scale DCASE-metric gate in flagship_synth_accuracy.json's best_int8
+stage). The bf16 path is measured alongside and logged; if the int8
+measurement fails for any reason the headline falls back to bf16.
+Roofline context (benchmarks/serving_roofline.json): bf16 serving runs
+at ~68% MFU of the v5e bf16 speed-of-light — the remaining share is the
+profiled non-MXU conv padding/memory work — so the measured lever past
+the bf16 plateau is int8's higher peak, not more bf16 fusion.
+
 Baseline: the reference's own CPU throughput on identical shapes — its
 torch ResNet50-Conformer forward (imported from /root/reference, CPU) plus
 an equivalent numpy mel front-end (torchaudio is unavailable in this
@@ -78,14 +88,17 @@ def measure_tpu() -> float:
         mel = log_mel_spectrogram(wave)  # (B, 4, 64, T)
         return jnp.transpose(mel, (0, 3, 1, 2))[:, :WIN_FRAMES]
 
-    @jax.jit
-    def chained(variables, wave, n):  # n: traced scalar -> single compile
-        def body(i, acc):
-            w = wave + i.astype(jnp.float32) * 1e-6  # defeat CSE across iters
-            out = model.apply(variables, features(w), train=False)
-            return acc + out.mean()
+    def chained_of(apply_fn):
+        @jax.jit
+        def chained(variables, qt, wave, n):  # n traced -> single compile
+            def body(i, acc):
+                w = wave + i.astype(jnp.float32) * 1e-6  # defeat CSE
+                out = apply_fn(variables, qt, features(w))
+                return acc + out.astype(jnp.float32).mean()
 
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        return chained
 
     rng = jax.random.PRNGKey(0)
     wave = jax.random.normal(rng, (BATCH, 4, N_SAMPLES), jnp.float32)
@@ -93,29 +106,57 @@ def measure_tpu() -> float:
     variables = init_variables(model, rng, mel0)
 
     n_short, n_delta = 2, 20
-    t0 = time.time()
-    float(chained(variables, wave, n_short))
-    log(f"tpu compile+first: {time.time() - t0:.2f}s")
 
-    def timed(n, reps=3):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            float(chained(variables, wave, n))  # scalar read-back = true sync
-            best = min(best, time.time() - t0)
-        return best
+    def measure_variant(name, chained, qt):
+        t0 = time.time()
+        float(chained(variables, qt, wave, n_short))
+        log(f"tpu[{name}] compile+first: {time.time() - t0:.2f}s")
 
-    t_short = timed(n_short)
-    t_long = timed(n_short + n_delta)
-    per_iter = (t_long - t_short) / n_delta
-    thr = BATCH * WINDOW_S / per_iter
-    log(
-        f"tpu: short({n_short})={t_short * 1e3:.1f}ms "
-        f"long({n_short + n_delta})={t_long * 1e3:.1f}ms -> "
-        f"{per_iter * 1e3:.2f} ms/iter ({BATCH} windows) -> "
-        f"{thr:.1f} audio_s/s/chip"
+        def timed(n, reps=3):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                float(chained(variables, qt, wave, n))  # scalar = true sync
+                best = min(best, time.time() - t0)
+            return best
+
+        t_short = timed(n_short)
+        t_long = timed(n_short + n_delta)
+        per_iter = (t_long - t_short) / n_delta
+        thr = BATCH * WINDOW_S / per_iter
+        log(
+            f"tpu[{name}]: short({n_short})={t_short * 1e3:.1f}ms "
+            f"long({n_short + n_delta})={t_long * 1e3:.1f}ms -> "
+            f"{per_iter * 1e3:.2f} ms/iter ({BATCH} windows) -> "
+            f"{thr:.1f} audio_s/s/chip"
+        )
+        return thr
+
+    thr_bf16 = measure_variant(
+        "bf16",
+        chained_of(lambda v, q, mel: model.apply(v, mel, train=False)),
+        (),
     )
-    return thr
+    thr_int8 = None
+    if on_tpu:
+        # int8 w8a8 PTQ headline (accuracy-gated; see module docstring).
+        # Any failure falls back to the bf16 headline — the bench must
+        # never die on the headline-promotion path.
+        try:
+            from seld_tpu.quant import quantize_model, quantized_apply
+
+            calib = features(wave)
+            qt = quantize_model(model, variables, [calib])
+            thr_int8 = measure_variant(
+                "int8",
+                chained_of(
+                    lambda v, q, mel: quantized_apply(model, v, q, mel)
+                ),
+                qt,
+            )
+        except Exception as e:  # noqa: BLE001 — headline fallback by design
+            log(f"int8 measurement failed ({e!r}); bf16 headline")
+    return thr_bf16, thr_int8
 
 
 def measure_cpu_reference() -> float:
@@ -232,7 +273,14 @@ def main():
             f"bench requires the TPU backend, got {backend!r} "
             "(set SELD_BENCH_ALLOW_CPU=1 to measure CPU explicitly)"
         )
-    tpu = measure_tpu()
+    thr_bf16, thr_int8 = measure_tpu()
+    if thr_int8 is not None and thr_int8 > thr_bf16:
+        tpu, variant = thr_int8, (
+            "int8 w8a8 PTQ (accuracy-gated; "
+            f"bf16 {round(thr_bf16, 1)})"
+        )
+    else:
+        tpu, variant = thr_bf16, "bf16"
     try:
         cpu = measure_cpu_reference()
         ratio = tpu / cpu if cpu > 0 else float("nan")
@@ -243,7 +291,7 @@ def main():
         json.dumps(
             {
                 "metric": "audio-sec/sec/chip, features+inference, "
-                "ResNet50-Conformer bf16, batch 16 x 5s windows",
+                f"ResNet50-Conformer {variant}, batch 16 x 5s windows",
                 "value": round(tpu, 2),
                 "unit": "audio_s/s/chip",
                 "vs_baseline": round(ratio, 2) if np.isfinite(ratio) else None,
