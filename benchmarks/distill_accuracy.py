@@ -28,6 +28,18 @@ nothing (round-3 review, weak #2). This version runs on the chip with:
     event). Distillation's mechanism is mimicry, so
     agreement(distilled, teacher) > agreement(plain, teacher) must
     hold regardless of where absolute accuracy lands.
+  * NEGATIVE CONTROL: the first run of this study (round 4, v1) used
+    UNWEIGHTED grid KD and measured the distilled student collapsing
+    toward background (non_bg 57.4% -> 24.9%, SELD_error 0.237 ->
+    0.497 vs the plain student) — >99% of grid cells are background
+    the teacher is near-certain about, so uniform KL pressure drowns
+    the event signal the background-down-weighted hard CE protects.
+    That run's checkpoint is kept (student_distilled_uniform_kd row)
+    as the measured justification for the class-weighted KD that
+    `seld_tpu.distill.load_teacher` now bakes into grid distillation.
+
+Student training state persists under benchmarks/state/ (per-workdir
+`train_done.json` markers) so reruns only retrain what changed.
 
 Writes benchmarks/results/distill_accuracy.json.
 Run on the chip in background; NEVER timeout-kill (wedges the grant).
@@ -81,7 +93,7 @@ def argmax_grids(cfg, ckpt_dir, corpus) -> np.ndarray:
     corpus — the representation the agreement statistic compares."""
     import jax.numpy as jnp
 
-    from seld_tpu.data.corpus import BatchIterator
+    from seld_tpu.data.sampler import BatchIterator
     from seld_tpu.models import build_model
     from seld_tpu.train import create_train_state, make_optimizer
     from seld_tpu.train.checkpoint import (
@@ -133,9 +145,9 @@ def main():
     from seld_tpu.train import train_model
     from seld_tpu.train.state import param_count
 
-    import tempfile
-
-    tmp = Path(tempfile.mkdtemp(prefix="distill_acc_"))
+    state_dir = REPO / "benchmarks" / "state" / f"distill_students_e{EPOCHS}"
+    state_dir.mkdir(parents=True, exist_ok=True)
+    tmp = state_dir  # per-student workdirs, persistent across reruns
     # the capstone recipe/corpus, with the serving study's student arch
     student_base = [
         "features.feature_set=mel_iv",
@@ -174,22 +186,38 @@ def main():
     results = {"student_epochs": EPOCHS,
                "teacher_state": str(TEACHER_STATE)}
 
-    t0 = time.time()
-    s_state, _ = train_model(cfg_plain, train_c, test_c,
-                             workdir=tmp / "student_plain")
-    results["student_params"] = int(param_count(s_state))
-    log(f"plain student: {time.time() - t0:.0f}s "
-        f"({results['student_params']:,} params)")
-    t0 = time.time()
-    train_model(cfg_dist, train_c, test_c, workdir=tmp / "student_distilled")
-    log(f"distilled student: {time.time() - t0:.0f}s")
+    def train_student(cfg_s, workdir) -> None:
+        marker = workdir / "train_done.json"
+        if marker.exists():
+            log(f"{workdir.name}: reusing trained state "
+                f"({json.loads(marker.read_text())})")
+            return
+        t0 = time.time()
+        st, _ = train_model(cfg_s, train_c, test_c, workdir=workdir)
+        marker.write_text(json.dumps({
+            "seconds": round(time.time() - t0),
+            "params": int(param_count(st)),
+        }) + "\n")
+        log(f"{workdir.name}: trained in {time.time() - t0:.0f}s "
+            f"({int(param_count(st)):,} params)")
 
-    for name, (cfg_e, ckpt, int8) in {
+    train_student(cfg_plain, tmp / "student_plain")
+    train_student(cfg_dist, tmp / "student_distilled")
+    results["student_params"] = json.loads(
+        (tmp / "student_plain" / "train_done.json").read_text())["params"]
+
+    eval_rows = {
         "teacher": (cfg_plain, TEACHER_STATE / "ckpt", False),
         "student_plain": (cfg_plain, tmp / "student_plain", False),
         "student_distilled": (cfg_dist, tmp / "student_distilled", False),
         "student_distilled_int8": (cfg_dist, tmp / "student_distilled", True),
-    }.items():
+    }
+    # negative control: the uniform-KD distilled student from the v1 run
+    # (see module docstring) — evaluated, never retrained
+    uniform = tmp / "student_distilled_uniform_kd"
+    if uniform.exists():
+        eval_rows["student_distilled_uniform_kd"] = (cfg_dist, uniform, False)
+    for name, (cfg_e, ckpt, int8) in eval_rows.items():
         m = evaluate_model(cfg_e, test_c, ckpt, save_visualizations=False,
                            int8=int8)
         results[name] = pick(m)
@@ -201,8 +229,11 @@ def main():
     bg = cfg_plain.grid.num_classes - 1
     ev = g_teacher != bg  # cells where the teacher predicts an event
     agreement = {}
-    for name, ckpt in (("plain", tmp / "student_plain"),
-                       ("distilled", tmp / "student_distilled")):
+    agree_rows = [("plain", tmp / "student_plain"),
+                  ("distilled", tmp / "student_distilled")]
+    if uniform.exists():
+        agree_rows.append(("distilled_uniform_kd", uniform))
+    for name, ckpt in agree_rows:
         g = argmax_grids(cfg_plain, ckpt, test_c)
         agreement[name] = {
             "overall": round(float((g == g_teacher).mean()), 6),
@@ -215,6 +246,39 @@ def main():
     (RESULTS / "distill_accuracy.json").write_text(
         json.dumps(results, indent=2) + "\n"
     )
+
+    # Join the serving payoff table with accuracy (round-3 review #2/#6:
+    # "a 3.52x-faster student is only meaningful paired with its
+    # accuracy at the served config"): annotate student_serving.json's
+    # measured rows with the accuracy each config reaches here.
+    serving_f = RESULTS / "student_serving.json"
+    if serving_f.exists():
+        serving = json.loads(serving_f.read_text())
+        acc_of = {
+            "resnet_conformer_flagship": ("teacher", results["teacher"]),
+            "crnn_student_16_32_64": (
+                "student_distilled", results["student_distilled"]),
+        }
+        for row, (label, acc) in acc_of.items():
+            if row in serving and isinstance(serving[row], dict):
+                serving[row]["accuracy"] = {
+                    "config": label,
+                    "F_macro": acc["F_macro"],
+                    "LE_macro": acc["LE_macro"],
+                    "SELD_error": acc["SELD_error"],
+                    "source": "distill_accuracy.json",
+                }
+        for row in ("crnn_reference", "conformer_reference"):
+            if row in serving and isinstance(serving[row], dict):
+                serving[row].setdefault(
+                    "accuracy",
+                    {"note": "throughput-only row (untrained init "
+                             "weights; dense forwards are "
+                             "weight-independent)"},
+                )
+        serving_f.write_text(json.dumps(serving, indent=2) + "\n")
+        log("student_serving.json annotated with accuracy columns")
+
     print(json.dumps(results))
 
 

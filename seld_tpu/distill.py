@@ -18,7 +18,10 @@ Config-driven (`train.distill_ckpt` + `distill_alpha` / `distill_temperature`):
     where the KD term depends on the output representation:
       - grid heads (class-major (B, T, M, G) logits): temperature-scaled
         KL(teacher || student) over the class axis, scaled by T^2
-        (Hinton et al. 2015) so gradients keep their magnitude as T grows;
+        (Hinton et al. 2015) so gradients keep their magnitude as T grows,
+        with each cell weighted by the teacher's predicted class under the
+        hard CE's background down-weighting (uniform KD over a ~99%-
+        background grid otherwise drowns the event signal — measured);
       - ACCDOA / multi-ACCDOA heads: masked MSE between the teacher's and
         student's Cartesian vectors (the representation IS already a
         regression target; multi-ACCDOA distills the teacher's track
@@ -56,13 +59,23 @@ def _masked_example_mean(per_example, example_mask):
 
 
 def grid_kd_loss(student_logits, teacher_logits, example_mask=None,
-                 temperature: float = 1.0):
+                 temperature: float = 1.0, class_weights=None):
     """Temperature-scaled KL(teacher || student) over the class axis.
 
     Logits are class-major `(B, T, M, G)` (class axis = -2, the layout
-    every grid head emits). Per-cell KL is averaged over (T, G) per
-    example, example-mask-weighted like every loss in
-    `seld_tpu.losses.seld_loss`, and scaled by `temperature**2`.
+    every grid head emits). Each cell's KL is weighted by
+    `class_weights[teacher argmax class]` and the total normalized
+    torch-CE-style (`sum(w*kl*em) / sum(w*em)`), mirroring
+    `losses.seld_loss.class_ce_loss` exactly; with `class_weights=None`
+    this reduces to the uniform cell mean. Scaled by `temperature**2`
+    (Hinton et al. 2015).
+
+    The weighting matters: SELD grids are ~99% background cells on
+    which a trained teacher is near-certain, so an unweighted KD term
+    is dominated by "predict background confidently" pressure that the
+    background-down-weighted hard CE does not counter — measured to
+    collapse a distilled student's non-background accuracy 57% -> 25%
+    (benchmarks/results/distill_accuracy.json, round-4 study v1).
     """
     s = student_logits.astype(jnp.float32) / temperature
     t = teacher_logits.astype(jnp.float32) / temperature
@@ -70,8 +83,15 @@ def grid_kd_loss(student_logits, teacher_logits, example_mask=None,
     log_pt = jax.nn.log_softmax(t, axis=-2)
     # sum_M p_t * (log p_t - log p_s): compute in log space for stability
     kl = jnp.sum(jnp.exp(log_pt) * (log_pt - log_ps), axis=-2)  # (B, T, G)
-    per_example = jnp.mean(kl.reshape(kl.shape[0], -1), axis=-1)
-    return _masked_example_mean(per_example, example_mask) * temperature**2
+    if class_weights is None:
+        w = jnp.ones_like(kl)
+    else:  # argmax is temperature-invariant: the teacher's hard class
+        w = class_weights[jnp.argmax(teacher_logits, axis=-2)]
+    em = jnp.ones((kl.shape[0],), jnp.float32) if example_mask is None \
+        else example_mask.astype(jnp.float32)
+    em = em.reshape((-1,) + (1,) * (kl.ndim - 1))
+    kl = jnp.sum(w * kl * em) / jnp.maximum(jnp.sum(w * em), 1e-8)
+    return kl * temperature**2
 
 
 def vector_kd_loss(student_vectors, teacher_vectors, example_mask=None,
@@ -187,7 +207,23 @@ def load_teacher(cfg, checkpoint_dir, window_frames: int, n_feat_ch: int):
     def apply(vars_, mel):
         return teacher.apply(vars_, mel, train=False)
 
-    kd = grid_kd_loss if t_kind == "grid" else vector_kd_loss
+    if t_kind == "grid":
+        # Weight each cell's KL by the teacher's predicted class using
+        # the same background down-weighting as the hard CE (see the
+        # grid_kd_loss docstring for why uniform KD collapses students).
+        # loss.background_class_weight=1.0 recovers uniform KD.
+        from functools import partial
+
+        from seld_tpu.losses.seld_loss import make_class_weights
+
+        kd = partial(
+            grid_kd_loss,
+            class_weights=make_class_weights(
+                cfg.grid.num_classes, cfg.loss.background_class_weight
+            ),
+        )
+    else:
+        kd = vector_kd_loss
     spec = DistillSpec(
         apply=apply,
         kd=kd,

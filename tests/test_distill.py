@@ -88,6 +88,121 @@ def test_grid_kd_loss_zero_iff_equal():
     assert float(grid_kd_loss(s, t, None, temperature=2.0)) > 1e-4
 
 
+def _weighted_kd_oracle(student, teacher, em, temperature, cw):
+    """Literal restatement of the class-weighted KD: each cell's KL is
+    weighted by cw[teacher argmax class], normalized torch-CE-style
+    (sum(w*kl*em) / sum(w*em)), times T^2."""
+    b, t, m, g = student.shape
+    num = den = 0.0
+    emv = np.ones(b) if em is None else np.asarray(em, np.float64)
+    for i in range(b):
+        for f in range(t):
+            for c in range(g):
+                s = student[i, f, :, c] / temperature
+                q = teacher[i, f, :, c] / temperature
+                ps = np.exp(s - s.max())
+                ps /= ps.sum()
+                pt = np.exp(q - q.max())
+                pt /= pt.sum()
+                kl = float(np.sum(pt * (np.log(pt) - np.log(ps))))
+                w = float(cw[int(np.argmax(teacher[i, f, :, c]))])
+                num += w * kl * emv[i]
+                den += w * emv[i]
+    return num / max(den, 1e-8) * temperature**2
+
+
+@pytest.mark.parametrize("temperature", [1.0, 3.0])
+def test_grid_kd_loss_class_weighted_matches_literal_oracle(temperature):
+    from seld_tpu.distill import grid_kd_loss
+
+    rng = np.random.default_rng(7)
+    s = rng.normal(size=(3, 2, 5, 4)).astype(np.float32) * 3
+    t = rng.normal(size=(3, 2, 5, 4)).astype(np.float32) * 3
+    em = np.array([1.0, 0.0, 1.0], np.float32)
+    cw = np.array([1.0, 1.0, 1.0, 1.0, 0.05], np.float32)  # bg = last class
+    got = float(grid_kd_loss(s, t, em, temperature=temperature,
+                             class_weights=cw))
+    want = _weighted_kd_oracle(s, t, em, temperature, cw)
+    assert got == pytest.approx(want, rel=1e-5)
+    # uniform weights reduce exactly to the unweighted form
+    ones = np.ones(5, np.float32)
+    got_u = float(grid_kd_loss(s, t, em, temperature=temperature,
+                               class_weights=ones))
+    assert got_u == pytest.approx(
+        float(grid_kd_loss(s, t, em, temperature=temperature)), rel=1e-6
+    )
+
+
+def test_grid_kd_loss_bg_weighting_damps_background_pressure():
+    """On a grid where the teacher predicts background almost everywhere,
+    down-weighting background must make the KD term track the event
+    cells: perturbing the student ONLY on teacher-background cells moves
+    the weighted loss far less than perturbing event cells does."""
+    from seld_tpu.distill import grid_kd_loss
+
+    rng = np.random.default_rng(8)
+    b, t, m, g = 2, 4, 6, 32
+    bg = m - 1
+    teacher = np.zeros((b, t, m, g), np.float32)
+    teacher[..., bg, :] = 6.0  # confident background everywhere...
+    teacher[0, :, 2, 0] = 12.0  # ...except one event cell
+    student = rng.normal(size=(b, t, m, g)).astype(np.float32)
+    cw = np.ones(m, np.float32)
+    cw[bg] = 0.05
+
+    pert_bg = student.copy()
+    pert_bg[..., :, 1:] += rng.normal(size=(b, t, m, g - 1)).astype(np.float32)
+    pert_ev = student.copy()
+    pert_ev[0, :, :, 0] += rng.normal(size=(t, m)).astype(np.float32)
+
+    def sensitivity_ratio(weights):
+        base = float(grid_kd_loss(student, teacher, class_weights=weights))
+        d_bg = abs(
+            float(grid_kd_loss(pert_bg, teacher, class_weights=weights))
+            - base)
+        d_ev = abs(
+            float(grid_kd_loss(pert_ev, teacher, class_weights=weights))
+            - base)
+        return d_ev / d_bg
+
+    # 31/32 of cells changed in pert_bg vs 1/32 in pert_ev; the 0.05 bg
+    # weight must shift the loss's sensitivity toward the event cell by
+    # an order of magnitude relative to uniform KD (31*0.05 vs 31 of
+    # aggregate background weight against the event cell's 1.0)
+    assert sensitivity_ratio(cw) > 10 * sensitivity_ratio(None)
+
+
+def test_load_teacher_bakes_class_weighted_kd(tmp_path):
+    """The spec returned for a grid teacher must carry the background
+    down-weighting: its kd differs from uniform grid_kd_loss on a
+    background-dominated pair, and matches grid_kd_loss with the CE's
+    class weights exactly."""
+    from seld_tpu.distill import grid_kd_loss, load_teacher
+    from seld_tpu.losses.seld_loss import make_class_weights
+
+    cfg = tiny_config(tmp_path)
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=4.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1,
+                              train=False)
+    ckpt = _teacher_ckpt(cfg, tmp_path, train_c, test_c)
+    spec, _, _ = load_teacher(cfg, ckpt, train_c.window_frames,
+                              train_c.mel.shape[1])
+
+    rng = np.random.default_rng(9)
+    m = cfg.grid.num_classes
+    s = rng.normal(size=(2, 3, m, 8)).astype(np.float32)
+    t = np.zeros_like(s)
+    t[..., m - 1, :] = 5.0  # background-dominated teacher
+    t[0, 0, 1, 0] = 9.0
+    cw = make_class_weights(m, cfg.loss.background_class_weight)
+    want = float(grid_kd_loss(s, t, None, temperature=spec.temperature,
+                              class_weights=cw))
+    got = float(spec.kd(s, t, None, temperature=spec.temperature))
+    assert got == pytest.approx(want, rel=1e-6)
+    uniform = float(grid_kd_loss(s, t, None, temperature=spec.temperature))
+    assert got != pytest.approx(uniform, rel=1e-3)
+
+
 def test_vector_kd_loss_is_masked_mse():
     from seld_tpu.distill import vector_kd_loss
 
