@@ -143,15 +143,26 @@ def install_torchaudio_shim():
 # matched hyperparameters
 # ---------------------------------------------------------------------------
 
-EPOCHS = 12
+import os
+
+EPOCHS = int(os.environ.get("PARITY_EPOCHS", "12"))
 BATCH = 16
 CRNN_CHANNELS = [16, 32, 64, 128]
 CRNN_HIDDEN = 64
 CRNN_LAYERS = 2
 CRNN_DROPOUT = 0.3
-N_TRAIN_CLIPS, TRAIN_SECONDS = 2, 40.0
+N_TRAIN_CLIPS = int(os.environ.get("PARITY_TRAIN_CLIPS", "2"))
+TRAIN_SECONDS = float(os.environ.get("PARITY_TRAIN_SECONDS", "40"))
 N_TEST_CLIPS, TEST_SECONDS = 1, 40.0
-DOA_STEP, EVENT_RATE = 45, 0.4
+DOA_STEP = 45
+EVENT_RATE = float(os.environ.get("PARITY_EVENT_RATE", "0.4"))
+_DEFAULT_SCALE = (EPOCHS, N_TRAIN_CLIPS, TRAIN_SECONDS, EVENT_RATE) == (
+    12, 2, 40.0, 0.4)
+# non-default scales write a scale-stamped artifact so a rerun never
+# silently overwrites existing evidence (round-3 advisor lesson)
+ARTIFACT = ("reference_parity.json" if _DEFAULT_SCALE else
+            f"reference_parity_e{EPOCHS}_c{N_TRAIN_CLIPS}"
+            f"x{TRAIN_SECONDS:.0f}s_r{EVENT_RATE}.json")
 
 
 def make_corpus_files(root: Path):
@@ -357,7 +368,7 @@ def main():
                     - ref["train_non_bg_accuracy"],
             },
         }
-        (RESULTS / "reference_parity.json").write_text(
+        (RESULTS / ARTIFACT).write_text(
             json.dumps(out, indent=2) + "\n"
         )
         print(json.dumps(out))
