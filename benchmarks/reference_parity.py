@@ -29,7 +29,14 @@ reduced scale, on CPU (both sides — removes the device variable):
     weights, trainer.py:482-488), and the reference's own accuracy
     metrics (overall + non-background cell accuracy,
     trainer.py:541-556) on BOTH the held-out test windows and the
-    train windows: at this deliberately small scale both frameworks
+    train windows, for BOTH the best checkpoint (what each framework's
+    selection kept) and the last rolling checkpoint (what training
+    actually learned by the end) — the two can diverge sharply when
+    the test-loss curve dips early (right after the background prior
+    is learned) and recovers slowly: best-ckpt selection then returns
+    an all-background model even though the final weights detect
+    events (measured: reference_parity_e40_c2x60s_r1.0.json, where the
+    reference's best epoch is 2); at this deliberately small scale both frameworks
     memorize train events and decode test scenes to background, and
     parity means they agree on both behaviors, not that either
     generalizes (the capstone with ACS/SpecAugment is the
@@ -235,7 +242,34 @@ def run_reference(tmp: Path, train_files, test_files) -> dict:
         train_eval_loader, model_path=ckpt_dir / "best_model.pth",
         device=torch.device("cpu"), save_visualizations=False,
     )
+    # learning-vs-selection decomposition: the best checkpoint can land
+    # on an early all-background epoch (a test-loss dip right after the
+    # background prior is learned) — score the LAST rolling checkpoint
+    # too, so "did training learn events at all" is answered separately
+    # from "did checkpoint selection keep them"
+    rolling = sorted(ckpt_dir.glob("checkpoint_epoch_*.pth"),
+                     key=lambda p: int(p.stem.rsplit("_", 1)[1]))
+    final = {}
+    if rolling:
+        final_test = ref_trainer.test_model(
+            test_loader, model_path=rolling[-1],
+            device=torch.device("cpu"), save_visualizations=False,
+        )
+        final_train = ref_trainer.test_model(
+            train_eval_loader, model_path=rolling[-1],
+            device=torch.device("cpu"), save_visualizations=False,
+        )
+        final = {
+            "final_ckpt_epoch": int(rolling[-1].stem.rsplit("_", 1)[1]),
+            "final_overall_accuracy": float(final_test["overall_accuracy"]),
+            "final_non_bg_accuracy": float(final_test["non_bg_accuracy"]),
+            "final_train_overall_accuracy":
+                float(final_train["overall_accuracy"]),
+            "final_train_non_bg_accuracy":
+                float(final_train["non_bg_accuracy"]),
+        }
     return {
+        **final,
         "train_windows": len(train_ds),
         "test_windows": len(test_ds),
         "wall_s": round(wall, 1),
@@ -300,7 +334,18 @@ def run_seld_tpu(tmp: Path, train_files, test_files) -> dict:
                                 cfg.targets, train=False)
     m_tr = evaluate_model(cfg, train_eval_c, workdir,
                           save_visualizations=False)
+    # final rolling checkpoint, matching the reference-side decomposition
+    m_fin = evaluate_model(cfg, test_c, workdir, save_visualizations=False,
+                           use_checkpoint="latest")
+    m_fin_tr = evaluate_model(cfg, train_eval_c, workdir,
+                              save_visualizations=False,
+                              use_checkpoint="latest")
     return {
+        "final_ckpt_epoch": int(m_fin["checkpoint_epoch"]),
+        "final_overall_accuracy": float(m_fin["overall_accuracy"]),
+        "final_non_bg_accuracy": float(m_fin["non_bg_accuracy"]),
+        "final_train_overall_accuracy": float(m_fin_tr["overall_accuracy"]),
+        "final_train_non_bg_accuracy": float(m_fin_tr["non_bg_accuracy"]),
         "train_windows": len(train_c),
         "test_windows": len(test_c),
         "wall_s": round(wall, 1),

@@ -144,6 +144,7 @@ def cmd_eval(cfg: Config, args, logger):
             if (mf_spec := getattr(args, "median_filter_sweep", None))
             else None
         ),
+        use_checkpoint=getattr(args, "use_checkpoint", "best"),
     )
     printable = {k: v for k, v in results.items() if k != "visualizations"}
     print(json.dumps(printable, indent=2, default=str))
@@ -454,6 +455,14 @@ def main(argv=None) -> int:
 
     p_eval = sub.add_parser("eval", parents=[common])
     p_eval.add_argument("--num-visualizations", type=int, default=5)
+    p_eval.add_argument(
+        "--use-checkpoint", choices=("best", "latest"), default="best",
+        dest="use_checkpoint",
+        help="which checkpoint to score: 'best' (default — the "
+        "test-loss/metric-selected serving artifact, EMA weights if the "
+        "run used train.ema_decay) or 'latest' (newest rolling "
+        "checkpoint, raw weights — late-training diagnostics)",
+    )
     p_eval.add_argument(
         "--tta", action="store_true",
         help="ACS test-time augmentation: metrics computed on predictions "

@@ -341,6 +341,13 @@ class TrainConfig:
     distill_ckpt: str = ""
     distill_alpha: float = 0.5
     distill_temperature: float = 2.0
+    # Multi-ACCDOA KD track matching: "permutation" (default) matches
+    # student to teacher tracks with a per-(frame, class) min over the
+    # N! track orderings — permutation-invariant, like the hard ADPIT
+    # loss, so students are not penalized near teacher track-swap
+    # boundaries. "position" is the plain slot-wise MSE. Grid and
+    # single-ACCDOA distillation ignore this knob.
+    distill_track_matching: str = "permutation"
     # SpecAugment (on-device, inside the jitted step; 0 masks = off).
     # A north-star extra — the reference only augments labels
     # (smrl_seld_gaussian.py:397-535), never features.

@@ -22,14 +22,19 @@ Config-driven (`train.distill_ckpt` + `distill_alpha` / `distill_temperature`):
         with each cell weighted by the teacher's predicted class under the
         hard CE's background down-weighting (uniform KD over a ~99%-
         background grid otherwise drowns the event signal — measured);
-      - ACCDOA / multi-ACCDOA heads: masked MSE between the teacher's and
-        student's Cartesian vectors (the representation IS already a
-        regression target; multi-ACCDOA distills the teacher's track
-        arrangement as-is — the teacher's track assignment is a
-        deterministic function of the input, so position-wise MSE is
-        well-defined, though noisier near teacher track-swap
-        boundaries than the permutation-invariant hard ADPIT loss;
-        see docs/RECIPES.md for the user-facing guidance);
+      - ACCDOA heads: masked MSE between the teacher's and student's
+        Cartesian vectors (the representation IS already a regression
+        target);
+      - multi-ACCDOA heads: the same MSE made PERMUTATION-INVARIANT over
+        the track axis, per (frame, class) — min over the N! track
+        orderings of the teacher, exactly the granularity the hard ADPIT
+        loss uses. A track assignment is arbitrary (that is why ADPIT
+        exists), so position-wise matching is a noisy objective near
+        teacher track-swap boundaries; the min removes that noise while
+        reducing to the position-wise value wherever the identity
+        ordering is already the best match.
+        `train.distill_track_matching=position` restores the plain
+        position-wise MSE (the pre-round-4 behavior);
   * teacher variables travel as jitted-step ARGUMENTS, never closure
     constants (a 60M-param constant tree blows up remote TPU compiles —
     the same rule `seld_tpu.quant` follows for quant trees).
@@ -106,6 +111,50 @@ def vector_kd_loss(student_vectors, teacher_vectors, example_mask=None,
             - teacher_vectors.astype(jnp.float32))
     sq = diff * diff
     per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=-1)
+    return _masked_example_mean(per_example, example_mask)
+
+
+def multi_accdoa_kd_loss(student_vectors, teacher_vectors,
+                         example_mask=None, temperature: float = 1.0):
+    """Track-permutation-invariant KD for multi-ACCDOA heads.
+
+    Inputs are `(B, T, N, C, 3)` (tracks, event classes, Cartesian axes).
+    Per (frame, class) the KD term is the MINIMUM over the N! orderings
+    of the teacher's track axis of the MSE over (track, axis) — the same
+    per-(frame, class) assignment granularity as `accdoa.adpit_loss`,
+    whose candidate set exists for exactly this reason: track slots are
+    an arbitrary labelling, and a student must not be penalized for
+    arranging the same sources in a different slot order. Because the
+    identity ordering is one of the candidates, this is pointwise <= the
+    position-wise `vector_kd_loss` and equal to it wherever the
+    teacher's own arrangement is already the student's best match.
+
+    N is static (3 for the registry's multi-ACCDOA models), so the N!=6
+    candidates unroll at trace time like ADPIT's do. `temperature` is
+    accepted for interface symmetry and ignored (regression target).
+    """
+    del temperature
+    import itertools
+
+    f32 = jnp.float32
+    s = student_vectors.astype(f32)  # (B, T, N, C, 3)
+    t = teacher_vectors.astype(f32)
+    if s.ndim != 5:
+        raise ValueError(
+            f"multi_accdoa_kd_loss expects (B, T, N, C, 3) track-major "
+            f"vectors, got shape {s.shape}"
+        )
+    n_tracks = s.shape[2]
+    # per ordering: MSE over (track, axis) -> (B, T, C)
+    per_perm = jnp.stack(
+        [jnp.mean(jnp.square(s - t[:, :, perm, :, :]), axis=(2, 4))
+         for perm in itertools.permutations(range(n_tracks))],
+        axis=0,
+    )
+    per_frame_class = jnp.min(per_perm, axis=0)  # (B, T, C)
+    per_example = jnp.mean(
+        per_frame_class.reshape(per_frame_class.shape[0], -1), axis=-1
+    )
     return _masked_example_mean(per_example, example_mask)
 
 
@@ -222,6 +271,17 @@ def load_teacher(cfg, checkpoint_dir, window_frames: int, n_feat_ch: int):
                 cfg.grid.num_classes, cfg.loss.background_class_weight
             ),
         )
+    elif t_kind == "multi_accdoa":
+        matching = cfg.train.distill_track_matching
+        if matching == "permutation":
+            kd = multi_accdoa_kd_loss
+        elif matching == "position":
+            kd = vector_kd_loss
+        else:
+            raise ValueError(
+                f"train.distill_track_matching must be 'permutation' or "
+                f"'position', got {matching!r}"
+            )
     else:
         kd = vector_kd_loss
     spec = DistillSpec(

@@ -54,6 +54,7 @@ def evaluate_model(
     bg_bias_sweep=None,
     median_filter: int = 0,
     median_filter_sweep=None,
+    use_checkpoint: str = "best",
 ) -> dict:
     """tta_transforms: optional ACS TTA subset (seld_tpu.tta) — prediction
     grids (and therefore every accuracy/DCASE metric) come from the
@@ -127,9 +128,25 @@ def evaluate_model(
     )
     template = create_train_state(model, optimizer, jax.random.PRNGKey(0), sample)
     ckpt = CheckpointManager(checkpoint_dir, cfg)
-    restored = ckpt.restore_best(template)
-    if restored is None:
+    # use_checkpoint="latest" scores the newest ROLLING checkpoint (raw
+    # final-ish weights) instead of the BEST one — useful for
+    # late-training diagnostics (e.g. "did the final model learn events
+    # the best-checkpoint selection discarded?", benchmarks/
+    # reference_parity.py). "best" keeps the reference's test_model
+    # semantics (trainer.py:394-711: always the best checkpoint).
+    if use_checkpoint == "latest":
         restored = ckpt.restore_latest(template)
+    elif use_checkpoint == "best":
+        restored = ckpt.restore_best(template)
+    else:
+        ckpt.close()
+        raise ValueError(
+            f"use_checkpoint must be 'best' or 'latest', got "
+            f"{use_checkpoint!r}"
+        )
+    if restored is None:
+        restored = (ckpt.restore_latest(template) if use_checkpoint == "best"
+                    else ckpt.restore_best(template))
     if restored is None:
         ckpt.close()
         raise FileNotFoundError(f"no checkpoint found under {checkpoint_dir}")

@@ -216,6 +216,107 @@ def test_vector_kd_loss_is_masked_mse():
     assert got == pytest.approx(want, rel=1e-6)
 
 
+def _perm_kd_oracle(student, teacher, em):
+    """Literal restatement: per (frame, class), min over all track
+    orderings of the teacher of the MSE over (track, axis); mean over
+    (T, C) per example; example-mask-weighted mean."""
+    import itertools
+
+    b, t, n, c, _ = student.shape
+    per_example = np.zeros(b)
+    for i in range(b):
+        acc = 0.0
+        for f in range(t):
+            for k in range(c):
+                best = np.inf
+                for perm in itertools.permutations(range(n)):
+                    mse = np.mean(
+                        (student[i, f, :, k, :]
+                         - teacher[i, f, list(perm), k, :]) ** 2
+                    )
+                    best = min(best, float(mse))
+                acc += best
+        per_example[i] = acc / (t * c)
+    if em is None:
+        return per_example.mean()
+    w = np.asarray(em, np.float64)
+    return float((per_example * w).sum() / max(w.sum(), 1e-8))
+
+
+def test_multi_accdoa_kd_loss_matches_literal_oracle():
+    from seld_tpu.distill import multi_accdoa_kd_loss
+
+    rng = np.random.default_rng(7)
+    s = rng.normal(size=(3, 4, 3, 5, 3)).astype(np.float32)
+    t = rng.normal(size=(3, 4, 3, 5, 3)).astype(np.float32)
+    em = np.array([1.0, 0.0, 1.0], np.float32)
+    got = float(multi_accdoa_kd_loss(s, t, em))
+    assert got == pytest.approx(_perm_kd_oracle(s, t, em), rel=1e-5)
+    got_unmasked = float(multi_accdoa_kd_loss(s, t, None))
+    assert got_unmasked == pytest.approx(_perm_kd_oracle(s, t, None),
+                                         rel=1e-5)
+
+
+def test_multi_accdoa_kd_is_track_permutation_invariant():
+    """Permuting the teacher's track axis must not change the loss (the
+    candidate set is the same up to ordering, and min is order-exact),
+    and a student matching the teacher under ANY track ordering scores
+    exactly zero — both properties position-wise MSE lacks."""
+    from seld_tpu.distill import multi_accdoa_kd_loss, vector_kd_loss
+
+    rng = np.random.default_rng(11)
+    s = rng.normal(size=(2, 3, 3, 4, 3)).astype(np.float32)
+    t = rng.normal(size=(2, 3, 3, 4, 3)).astype(np.float32)
+    base = float(multi_accdoa_kd_loss(s, t))
+    for perm in [(1, 0, 2), (2, 1, 0), (1, 2, 0)]:
+        assert float(multi_accdoa_kd_loss(s, t[:, :, perm])) == base
+
+    # student = teacher with swapped tracks: perm-KD 0, position-KD > 0
+    swapped = t[:, :, (2, 0, 1)]
+    assert float(multi_accdoa_kd_loss(swapped, t)) == 0.0
+    assert float(vector_kd_loss(swapped, t)) > 0.0
+
+    # identity candidate bounds it: perm-KD <= position-KD always
+    assert base <= float(vector_kd_loss(s, t)) + 1e-7
+
+
+def test_load_teacher_track_matching_knob(tmp_path):
+    """Multi-ACCDOA teachers get the permutation-invariant KD by
+    default, position-wise on request, and a named error otherwise."""
+    from seld_tpu.distill import load_teacher
+
+    cfg_t = tiny_config(tmp_path, **{
+        "model.model_type": "multi_accdoa_conformer",
+        "model.conf_d_model": "32",
+        "model.conf_n_heads": "4",
+        "model.conf_n_layers": "1",
+        "targets.accdoa": "true",
+        "targets.accdoa_tracks": "3",
+    })
+    train_c = synthetic_corpus(cfg_t, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg_t, n_files=1, seconds=3.0, seed=1)
+    teacher_dir = _teacher_ckpt(cfg_t, tmp_path, train_c, test_c)
+    win = train_c.window_frames
+    ch = train_c.mel.shape[1]
+
+    rng = np.random.default_rng(3)
+    s = rng.normal(size=(2, 3, 3, 4, 3)).astype(np.float32)
+    t = rng.normal(size=(2, 3, 3, 4, 3)).astype(np.float32)
+    swapped = t[:, :, (1, 2, 0)]
+
+    spec, _, _ = load_teacher(cfg_t, teacher_dir, win, ch)
+    assert float(spec.kd(swapped, t)) == 0.0  # permutation-invariant
+
+    cfg_pos = cfg_t.replace_path(
+        "train.distill_track_matching", "position")
+    spec_pos, _, _ = load_teacher(cfg_pos, teacher_dir, win, ch)
+    assert float(spec_pos.kd(swapped, t)) > 0.0  # slot-wise
+
+    cfg_bad = cfg_t.replace_path("train.distill_track_matching", "nope")
+    with pytest.raises(ValueError, match="distill_track_matching"):
+        load_teacher(cfg_bad, teacher_dir, win, ch)
+
+
 # ------------------------------------------------------------- step wiring
 
 

@@ -101,6 +101,33 @@ def test_evaluate_uses_checkpoint_architecture(tmp_path):
     assert np.isfinite(results["test_loss"])  # crnn weights actually loaded
 
 
+def test_evaluate_model_use_checkpoint(tmp_path):
+    """use_checkpoint='latest' scores the newest ROLLING checkpoint (its
+    epoch is the last trained epoch, not the best-test-loss one); bad
+    values get a named error."""
+    import pytest
+
+    from tests.test_train import tiny_config
+
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path, **{"train.num_epochs": "2"})
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+
+    latest = evaluate_model(cfg, test_c, tmp_path / "ckpt",
+                            num_visualizations=0, use_checkpoint="latest")
+    assert latest["checkpoint_epoch"] == 2  # newest rolling, by construction
+    assert np.isfinite(latest["test_loss"])
+
+    with pytest.raises(ValueError, match="use_checkpoint"):
+        evaluate_model(cfg, test_c, tmp_path / "ckpt",
+                       num_visualizations=0, use_checkpoint="final")
+
+
 def test_evaluate_model_end_to_end(tmp_path):
     from tests.test_train import tiny_config
 
