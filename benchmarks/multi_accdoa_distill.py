@@ -1,0 +1,346 @@
+"""Accuracy + objective study: multi-ACCDOA distillation and the
+track-matching knob (`train.distill_track_matching`).
+
+Round 4 made multi-ACCDOA KD track-permutation-invariant by default
+(seld_tpu/distill.py:multi_accdoa_kd_loss — per-(frame, class) min over
+the teacher's N! track orderings, the hard ADPIT loss's assignment
+granularity; ADVICE r3 #4). This study measures, on the real chip, the
+two claims behind that default:
+
+  1. **The position-wise objective is measurably noisy.** Track slots
+     are an arbitrary labelling (that is why ADPIT exists — reference
+     has no multi-ACCDOA at all; the scheme is the DCASE2022 baseline's,
+     and the hard loss here is permutation-invariant). For a trained
+     teacher/student pair the study reports, on teacher-active
+     (frame, class) cells of held-out scenes, the fraction where a
+     NON-identity track ordering fits strictly better than the
+     teacher's own slot arrangement, and the mean relative gap between
+     the position-wise and permutation-invariant KD values. Nonzero =
+     slot-wise matching penalizes students for reordering tracks.
+  2. **Distillation itself pays for multi-ACCDOA**, as it does for
+     grids (distill_accuracy.json): a small student distilled from a
+     bigger teacher under the same epoch budget should beat the plain
+     student on the DCASE table, and its decoded class-activity map
+     should agree with the teacher's more than the plain student's
+     does (the quality-independent mimicry statistic — computed in
+     DECODED space because raw track vectors are not comparable across
+     models, the same reason TTA votes in decoded space, seld_tpu/tta.py).
+
+Corpus: dense synthetic FOA scenes (event_rate 1.5/s so same-class
+temporal overlaps — the situations that FILL track slots B/C and make
+orderings ambiguous — actually occur; the artifact records the measured
+same-class-overlap prevalence from the ADPIT targets themselves).
+
+Teacher: multi_accdoa_conformer at the default conformer size.
+Students: one-layer d=96 multi_accdoa_conformer, trained 4 ways under
+the same budget: plain (hard ADPIT only), distilled with
+permutation-invariant KD (the default), distilled with position-wise
+KD (`train.distill_track_matching=position`), and the permutation
+student under int8 PTQ (the serving config).
+
+State persists under benchmarks/state/multi_accdoa_distill (per-workdir
+train_done.json markers) so reruns only retrain what changed.
+Writes benchmarks/results/multi_accdoa_distill.json.
+Run on the chip in background; NEVER timeout-kill (wedges the grant).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+RESULTS = REPO / "benchmarks" / "results"
+TEACHER_EPOCHS = int(os.environ.get("MAD_TEACHER_EPOCHS", "16"))
+STUDENT_EPOCHS = int(os.environ.get("MAD_STUDENT_EPOCHS", "8"))
+TRAIN_CLIPS = int(os.environ.get("MAD_TRAIN_CLIPS", "16"))
+EVENT_RATE = 1.5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def pick(metrics: dict) -> dict:
+    d22 = metrics["dcase2022"]
+    return {
+        "test_loss": round(float(metrics["test_loss"]), 6),
+        "overall_accuracy": round(float(metrics["overall_accuracy"]), 3),
+        "non_bg_accuracy": round(float(metrics["non_bg_accuracy"]), 3),
+        "ER": round(float(d22["ER"]), 4),
+        "F_macro": round(float(d22["F_macro"]), 4),
+        "LE_macro": round(float(d22["LE_macro"]), 2),
+        "LR_macro": round(float(d22["LR_macro"]), 4),
+        "SELD_error": round(float(d22["SELD_error"]), 4),
+    }
+
+
+def restore_forward(cfg, ckpt_dir, corpus):
+    """(state, jitted eval-mode forward returning (B,T,N,C,3) vectors)."""
+    import jax.numpy as jnp
+
+    from seld_tpu.models import build_model
+    from seld_tpu.train import create_train_state, make_optimizer
+    from seld_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_checkpoint_config,
+    )
+
+    cfg = cfg.replace_path("model", load_checkpoint_config(ckpt_dir).model)
+    model = build_model(cfg.model, cfg.grid)
+    sample = jnp.zeros(
+        (cfg.train.batch_size, corpus.window_frames, corpus.mel.shape[1],
+         cfg.model.n_mels), jnp.float32,
+    )
+    template = create_train_state(
+        model, make_optimizer(1e-3), jax.random.PRNGKey(0), sample
+    )
+    mgr = CheckpointManager(ckpt_dir, cfg)
+    state, _ = mgr.restore_best(template)
+    mgr.close()
+
+    @jax.jit
+    def fwd(st, mel):
+        return model.apply(st.variables(), mel, train=False)
+
+    return state, fwd
+
+
+def vectors_over(cfg, ckpt_dir, corpus) -> np.ndarray:
+    """(N, T, tracks, C, 3) f32 multi-ACCDOA outputs on a corpus."""
+    import jax.numpy as jnp
+
+    from seld_tpu.data.sampler import BatchIterator
+
+    state, fwd = restore_forward(cfg, ckpt_dir, corpus)
+    rows = []
+    for batch in BatchIterator(corpus, cfg.train.batch_size, shuffle=False):
+        rows.append(
+            np.asarray(fwd(state, jnp.asarray(batch.mel)),
+                       np.float32)[: batch.n_valid]
+        )
+    return np.concatenate(rows, axis=0)
+
+
+def matching_stats(student_v: np.ndarray, teacher_v: np.ndarray,
+                   activity_threshold: float = 0.5) -> dict:
+    """Position-vs-permutation objective statistics on teacher-active
+    (frame, class) cells. All in f64 numpy — this is analysis, not the
+    training objective."""
+    s = student_v.astype(np.float64)  # (N, T, n, C, 3)
+    t = teacher_v.astype(np.float64)
+    n_tracks = s.shape[2]
+    perms = list(itertools.permutations(range(n_tracks)))
+    # per-(window, frame, class) MSE over (track, axis), per ordering
+    per_perm = np.stack(
+        [((s - t[:, :, p, :, :]) ** 2).mean(axis=(2, 4)) for p in perms]
+    )  # (n_perms, N, T, C)
+    mse_id = per_perm[0]  # identity is permutations()'s first element
+    mse_min = per_perm.min(axis=0)
+    active = (np.linalg.norm(t, axis=-1) > activity_threshold).any(axis=2)
+    n_active = int(active.sum())
+    if n_active == 0:
+        return {"n_teacher_active_cells": 0}
+    gap = mse_id[active] - mse_min[active]
+    rel_gap = gap / np.maximum(mse_id[active], 1e-12)
+    return {
+        "n_teacher_active_cells": n_active,
+        # fraction where some non-identity ordering fits >1% better:
+        # the cells where slot-wise KD penalizes a reordering student
+        "frac_nonidentity_better": round(float((rel_gap > 0.01).mean()), 6),
+        "mean_rel_gap": round(float(rel_gap.mean()), 6),
+        "kd_position": round(float(mse_id[active].mean()), 8),
+        "kd_permutation": round(float(mse_min[active].mean()), 8),
+    }
+
+
+def activity_agreement(student_v, teacher_v, grid_cfg) -> dict:
+    """Decoded class-activity-map mimicry statistic (quality-independent,
+    like distill_accuracy.json's argmax agreement)."""
+    import jax.numpy as jnp
+
+    from seld_tpu.accdoa import multi_accdoa_class_activity_jnp
+
+    act = jax.jit(lambda v: multi_accdoa_class_activity_jnp(
+        v, grid_cfg.n_elevation, grid_cfg.n_azimuth))
+    a_s = np.asarray(act(jnp.asarray(student_v)))  # (N, T, C, G) {0,1}
+    a_t = np.asarray(act(jnp.asarray(teacher_v)))
+    ev = a_t > 0.5
+    inter = float(np.logical_and(a_s > 0.5, ev).sum())
+    union = float(np.logical_or(a_s > 0.5, ev).sum())
+    return {
+        "overall": round(float((np.equal(a_s > 0.5, ev)).mean()), 6),
+        "teacher_active_recall": round(
+            float((a_s[ev] > 0.5).mean()) if ev.any() else 0.0, 6),
+        "active_iou": round(inter / union if union else 1.0, 6),
+        "n_teacher_active": int(ev.sum()),
+    }
+
+
+def overlap_prevalence(corpus) -> dict:
+    """How often the corpus actually exercises multi-track slots:
+    fraction of ADPIT-active (frame, class) groups with >=2 simultaneous
+    same-class sources (slots B/C active, seld_tpu/accdoa.py:222)."""
+    adpit = corpus.accdoa  # (T_total, 6, 4, C)
+    act = adpit[:, :, 0, :] > 0.5  # (T, slot, C)
+    any_active = act.any(axis=1)
+    multi = act[:, 1:, :].any(axis=1)  # slots B0..C2
+    n_any = int(any_active.sum())
+    return {
+        "active_frame_class_groups": n_any,
+        "multi_source_groups": int(multi.sum()),
+        "frac_multi_source": round(
+            float(multi.sum() / n_any) if n_any else 0.0, 6),
+    }
+
+
+def main():
+    RESULTS.mkdir(exist_ok=True)
+    from bench import wait_for_accelerator
+
+    wait_for_accelerator()
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+    from seld_tpu.train import train_model
+    from seld_tpu.train.state import param_count
+
+    state_dir = REPO / "benchmarks" / "state" / "multi_accdoa_distill"
+    state_dir.mkdir(parents=True, exist_ok=True)
+
+    base = [
+        "features.feature_set=mel_iv",
+        "targets.accdoa=true",
+        "targets.accdoa_tracks=3",
+        "train.batch_size=16",
+        "train.learning_rate=3e-4",
+        "train.save_every_n_epochs=1",
+        "train.acs_augment=true",
+        "train.specaugment_time_masks=2",
+        "train.specaugment_freq_masks=2",
+        "train.ema_decay=0.98",
+        "train.select_metric=seld_error",
+        f"data.base_path={state_dir}",
+    ]
+    teacher_over = base + [
+        "model.model_type=multi_accdoa_conformer",
+        f"train.num_epochs={TEACHER_EPOCHS}",
+        f"train.patience={TEACHER_EPOCHS}",
+    ]
+    student_arch = [
+        "model.model_type=multi_accdoa_conformer",
+        "model.conf_d_model=96",
+        "model.conf_n_heads=4",
+        "model.conf_n_layers=1",
+        f"train.num_epochs={STUDENT_EPOCHS}",
+        f"train.patience={STUDENT_EPOCHS}",
+    ]
+    cfg_teacher = parse_overrides(Config(), teacher_over)
+    teacher_dir = state_dir / "teacher"
+
+    train_c = synthetic_corpus(cfg_teacher, n_files=TRAIN_CLIPS,
+                               seconds=60.0, seed=0, doa_step_deg=45,
+                               event_rate_hz=EVENT_RATE)
+    test_c = synthetic_corpus(cfg_teacher, n_files=6, seconds=60.0,
+                              seed=100, train=False, doa_step_deg=45,
+                              event_rate_hz=EVENT_RATE)
+    log(f"corpus: {len(train_c)} train / {len(test_c)} test windows")
+
+    results = {
+        "teacher_epochs": TEACHER_EPOCHS,
+        "student_epochs": STUDENT_EPOCHS,
+        "corpus": f"{TRAIN_CLIPS}x60s train / 6x60s test, doa_step=45, "
+                  f"rate={EVENT_RATE}/s",
+        "train_overlap": overlap_prevalence(train_c),
+        "test_overlap": overlap_prevalence(test_c),
+    }
+    log("overlap prevalence:", json.dumps(results["test_overlap"]))
+
+    def train_once(cfg_x, workdir) -> None:
+        marker = workdir / "train_done.json"
+        if marker.exists():
+            log(f"{workdir.name}: reusing trained state "
+                f"({json.loads(marker.read_text())})")
+            return
+        t0 = time.time()
+        st, _ = train_model(cfg_x, train_c, test_c, workdir=workdir)
+        marker.write_text(json.dumps({
+            "seconds": round(time.time() - t0),
+            "params": int(param_count(st)),
+        }) + "\n")
+        log(f"{workdir.name}: trained in {time.time() - t0:.0f}s "
+            f"({int(param_count(st)):,} params)")
+
+    train_once(cfg_teacher, teacher_dir)
+
+    students = {}
+    for name, extra in (
+        ("student_plain", []),
+        ("student_perm_kd", [
+            f"train.distill_ckpt={teacher_dir}",
+            "train.distill_alpha=0.5",
+        ]),
+        ("student_position_kd", [
+            f"train.distill_ckpt={teacher_dir}",
+            "train.distill_alpha=0.5",
+            "train.distill_track_matching=position",
+        ]),
+    ):
+        cfg_s = parse_overrides(Config(), base + student_arch + extra)
+        train_once(cfg_s, state_dir / name)
+        students[name] = cfg_s
+
+    results["teacher_params"] = json.loads(
+        (teacher_dir / "train_done.json").read_text())["params"]
+    results["student_params"] = json.loads(
+        (state_dir / "student_plain" / "train_done.json").read_text()
+    )["params"]
+
+    eval_rows = {"teacher": (cfg_teacher, teacher_dir, False)}
+    for name, cfg_s in students.items():
+        eval_rows[name] = (cfg_s, state_dir / name, False)
+    eval_rows["student_perm_kd_int8"] = (
+        students["student_perm_kd"], state_dir / "student_perm_kd", True)
+    for name, (cfg_e, ckpt, int8) in eval_rows.items():
+        m = evaluate_model(cfg_e, test_c, ckpt, save_visualizations=False,
+                           int8=int8)
+        results[name] = pick(m)
+        log(name, json.dumps(results[name]))
+        print(json.dumps({name: results[name]}), flush=True)
+
+    # objective + mimicry statistics on held-out scenes
+    v_teacher = vectors_over(cfg_teacher, teacher_dir, test_c)
+    results["matching"] = {}
+    results["activity_agreement"] = {}
+    for name, cfg_s in students.items():
+        v = vectors_over(cfg_s, state_dir / name, test_c)
+        results["matching"][name] = matching_stats(v, v_teacher)
+        results["activity_agreement"][name] = activity_agreement(
+            v, v_teacher, cfg_teacher.grid)
+        log(f"matching[{name}]:", json.dumps(results["matching"][name]))
+        log(f"agreement[{name}]:",
+            json.dumps(results["activity_agreement"][name]))
+
+    (RESULTS / "multi_accdoa_distill.json").write_text(
+        json.dumps(results, indent=2) + "\n"
+    )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

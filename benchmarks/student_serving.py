@@ -35,22 +35,26 @@ from bench import BATCH, N_SAMPLES, WIN_FRAMES, WINDOW_S, log, wait_for_accelera
 
 RESULTS = REPO / "benchmarks" / "results"
 
-# name -> config overrides (the distill-study student plus the stock
-# small backbones a user would pick as distillation targets)
+# name -> (config overrides, int8?) — the distill-study student plus the
+# stock small backbones a user would pick as distillation targets; the
+# int8 row is the INTENDED serving config for the distilled student
+# (accuracy gate: distill_accuracy.json student_distilled_int8)
+_STUDENT = [
+    "model.model_type=crnn",
+    "model.crnn_cnn_channels=16,32",
+    "model.crnn_rnn_hidden=64",
+    "model.crnn_rnn_layers=1",
+]
 CONFIGS = {
-    "resnet_conformer_flagship": [],
-    "crnn_reference": ["model.model_type=crnn"],
-    "conformer_reference": ["model.model_type=conformer"],
-    "crnn_student_16_32_64": [
-        "model.model_type=crnn",
-        "model.crnn_cnn_channels=16,32",
-        "model.crnn_rnn_hidden=64",
-        "model.crnn_rnn_layers=1",
-    ],
+    "resnet_conformer_flagship": ([], False),
+    "crnn_reference": (["model.model_type=crnn"], False),
+    "conformer_reference": (["model.model_type=conformer"], False),
+    "crnn_student_16_32_64": (_STUDENT, False),
+    "crnn_student_16_32_64_int8": (_STUDENT, True),
 }
 
 
-def measure(overrides) -> dict:
+def measure(overrides, int8: bool = False) -> dict:
     from seld_tpu.config import Config, parse_overrides
     from seld_tpu.features import frame_signal
     from seld_tpu.models import build_model, init_variables
@@ -66,15 +70,6 @@ def measure(overrides) -> dict:
         mel = log_mel_frames_pallas(frames.reshape(-1, nf))
         return jnp.transpose(mel.reshape(b, c, t, 64), (0, 2, 1, 3))[:, :WIN_FRAMES]
 
-    @jax.jit
-    def chained(variables, wave, n):
-        def body(i, acc):
-            w = wave + i.astype(jnp.float32) * 1e-6  # defeat CSE across iters
-            out = model.apply(variables, features(w), train=False)
-            return acc + out.mean()
-
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
-
     rng = jax.random.PRNGKey(0)
     wave = jax.random.normal(rng, (BATCH, 4, N_SAMPLES), jnp.float32)
     variables = init_variables(
@@ -83,17 +78,34 @@ def measure(overrides) -> dict:
     n_params = sum(
         int(x.size) for x in jax.tree_util.tree_leaves(variables["params"])
     )
+    if int8:
+        from seld_tpu.quant import quantize_model, quantized_apply
+
+        qt = quantize_model(model, variables, [features(wave)])
+        apply_fn = lambda v, q, mel: quantized_apply(model, v, q, mel)  # noqa: E731
+    else:
+        qt = {}
+        apply_fn = lambda v, q, mel: model.apply(v, mel, train=False)  # noqa: E731
+
+    @jax.jit
+    def chained(variables, qt, wave, n):
+        def body(i, acc):
+            w = wave + i.astype(jnp.float32) * 1e-6  # defeat CSE across iters
+            out = apply_fn(variables, qt, features(w))
+            return acc + out.astype(jnp.float32).mean()
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     n_short, n_delta = 2, 20
     t0 = time.time()
-    float(chained(variables, wave, n_short))
+    float(chained(variables, qt, wave, n_short))
     log(f"  compile+first: {time.time() - t0:.1f}s")
 
     def timed(n, reps=3):
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            float(chained(variables, wave, n))
+            float(chained(variables, qt, wave, n))
             best = min(best, time.time() - t0)
         return best
 
@@ -117,16 +129,32 @@ def main():
 
     RESULTS.mkdir(exist_ok=True)
     results = {}
-    for name, over in CONFIGS.items():
+    for name, (over, int8) in CONFIGS.items():
         log(f"{name}:")
-        results[name] = measure(over)
+        results[name] = measure(over, int8=int8)
         log(f"  {json.dumps(results[name])}")
     flag = results["resnet_conformer_flagship"]["audio_s_per_s"]
     for name, r in results.items():
         r["vs_flagship"] = round(r["audio_s_per_s"] / flag, 2)
-    (RESULTS / "student_serving.json").write_text(
-        json.dumps(results, indent=2) + "\n"
-    )
+    # preserve the accuracy annotations distill_accuracy.py joins in
+    out_f = RESULTS / "student_serving.json"
+    if out_f.exists():
+        prev = json.loads(out_f.read_text())
+        for name, r in results.items():
+            if name in prev and "accuracy" in prev[name]:
+                r["accuracy"] = prev[name]["accuracy"]
+    acc_f = RESULTS / "distill_accuracy.json"
+    if acc_f.exists() and "crnn_student_16_32_64_int8" in results:
+        acc = json.loads(acc_f.read_text()).get("student_distilled_int8")
+        if acc:
+            results["crnn_student_16_32_64_int8"]["accuracy"] = {
+                "config": "student_distilled_int8",
+                "F_macro": acc["F_macro"],
+                "LE_macro": acc["LE_macro"],
+                "SELD_error": acc["SELD_error"],
+                "source": "distill_accuracy.json",
+            }
+    out_f.write_text(json.dumps(results, indent=2) + "\n")
     print(json.dumps(results))
 
 

@@ -212,6 +212,45 @@ def test_eval_int8(tiny_crnn_ckpt):
         evaluate_model(cfg, test_c, tiny_crnn_ckpt, int8=True, mesh=object())
 
 
+def test_eval_int8_multi_accdoa(tmp_path):
+    """eval --int8 on a multi-ACCDOA checkpoint: the quantized forward
+    feeds the vector decode (the distilled-student serving config,
+    benchmarks/multi_accdoa_distill.py) — near-float metrics on a tiny
+    trained model."""
+    from seld_tpu.config import Config, parse_overrides
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+    from seld_tpu.train import train_model
+
+    cfg = parse_overrides(Config(), [
+        "model.model_type=multi_accdoa_conformer",
+        "model.crnn_cnn_channels=8,16",
+        "model.conf_d_model=32",
+        "model.conf_n_heads=4",
+        "model.conf_n_layers=1",
+        "model.compute_dtype=float32",
+        "targets.accdoa=true",
+        "targets.accdoa_tracks=3",
+        "window.window_seconds=1.0",
+        "window.hop_seconds=0.5",
+        "train.batch_size=2",
+        "train.num_epochs=1",
+        "train.save_every_n_epochs=1",
+        f"data.base_path={tmp_path}",
+    ])
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+
+    m_f = evaluate_model(cfg, test_c, tmp_path / "ckpt",
+                         save_visualizations=False)
+    m_q = evaluate_model(cfg, test_c, tmp_path / "ckpt",
+                         save_visualizations=False, int8=True)
+    assert m_q["quantized_int8"] is True
+    assert np.isfinite(m_q["test_loss"])
+    assert abs(m_q["overall_accuracy"] - m_f["overall_accuracy"]) < 2.0
+
+
 def test_eval_int8_composes_with_tta(tiny_crnn_ckpt):
     """int8 + identity-only TTA: the TTA forward must wrap the QUANTIZED
     apply, so averaging over just the identity transform reproduces the
