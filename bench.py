@@ -56,8 +56,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_tpu() -> float:
-    """Timing methodology: the tunneled TPU backend's block_until_ready
+def measure_tpu() -> "tuple[float, float | None]":
+    """Returns (bf16_audio_s_per_s, int8_audio_s_per_s_or_None).
+
+    Timing methodology: the tunneled TPU backend's block_until_ready
     returns before remote execution finishes, so each measurement chains N
     pipeline iterations inside ONE jitted fori_loop (iteration-dependent
     inputs, output folded into a scalar carry so nothing can be elided)

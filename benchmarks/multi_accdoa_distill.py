@@ -175,7 +175,7 @@ def activity_agreement(student_v, teacher_v, grid_cfg) -> dict:
     from seld_tpu.accdoa import multi_accdoa_class_activity_jnp
 
     act = jax.jit(lambda v: multi_accdoa_class_activity_jnp(
-        v, grid_cfg.n_elevation, grid_cfg.n_azimuth))
+        v, grid_cfg.n_el, grid_cfg.n_az))
     a_s = np.asarray(act(jnp.asarray(student_v)))  # (N, T, C, G) {0,1}
     a_t = np.asarray(act(jnp.asarray(teacher_v)))
     ev = a_t > 0.5

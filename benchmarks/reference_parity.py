@@ -364,14 +364,36 @@ def run_seld_tpu(tmp: Path, train_files, test_files) -> dict:
     }
 
 
+def precheck_window_counts(train_files, test_files) -> None:
+    """Window-count parity is a hard precondition (same concatenate-
+    then-slide-then-pad semantics) — assert it BEFORE either side burns
+    train time (dataset/corpus construction is seconds at this scale;
+    training is minutes to hours at PARITY_EPOCHS>=40)."""
+    install_torchaudio_shim()
+    sys.path.insert(0, str(REFERENCE))
+    import dataset as ref_dataset
+
+    from seld_tpu.config import Config
+    from seld_tpu.data.corpus import build_corpus
+
+    cfg = Config()
+    counts = {}
+    for name, files in (("train", train_files), ("test", test_files)):
+        n_ref = len(ref_dataset.SELDDataset(*files))
+        n_seld = len(build_corpus(files[0], files[1], cfg.features,
+                                  cfg.grid, cfg.window, cfg.targets,
+                                  train=False))
+        assert n_ref == n_seld, (name, n_ref, n_seld)
+        counts[name] = n_ref
+    log(f"window-count precheck ok: {counts}")
+
+
 def main():
     RESULTS.mkdir(exist_ok=True)
     tmp = Path(tempfile.mkdtemp(prefix="ref_parity_"))
     try:
         train_files, test_files = make_corpus_files(tmp)
-        # window-count parity is a hard precondition (same concatenate-
-        # then-slide-then-pad semantics): assert before burning train time
-        seld = None
+        precheck_window_counts(train_files, test_files)
         ref = run_reference(tmp, train_files, test_files)
         log("reference:", json.dumps(ref))
         seld = run_seld_tpu(tmp, train_files, test_files)

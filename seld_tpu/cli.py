@@ -225,16 +225,18 @@ def cmd_predict(cfg: Config, args, logger):
                 "baked at export time (export --bg-bias)"
             )
         predictor = SELDPredictor.from_artifact(args.artifact)
-        if args.median_filter:
+        if args.median_filter is not None:
             from seld_tpu.postprocess import validate_width
 
             # host-side post-op — composes with artifacts (unlike the
-            # baked-in bias/int8)
+            # baked-in bias/int8); an explicit 0 OVERRIDES a
+            # sidecar-baked width (the flag default is None, so only a
+            # user-passed value reaches here)
             predictor.median_filter = validate_width(args.median_filter)
     else:
         predictor = SELDPredictor(cfg.data.checkpoint_path, cfg,
                                   bg_bias=args.bg_bias,
-                                  median_filter=args.median_filter)
+                                  median_filter=args.median_filter or 0)
     if args.int8:
         # self-calibration on the inputs being served: PTQ activation
         # scales from the first clip(s), then int8 inference throughout
@@ -562,11 +564,12 @@ def main(argv=None) -> int:
         help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep)",
     )
     p_pred.add_argument(
-        "--median-filter", type=int, default=0, metavar="W",
+        "--median-filter", type=int, default=None, metavar="W",
         help="temporal majority smoothing of the decoded class grid over "
         "an odd W-frame window (tune with eval --median-filter-sweep; "
         "applies to assembled predictions, so --stream output stays "
-        "bit-equal to offline; composes with --artifact)",
+        "bit-equal to offline; composes with --artifact, where an "
+        "explicit 0 disables a sidecar-baked width)",
     )
     p_pred.set_defaults(fn=cmd_predict)
 

@@ -117,6 +117,16 @@ def evaluate_model(
                 "have no background logit"
             )
 
+    # validate post-processing knobs BEFORE the forward loop: an invalid
+    # (even) width must fail here, not after minutes of chip time
+    from seld_tpu.postprocess import smooth_classes, validate_width
+
+    median_filter = validate_width(median_filter)
+    if median_filter_sweep is not None:
+        median_filter_sweep = [validate_width(w) for w in median_filter_sweep]
+        if not median_filter_sweep:
+            raise ValueError("median_filter_sweep must list >=1 width")
+
     model = build_model(cfg.model, cfg.grid)
     loss_fn = SELDLossFn(cfg.loss, cfg.grid)
     optimizer = make_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
@@ -144,9 +154,20 @@ def evaluate_model(
             f"use_checkpoint must be 'best' or 'latest', got "
             f"{use_checkpoint!r}"
         )
+    checkpoint_kind = use_checkpoint
     if restored is None:
-        restored = (ckpt.restore_latest(template) if use_checkpoint == "best"
+        fallback = "latest" if use_checkpoint == "best" else "best"
+        restored = (ckpt.restore_latest(template) if fallback == "latest"
                     else ckpt.restore_best(template))
+        if restored is not None:
+            # never silent: 'latest' falling back to BEST can mean EMA
+            # weights where the caller expected raw final ones — say so
+            # and record it in the result (checkpoint_kind)
+            checkpoint_kind = fallback
+            log.warning(
+                "No %s checkpoint under %s — falling back to the %s one",
+                use_checkpoint, checkpoint_dir, fallback,
+            )
     if restored is None:
         ckpt.close()
         raise FileNotFoundError(f"no checkpoint found under {checkpoint_dir}")
@@ -240,7 +261,10 @@ def evaluate_model(
     if tta_fwd is not None and sweep is not None:
         # calibrate the bias UNDER the TTA decode (see the docstring) —
         # raw (unbiased) logits per view, each candidate bias applied
-        # pre-softmax inside the TTA average
+        # pre-softmax inside the TTA average. The MAIN decode's bias is
+        # appended as the LAST sweep row so one TTA pass serves both the
+        # sweep table and the main decode (each view's model forward
+        # runs once; without this the views ran twice per batch).
         from seld_tpu.tta import make_tta_forward as _mk_tta
 
         tta_sweep_fwd = _mk_tta(
@@ -248,7 +272,9 @@ def evaluate_model(
             cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set,
             transforms=tta_transforms,
             kind="grid",
-            bias_sweep=sweep,
+            bias_sweep=jnp.concatenate(
+                [sweep, jnp.asarray([float(bg_bias)], jnp.float32)]
+            ),
         )
     if accdoa_mode:
         from seld_tpu.accdoa import (
@@ -310,13 +336,21 @@ def evaluate_model(
 
             with attention_mesh(mesh):
                 logits = _apply_raw(qt, state, mel)
-                # TTA: decisions from transform-averaged probabilities
-                # (same argmax as plain when tta_fwd is None — softmax is
-                # monotone per (frame, cell))
-                dec_in = (
-                    _bias_logits(logits) if tta_fwd is None
-                    else tta_fwd((qt, state), mel)
-                )
+                if tta_sweep_fwd is not None:
+                    # ONE TTA pass serves both the sweep table and the
+                    # main decode: the sweep vector carries the main
+                    # bg_bias as its LAST row (see the setup above), so
+                    # dec_in is that row and the candidates are the rest
+                    probs_k = tta_sweep_fwd((qt, state), mel)
+                    dec_in = probs_k[-1]
+                else:
+                    # TTA: decisions from transform-averaged
+                    # probabilities (same argmax as plain when tta_fwd is
+                    # None — softmax is monotone per (frame, cell))
+                    dec_in = (
+                        _bias_logits(logits) if tta_fwd is None
+                        else tta_fwd((qt, state), mel)
+                    )
             # bitmask-native loss + argmax labels: value-identical to the
             # dense one-hot route without materializing (B, T, M, G).
             # Under a mesh the fused kernel runs in shard_map over the
@@ -334,10 +368,8 @@ def evaluate_model(
             elif tta_sweep_fwd is not None:
                 # per-bias TTA-averaged probs (K, B, T, M, G) -> argmax
                 # over the class axis: the sweep scores the decode path
-                # in use
-                with attention_mesh(mesh):
-                    probs_k = tta_sweep_fwd((qt, state), mel)
-                pred_sw = jnp.argmax(probs_k, axis=3).astype(jnp.int8)
+                # in use (last row = main decode, already consumed above)
+                pred_sw = jnp.argmax(probs_k[:-1], axis=3).astype(jnp.int8)
             else:
                 # one forward, every candidate bias decoded on device
                 # (sequential map keeps peak memory at ~one logits copy)
@@ -376,9 +408,8 @@ def evaluate_model(
     pred_classes = np.concatenate(preds, axis=0)  # (N, T, G) int8
     true_classes = np.concatenate(trues, axis=0)
 
-    from seld_tpu.postprocess import smooth_classes, validate_width
-
-    median_filter = validate_width(median_filter)
+    # median_filter / median_filter_sweep were validated before the
+    # forward loop (top of this function)
     raw_pred_classes = pred_classes
     if median_filter > 1:
         pred_classes = smooth_classes(
@@ -450,9 +481,7 @@ def evaluate_model(
         )
     mf_report = None
     if median_filter_sweep is not None:
-        widths = [validate_width(w) for w in median_filter_sweep]
-        if not widths:
-            raise ValueError("median_filter_sweep must list >=1 width")
+        widths = median_filter_sweep  # validated at entry
         mf_report = {"metrics": {}}
         for w in widths:
             pw = (raw_pred_classes if w <= 1 else
@@ -566,6 +595,7 @@ def evaluate_model(
         "num_frames_with_events": len(frames_with_events),
         "visualizations": viz_records,
         "checkpoint_epoch": meta["epoch"],
+        "checkpoint_kind": checkpoint_kind,
         "quantized_int8": bool(int8),
         "bg_bias": float(bg_bias),
         **({"bg_bias_sweep": sweep_report} if sweep_report else {}),
