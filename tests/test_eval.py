@@ -121,11 +121,55 @@ def test_evaluate_model_use_checkpoint(tmp_path):
     latest = evaluate_model(cfg, test_c, tmp_path / "ckpt",
                             num_visualizations=0, use_checkpoint="latest")
     assert latest["checkpoint_epoch"] == 2  # newest rolling, by construction
+    assert latest["checkpoint_kind"] == "latest"  # no silent substitution
     assert np.isfinite(latest["test_loss"])
 
     with pytest.raises(ValueError, match="use_checkpoint"):
         evaluate_model(cfg, test_c, tmp_path / "ckpt",
                        num_visualizations=0, use_checkpoint="final")
+
+
+def test_evaluate_model_latest_fallback_is_reported(tmp_path):
+    """When no rolling checkpoint exists (save cadence > num_epochs),
+    use_checkpoint='latest' falls back to the BEST checkpoint and SAYS SO
+    via checkpoint_kind — a silent substitution would make studies that
+    decompose learning from selection (benchmarks/reference_parity.py)
+    compare best-vs-best without noticing."""
+    from tests.test_train import tiny_config
+
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+    from seld_tpu.train import train_model
+
+    cfg = tiny_config(tmp_path, **{"train.save_every_n_epochs": "5"})
+    train_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=3.0, seed=1)
+    train_model(cfg, train_c, test_c, workdir=tmp_path / "ckpt")
+
+    m = evaluate_model(cfg, test_c, tmp_path / "ckpt",
+                       num_visualizations=0, use_checkpoint="latest")
+    assert m["checkpoint_kind"] == "best"  # the substitution is visible
+    assert np.isfinite(m["test_loss"])
+
+
+def test_evaluate_model_validates_widths_before_any_work(tmp_path):
+    """Invalid median-filter widths must fail BEFORE the eval forward
+    loop (they used to error only after every batch ran): with a
+    nonexistent checkpoint dir the width error fires first, proving the
+    validation precedes checkpoint load and all device work."""
+    from tests.test_train import tiny_config
+
+    from seld_tpu.data import synthetic_corpus
+    from seld_tpu.eval import evaluate_model
+
+    cfg = tiny_config(tmp_path)
+    test_c = synthetic_corpus(cfg, n_files=1, seconds=2.0, seed=1)
+    with pytest.raises(ValueError, match="odd"):
+        evaluate_model(cfg, test_c, tmp_path / "does_not_exist",
+                       num_visualizations=0, median_filter=4)
+    with pytest.raises(ValueError, match="odd"):
+        evaluate_model(cfg, test_c, tmp_path / "does_not_exist",
+                       num_visualizations=0, median_filter_sweep=[1, 2])
 
 
 def test_evaluate_model_end_to_end(tmp_path):

@@ -179,3 +179,47 @@ def test_cli_predict_from_artifact(ckpt_dir, tmp_path):
         "--wavs", str(wav),
     ])
     assert rc == 1  # named error, nonzero exit
+
+
+def test_predict_artifact_median_filter_zero_overrides_sidecar(
+    ckpt_dir, tmp_path
+):
+    """A width baked at export time (sidecar) applies by default in
+    from_artifact, and `predict --artifact --median-filter 0` DISABLES it
+    (the flag defaults to None so only a user-passed 0 reaches the
+    override; regression for the truthiness gate that made baked widths
+    impossible to turn off)."""
+    from pathlib import Path
+
+    from seld_tpu.cli import main
+    from seld_tpu.config import Config
+    from seld_tpu.data.synthetic import synthetic_raw_files
+
+    wav = Path(synthetic_raw_files(tmp_path / "wavs", Config(), n_files=1,
+                                   seconds=2.0, seed=5)[0][0])
+    rc = main([
+        "export", f"data.base_path={ckpt_dir.parent}",
+        "--out", str(tmp_path / "mf.stablehlo"), "--batch-windows", "2",
+        "--median-filter", "5",
+    ])
+    assert rc == 0
+    art = SELDPredictor.from_artifact(tmp_path / "mf.stablehlo")
+    assert art.median_filter == 5  # sidecar width applies by default
+
+    # unfiltered ground truth: predict straight from the checkpoint
+    rc = main([
+        "predict", f"data.base_path={ckpt_dir.parent}",
+        "--wavs", str(wav), "--out", str(tmp_path / "raw"),
+    ])
+    assert rc == 0
+    rc = main([
+        "predict", f"data.base_path={ckpt_dir.parent}",
+        "--artifact", str(tmp_path / "mf.stablehlo"),
+        "--median-filter", "0",
+        "--wavs", str(wav), "--out", str(tmp_path / "override0"),
+    ])
+    assert rc == 0
+    name = wav.stem + ".csv"
+    got = (tmp_path / "override0" / "predictions" / name).read_text()
+    want = (tmp_path / "raw" / "predictions" / name).read_text()
+    assert got == want
