@@ -138,6 +138,12 @@ def cmd_eval(cfg: Config, args, logger):
             if (sweep_spec := getattr(args, "bg_bias_sweep", None))
             else None
         ),
+        accdoa_threshold=getattr(args, "accdoa_threshold", None),
+        accdoa_threshold_sweep=(
+            [float(t) for t in str(thr_spec).split(",") if t.strip()]
+            if (thr_spec := getattr(args, "accdoa_threshold_sweep", None))
+            else None
+        ),
         median_filter=getattr(args, "median_filter", 0),
         median_filter_sweep=(
             [int(w) for w in str(mf_spec).split(",") if w.strip()]
@@ -224,6 +230,12 @@ def cmd_predict(cfg: Config, args, logger):
                 "--bg-bias does not compose with --artifact: the bias is "
                 "baked at export time (export --bg-bias)"
             )
+        if args.accdoa_threshold is not None:
+            raise ValueError(
+                "--accdoa-threshold does not compose with --artifact: "
+                "the threshold is baked at export time "
+                "(export --accdoa-threshold)"
+            )
         predictor = SELDPredictor.from_artifact(args.artifact)
         if args.median_filter is not None:
             from seld_tpu.postprocess import validate_width
@@ -236,7 +248,8 @@ def cmd_predict(cfg: Config, args, logger):
     else:
         predictor = SELDPredictor(cfg.data.checkpoint_path, cfg,
                                   bg_bias=args.bg_bias,
-                                  median_filter=args.median_filter or 0)
+                                  median_filter=args.median_filter or 0,
+                                  accdoa_threshold=args.accdoa_threshold)
     if args.int8:
         # self-calibration on the inputs being served: PTQ activation
         # scales from the first clip(s), then int8 inference throughout
@@ -284,6 +297,7 @@ def cmd_export(cfg: Config, args, logger):
         int8_weight_only=args.int8_weight_only,
         bg_bias=args.bg_bias,
         median_filter=args.median_filter,
+        accdoa_threshold=args.accdoa_threshold,
     )
     logger.info("Serving artifact written: %s", out)
     return 0
@@ -376,10 +390,17 @@ def cmd_serve(cfg: Config, args, logger):
                 "--bg-bias does not compose with --artifact: the bias is "
                 "baked at export time (export --bg-bias)"
             )
+        if args.accdoa_threshold is not None:
+            raise ValueError(
+                "--accdoa-threshold does not compose with --artifact: "
+                "the threshold is baked at export time "
+                "(export --accdoa-threshold)"
+            )
         predictor = SELDPredictor.from_artifact(args.artifact)
     else:
         predictor = SELDPredictor(cfg.data.checkpoint_path, cfg,
-                                  bg_bias=args.bg_bias)
+                                  bg_bias=args.bg_bias,
+                                  accdoa_threshold=args.accdoa_threshold)
     if args.int8_calib_wavs:
         from seld_tpu.data.audio import load_wav
 
@@ -499,6 +520,19 @@ def main(argv=None) -> int:
         "compute — the export --int8-weight-only numerics)",
     )
     p_eval.add_argument(
+        "--accdoa-threshold", type=float, default=None, metavar="T",
+        help="vector-norm activity threshold for ACCDOA / multi-ACCDOA "
+        "decodes (default 0.5) — the ACCDOA counterpart of --bg-bias's "
+        "operating point",
+    )
+    p_eval.add_argument(
+        "--accdoa-threshold-sweep", default=None, metavar="T1,T2,...",
+        help="calibrate --accdoa-threshold: ONE forward per batch (per "
+        "view under --tta), every listed threshold decoded on device, "
+        "per-threshold DCASE2022 table + the SELD_error-best threshold "
+        "in the report",
+    )
+    p_eval.add_argument(
         "--median-filter", type=int, default=0, metavar="W",
         help="temporal majority smoothing of decoded prediction grids "
         "over an odd W-frame window before metrics (the eval gate for "
@@ -564,6 +598,11 @@ def main(argv=None) -> int:
         help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep)",
     )
     p_pred.add_argument(
+        "--accdoa-threshold", type=float, default=None, metavar="T",
+        help="vector-norm activity threshold for ACCDOA / multi-ACCDOA "
+        "decodes (default 0.5; tune with eval --accdoa-threshold-sweep)",
+    )
+    p_pred.add_argument(
         "--median-filter", type=int, default=None, metavar="W",
         help="temporal majority smoothing of the decoded class grid over "
         "an odd W-frame window (tune with eval --median-filter-sweep; "
@@ -605,6 +644,12 @@ def main(argv=None) -> int:
         help="record a tuned temporal-smoothing width in the artifact "
         "sidecar (host-side post-op; from_artifact applies it "
         "automatically; see eval --median-filter-sweep)",
+    )
+    p_exp.add_argument(
+        "--accdoa-threshold", type=float, default=None, metavar="T",
+        help="bake a validation-tuned ACCDOA activity threshold into the "
+        "exported forwards (ACCDOA / multi-ACCDOA models; see eval "
+        "--accdoa-threshold-sweep)",
     )
     p_exp.set_defaults(fn=cmd_export)
 
@@ -656,6 +701,11 @@ def main(argv=None) -> int:
     p_serve.add_argument(
         "--bg-bias", type=float, default=0.0, metavar="B",
         help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep)",
+    )
+    p_serve.add_argument(
+        "--accdoa-threshold", type=float, default=None, metavar="T",
+        help="vector-norm activity threshold for ACCDOA / multi-ACCDOA "
+        "decodes (default 0.5; tune with eval --accdoa-threshold-sweep)",
     )
     p_serve.set_defaults(fn=cmd_serve)
 

@@ -52,6 +52,8 @@ def evaluate_model(
     int8_calib_batches: int = 4,
     bg_bias: float = 0.0,
     bg_bias_sweep=None,
+    accdoa_threshold: float | None = None,
+    accdoa_threshold_sweep=None,
     median_filter: int = 0,
     median_filter_sweep=None,
     use_checkpoint: str = "best",
@@ -82,6 +84,20 @@ def evaluate_model(
     decode does not transfer to the TTA decode — calibrate per path);
     otherwise from the plain per-window logits.
 
+    accdoa_threshold (ACCDOA / multi-ACCDOA models): the vector-norm
+    activity threshold every decode uses (None = the DCASE2022-baseline
+    0.5) — the ACCDOA counterpart of bg_bias's operating point
+    (SELDPredictor.accdoa_threshold). Losses stay on the raw vectors.
+    accdoa_threshold_sweep (iterable of floats): every candidate decoded
+    on device from one forward per batch (per view under TTA) with a
+    per-threshold DCASE2022 table + the SELD_error-best threshold — the
+    calibration tool for `predict/export --accdoa-threshold`. Like the
+    bias sweep, it calibrates the decode path THIS eval uses: under
+    multi-ACCDOA TTA the threshold gates each view's activity before
+    the vote average, so candidates are swept inside the TTA forward
+    (seld_tpu.tta threshold_sweep); single-ACCDOA TTA averages vectors,
+    so candidates decode from the averaged output.
+
     median_filter (odd frames): temporal majority smoothing of the
     decoded prediction grids (seld_tpu.postprocess) before metrics —
     the eval gate for `predict --median-filter`. Composes with
@@ -108,13 +124,30 @@ def evaluate_model(
             )
         cfg = cfg.replace_path("model", stored_cfg.model)
 
-    if bg_bias or bg_bias_sweep is not None:
-        from seld_tpu.models.registry import ACCDOA_MODELS as _ACC
+    from seld_tpu.models.registry import ACCDOA_MODELS as _ACC
 
+    if bg_bias or bg_bias_sweep is not None:
         if cfg.model.model_type in _ACC:
             raise ValueError(
                 "bg_bias applies to grid models only — ACCDOA decodes "
                 "have no background logit"
+            )
+
+    # ACCDOA activity threshold (decode operating point): validated up
+    # front like bg_bias; None = the 0.5 default. An explicit value or a
+    # sweep on a grid model is a named error (validate_accdoa_threshold).
+    from seld_tpu.infer import validate_accdoa_threshold
+
+    _is_accdoa = cfg.model.model_type in _ACC
+    acc_th = validate_accdoa_threshold(accdoa_threshold, _is_accdoa)
+    if accdoa_threshold_sweep is not None:
+        accdoa_threshold_sweep = [
+            validate_accdoa_threshold(t, _is_accdoa)
+            for t in accdoa_threshold_sweep
+        ]
+        if not accdoa_threshold_sweep:
+            raise ValueError(
+                "accdoa_threshold_sweep must list at least one threshold"
             )
 
     # validate post-processing knobs BEFORE the forward loop: an invalid
@@ -195,6 +228,18 @@ def evaluate_model(
         if not bg_bias_sweep:
             raise ValueError("bg_bias_sweep must list at least one bias")
         sweep = jnp.asarray(bg_bias_sweep, jnp.float32)
+    thr_sweep = None
+    if accdoa_threshold_sweep is not None:
+        thr_sweep = jnp.asarray(accdoa_threshold_sweep, jnp.float32)
+    # unified bookkeeping for the batch loop and the report block — the
+    # two sweeps are mutually exclusive by model family (each raises on
+    # the other family above)
+    if sweep is not None:
+        sweep_values, sweep_kind = bg_bias_sweep, "bg_bias"
+    elif thr_sweep is not None:
+        sweep_values, sweep_kind = accdoa_threshold_sweep, "accdoa_threshold"
+    else:
+        sweep_values = sweep_kind = None
 
     qtree = None
     if int8:
@@ -255,6 +300,7 @@ def evaluate_model(
             cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set,
             transforms=tta_transforms,
             kind=tta_kind,
+            activity_threshold=acc_th,
         )
         log.info("Eval TTA enabled (%d transforms)", len(tta_transforms))
     tta_sweep_fwd = None
@@ -274,6 +320,27 @@ def evaluate_model(
             kind="grid",
             bias_sweep=jnp.concatenate(
                 [sweep, jnp.asarray([float(bg_bias)], jnp.float32)]
+            ),
+        )
+    tta_thr_sweep_fwd = None
+    if tta_fwd is not None and thr_sweep is not None \
+            and tta_kind == "multi_accdoa":
+        # calibrate the threshold UNDER the multi-ACCDOA TTA decode: it
+        # gates each view's activity BEFORE the vote average, so the
+        # candidates sweep inside the TTA forward. The MAIN decode's
+        # threshold rides as the LAST row (one TTA pass serves both —
+        # same pattern as the bias sweep above). Single-ACCDOA TTA needs
+        # no special forward: it averages vectors and candidates decode
+        # from the averaged output inside infer_step.
+        from seld_tpu.tta import make_tta_forward as _mk_tta_thr
+
+        tta_thr_sweep_fwd = _mk_tta_thr(
+            lambda ctx, m: _apply_raw(ctx[0], ctx[1], m),
+            cfg.grid.n_el, cfg.grid.n_az, cfg.features.feature_set,
+            transforms=tta_transforms,
+            kind="multi_accdoa",
+            threshold_sweep=jnp.concatenate(
+                [thr_sweep, jnp.asarray([acc_th], jnp.float32)]
             ),
         )
     if accdoa_mode:
@@ -303,9 +370,13 @@ def evaluate_model(
             from seld_tpu.accdoa import decode_vote_grid_jnp
 
             def decode(dec_in, n_el, n_az, num_classes):
+                # votes were thresholded at acc_th per view inside tta_fwd
                 return decode_vote_grid_jnp(dec_in, num_classes)
         else:
-            decode = plain_decode
+            # raw vectors (plain) or TTA-averaged vectors (single-ACCDOA):
+            # the activity threshold applies at decode time
+            def decode(dec_in, n_el, n_az, num_classes):
+                return plain_decode(dec_in, n_el, n_az, num_classes, acc_th)
 
         @jax.jit
         def infer_step(qt, state, mel, label_mask, acc_targets, example_mask):
@@ -313,9 +384,16 @@ def evaluate_model(
 
             with attention_mesh(mesh):
                 vectors = _apply_raw(qt, state, mel)
-                dec_in = (
-                    vectors if tta_fwd is None else tta_fwd((qt, state), mel)
-                )
+                if tta_thr_sweep_fwd is not None:
+                    # ONE TTA pass serves the sweep table and the main
+                    # decode (acc_th rides as the LAST candidate row)
+                    votes_k = tta_thr_sweep_fwd((qt, state), mel)
+                    dec_in = votes_k[-1]
+                else:
+                    dec_in = (
+                        vectors if tta_fwd is None
+                        else tta_fwd((qt, state), mel)
+                    )
             total, breakdown = acc_loss_fn(vectors, acc_targets, example_mask)
             pred_cls = decode(
                 dec_in, cfg.grid.n_el, cfg.grid.n_az, num_classes
@@ -323,8 +401,28 @@ def evaluate_model(
             from seld_tpu.losses.seld_loss import _bit_labels
 
             true_cls = _bit_labels(label_mask, num_classes).astype(jnp.int8)
+            if thr_sweep is None:
+                pred_sw = jnp.zeros((), jnp.int8)
+            elif tta_thr_sweep_fwd is not None:
+                from seld_tpu.accdoa import decode_vote_grid_jnp as _dvg
+
+                # per-threshold TTA vote maps (K, B, T, C, G) -> grids
+                # (the last row was the main decode, consumed above)
+                pred_sw = _dvg(votes_k[:-1], num_classes)
+            else:
+                # one forward; every candidate threshold decoded on
+                # device from dec_in (raw vectors, or the TTA-averaged
+                # vectors for single-ACCDOA — thresholds apply
+                # post-average there)
+                pred_sw = jax.lax.map(
+                    lambda th: plain_decode(
+                        dec_in, cfg.grid.n_el, cfg.grid.n_az,
+                        num_classes, th,
+                    ),
+                    thr_sweep,
+                )  # (K, B, T, G)
             return ({"loss": total, **breakdown}, pred_cls, true_cls,
-                    jnp.zeros((), jnp.int8))
+                    pred_sw)
 
     else:
 
@@ -400,7 +498,7 @@ def evaluate_model(
         losses.append(metrics)
         preds.append(np.asarray(p)[: batch.n_valid])
         trues.append(np.asarray(t)[: batch.n_valid])
-        if sweep is not None:
+        if sweep_values is not None:
             sweep_rows.append(np.asarray(psw)[:, : batch.n_valid])
 
     keys = losses[0].keys()
@@ -449,11 +547,15 @@ def evaluate_model(
     )
 
     sweep_report = None
-    if sweep is not None:
-        # keys are repr(float) — full precision, so near-identical biases
-        # can never collide into one row
+    if sweep_values is not None:
+        # keys are repr(float) — full precision, so near-identical
+        # candidates can never collide into one row. The same report
+        # structure serves both sweep kinds (bg_bias for grid models,
+        # accdoa_threshold for ACCDOA families).
+        flag = ("--bg-bias" if sweep_kind == "bg_bias"
+                else "--accdoa-threshold")
         sweep_report = {"metrics": {}}
-        for k, b in enumerate(bg_bias_sweep):
+        for k, b in enumerate(sweep_values):
             pk = np.concatenate([rows[k] for rows in sweep_rows], axis=0)
             mk = dcase2022_metrics(
                 pk, true_classes, cfg.grid.n_el, cfg.grid.n_az, num_classes
@@ -462,22 +564,22 @@ def evaluate_model(
                    ("ER", "F_macro", "LE_macro", "LR_macro", "SELD_error")}
             sweep_report["metrics"][repr(b)] = row
             log.info(
-                "  bg_bias %+.2f: ER %.3f F %.3f LE %.1f deg LR %.3f | "
-                "SELD_error %.3f", b, row["ER"], row["F_macro"],
+                "  %s %+.2f: ER %.3f F %.3f LE %.1f deg LR %.3f | "
+                "SELD_error %.3f", sweep_kind, b, row["ER"], row["F_macro"],
                 row["LE_macro"], row["LR_macro"], row["SELD_error"],
             )
         best_b = min(
-            bg_bias_sweep,
+            sweep_values,
             key=lambda b: sweep_report["metrics"][repr(b)]["SELD_error"],
         )
         sweep_report["best"] = {
-            "bg_bias": best_b,
+            sweep_kind: best_b,
             **sweep_report["metrics"][repr(best_b)],
         }
         log.info(
-            "  -> best bg_bias %+.2f (SELD_error %.3f); serve with "
-            "`predict --bg-bias %g`", best_b,
-            sweep_report["best"]["SELD_error"], best_b,
+            "  -> best %s %+.2f (SELD_error %.3f); serve with "
+            "`predict %s %g`", sweep_kind, best_b,
+            sweep_report["best"]["SELD_error"], flag, best_b,
         )
     mf_report = None
     if median_filter_sweep is not None:
@@ -558,7 +660,7 @@ def evaluate_model(
         if accdoa_mode:
             cls_sel = np.asarray(
                 plain_decode(jnp.asarray(out_sel), cfg.grid.n_el,
-                             cfg.grid.n_az, num_classes)
+                             cfg.grid.n_az, num_classes, acc_th)
             )  # (N, T, G) int8
             # render as class-major one-hot (N, T, M, G) for the viz
             logits_sel = np.moveaxis(
@@ -598,7 +700,11 @@ def evaluate_model(
         "checkpoint_kind": checkpoint_kind,
         "quantized_int8": bool(int8),
         "bg_bias": float(bg_bias),
-        **({"bg_bias_sweep": sweep_report} if sweep_report else {}),
+        **({"accdoa_threshold": acc_th} if accdoa_mode else {}),
+        **({"bg_bias_sweep": sweep_report}
+           if sweep_report and sweep_kind == "bg_bias" else {}),
+        **({"accdoa_threshold_sweep": sweep_report}
+           if sweep_report and sweep_kind == "accdoa_threshold" else {}),
         "median_filter": int(median_filter),
         **({"median_filter_sweep": mf_report} if mf_report else {}),
     }

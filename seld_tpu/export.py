@@ -44,6 +44,7 @@ def export_serving(
     int8_weight_only: bool = False,
     bg_bias: float = 0.0,
     median_filter: int = 0,
+    accdoa_threshold: float | None = None,
 ) -> Path:
     """Export the checkpoint's forward pass; returns the artifact path.
 
@@ -63,10 +64,11 @@ def export_serving(
 
     from seld_tpu.infer import SELDPredictor
 
-    # bg_bias (grid models): the validation-tuned background decode bias
-    # bakes into the exported forwards (see SELDPredictor.bg_bias)
+    # bg_bias (grid models) / accdoa_threshold (ACCDOA models): the
+    # validation-tuned decode operating point bakes into the exported
+    # forwards (see SELDPredictor.bg_bias / .accdoa_threshold)
     p = SELDPredictor(checkpoint_dir, cfg, batch_windows=batch_windows,
-                      bg_bias=bg_bias)
+                      bg_bias=bg_bias, accdoa_threshold=accdoa_threshold)
     if int8_calib_waves is not None or int8_calib_mel is not None:
         # weight-only: int8 storage (smaller artifact), original-
         # precision compute — near-float accuracy without the MXU int8
@@ -128,6 +130,9 @@ def export_serving(
         "quantized_int8": bool(p.quantized),
         "int8_weight_only": bool(p.quantized and int8_weight_only),
         "bg_bias": float(bg_bias),
+        # baked into the argmax/vote forwards; also read back host-side
+        # by from_artifact for the single-ACCDOA overlap decode
+        "accdoa_threshold": float(p.accdoa_threshold),
         # host-side post-op: recorded so from_artifact applies the tuned
         # width automatically (not baked into the device program)
         "median_filter": int(validate_width(median_filter)),

@@ -38,6 +38,28 @@ def bias_background_logits(out, bias):
     return out.at[:, :, -1, :].add(jnp.asarray(bias, out.dtype) * -1)
 
 
+def validate_accdoa_threshold(threshold, accdoa_mode: bool) -> float:
+    """THE one validation of the ACCDOA activity-threshold knob (the
+    predictor, eval, and export all call it): None means the
+    DCASE2022-baseline default 0.5; an explicit value requires an ACCDOA
+    output family (mirror of bg_bias rejecting ACCDOA models) and must
+    be >= 0 (vector norms are non-negative; 0 keeps only exact-zero
+    vectors inactive)."""
+    if threshold is None:
+        return 0.5
+    if not accdoa_mode:
+        raise ValueError(
+            "accdoa_threshold applies to ACCDOA / multi-ACCDOA models "
+            "only — grid models tune their operating point with bg_bias"
+        )
+    threshold = float(threshold)
+    if threshold < 0:
+        raise ValueError(
+            f"accdoa_threshold must be >= 0, got {threshold}"
+        )
+    return threshold
+
+
 @dataclass
 class Prediction:
     """Per-frame grid predictions for one clip."""
@@ -94,7 +116,8 @@ class SELDPredictor:
 
     def __init__(self, checkpoint_dir, cfg: Config | None = None,
                  batch_windows: int = 8, bg_bias: float = 0.0,
-                 median_filter: int = 0):
+                 median_filter: int = 0,
+                 accdoa_threshold: float | None = None):
         """bg_bias: background-logit decode bias (grid models only). The
         background class's logit is reduced by this amount before every
         argmax/softmax — a post-hoc detection operating point, tuned on
@@ -109,7 +132,15 @@ class SELDPredictor:
         applied to COMPLETE assembled predictions (predict_waveform and
         stream_predict filter the same assembled grid, keeping
         offline==stream bit-equality by construction; the serve
-        daemon's incremental fragments stay raw). 0 disables."""
+        daemon's incremental fragments stay raw). 0 disables.
+
+        accdoa_threshold: vector-norm activity threshold for ACCDOA /
+        multi-ACCDOA decodes (None = the DCASE2022-baseline 0.5) — the
+        ACCDOA counterpart of bg_bias's detection operating point, tuned
+        on validation data with `eval --accdoa-threshold-sweep`. Applies
+        uniformly to plain/int8/TTA/streaming/overlap forwards (single
+        injection set: the decode calls here, _rep_from_raw's
+        multi-ACCDOA vote maps, and _decode_avg's vector decode)."""
         stored = load_checkpoint_config(checkpoint_dir)
         if stored is None and cfg is None:
             raise FileNotFoundError(f"no checkpoint config under {checkpoint_dir}")
@@ -157,6 +188,9 @@ class SELDPredictor:
                 "bg_bias applies to grid models only — ACCDOA decodes "
                 "have no background logit"
             )
+        self.accdoa_threshold = validate_accdoa_threshold(
+            accdoa_threshold, self.accdoa_mode
+        )
         from seld_tpu.postprocess import validate_width
 
         self.median_filter = validate_width(median_filter)
@@ -176,7 +210,8 @@ class SELDPredictor:
                     from seld_tpu.accdoa import decode_accdoa_to_grid_jnp
 
                 return decode_accdoa_to_grid_jnp(
-                    out, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes
+                    out, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes,
+                    self.accdoa_threshold,
                 )
             # class-major grid logits (B, win, M, G)
             return jnp.argmax(out, axis=2).astype(jnp.int8)
@@ -245,6 +280,10 @@ class SELDPredictor:
             self.kind = "grid"
         # decode bias, if any, was baked into the exported forwards
         self.bg_bias = float(sidecar.get("bg_bias", 0.0))
+        # threshold: baked into the exported argmax/vote forwards, but
+        # the single-ACCDOA .probs representation is raw vectors, so the
+        # host-side _decode_avg still needs the value
+        self.accdoa_threshold = float(sidecar.get("accdoa_threshold", 0.5))
         # host-side post-op: the sidecar carries the export-time tuned
         # width; predict --median-filter can still override after
         # construction
@@ -313,7 +352,7 @@ class SELDPredictor:
 
             grid_cfg = self.cfg.grid
             return multi_accdoa_class_activity_jnp(
-                out, grid_cfg.n_el, grid_cfg.n_az
+                out, grid_cfg.n_el, grid_cfg.n_az, self.accdoa_threshold
             ).astype(jnp.float16)
         return out.astype(jnp.float16)
 
@@ -331,7 +370,8 @@ class SELDPredictor:
         from seld_tpu.accdoa import decode_accdoa_to_grid
 
         return decode_accdoa_to_grid(
-            avg, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes
+            avg, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes,
+            self.accdoa_threshold,
         )
 
     def tta(self, transforms=None):
@@ -372,6 +412,7 @@ class SELDPredictor:
             lambda ctx, mel: self._raw_apply(ctx[0], ctx[1], mel),
             grid_cfg.n_el, grid_cfg.n_az, cfg.features.feature_set,
             transforms=sel, kind=kind,
+            activity_threshold=self.accdoa_threshold,
         )
 
         @jax.jit
@@ -385,7 +426,8 @@ class SELDPredictor:
                 from seld_tpu.accdoa import decode_accdoa_to_grid_jnp
 
                 return decode_accdoa_to_grid_jnp(
-                    avg, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes
+                    avg, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes,
+                    self.accdoa_threshold,
                 )
             return jnp.argmax(avg, axis=2).astype(jnp.int8)
 
@@ -477,7 +519,8 @@ class SELDPredictor:
                 else:
                     from seld_tpu.accdoa import decode_accdoa_to_grid_jnp as decode_jnp
                 return decode_jnp(
-                    out, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes
+                    out, grid_cfg.n_el, grid_cfg.n_az, grid_cfg.num_classes,
+                    self.accdoa_threshold,
                 )
             return jnp.argmax(out, axis=2).astype(jnp.int8)
 

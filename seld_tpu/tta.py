@@ -67,7 +67,8 @@ def validate_transforms(transforms) -> tuple:
 def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
                      transforms=None, kind: str = "grid",
                      activity_threshold: float = 0.5,
-                     bias_sweep=None):
+                     bias_sweep=None,
+                     threshold_sweep=None):
     """Build the TTA-averaged forward.
 
     apply_fn(ctx, mel) -> model output for one feature batch
@@ -94,6 +95,19 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
     so the biased average is not recoverable from the unbiased one, and
     a bias tuned on the plain decode can sit far from the TTA-decode
     optimum — see benchmarks/flagship_synth_accuracy.py).
+
+    `threshold_sweep` (multi_accdoa kind only): a length-K vector of
+    candidate activity thresholds. The returned fwd then yields
+    (K, B, T, C_ev, G) — for each candidate, the view-average of the
+    per-class cell votes DECODED AT THAT THRESHOLD. The threshold enters
+    per view (it gates which tracks paint activity before the vote
+    average), so — exactly like bias_sweep — the thresholded average is
+    not recoverable from an average at another threshold, and the
+    calibration must run under the TTA decode it tunes. The model
+    forward still runs once per view; only the norm-threshold/paint is
+    replayed per candidate. Single-ACCDOA needs no sweep support here:
+    its TTA average is vectors, thresholded AFTER averaging, so every
+    candidate decodes from the same averaged output.
     """
     import jax
     import jax.numpy as jnp
@@ -104,6 +118,12 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
         raise ValueError(
             "bias_sweep applies to grid TTA only — ACCDOA decodes have "
             "no background logit"
+        )
+    if threshold_sweep is not None and kind != "multi_accdoa":
+        raise ValueError(
+            "threshold_sweep applies to multi_accdoa TTA only (grid "
+            "decodes sweep bg_bias; single-ACCDOA averages vectors, so "
+            "candidate thresholds decode from the averaged output)"
         )
     sel = validate_transforms(transforms)
     cell_gather, ch_perm, ch_sign = acs_tables(n_el, n_az, feature_set)
@@ -129,13 +149,19 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
     biases = None
     if bias_sweep is not None:
         biases = jnp.asarray(bias_sweep, jnp.float32).reshape(-1)
+    thresholds = None
+    if threshold_sweep is not None:
+        thresholds = jnp.asarray(threshold_sweep, jnp.float32).reshape(-1)
 
     def fwd(ctx, mel):
         out_sd = jax.eval_shape(lambda m: apply_fn(ctx, m), mel)
         if kind == "multi_accdoa":
             # (B, T, N, C, 3) model output -> (B, T, C, G) vote maps
             b, t, _, c_ev, _ = out_sd.shape
-            acc0 = jnp.zeros((b, t, c_ev, n_el * n_az), jnp.float32)
+            vote_shape = (b, t, c_ev, n_el * n_az)
+            if thresholds is not None:
+                vote_shape = (thresholds.shape[0],) + vote_shape
+            acc0 = jnp.zeros(vote_shape, jnp.float32)
         elif biases is not None:
             acc0 = jnp.zeros((biases.shape[0],) + out_sd.shape, jnp.float32)
         else:
@@ -169,12 +195,26 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
             elif kind == "multi_accdoa":
                 from seld_tpu.accdoa import multi_accdoa_class_activity_jnp
 
-                activity = multi_accdoa_class_activity_jnp(
-                    out, n_el, n_az, activity_threshold
-                )  # (B, T, C, G) in {0, 1}, transformed coordinates
-                back = jnp.take_along_axis(
-                    activity, row["inv"][None, None, None, :], axis=3
-                )
+                if thresholds is not None:
+                    # one forward per view; each candidate threshold
+                    # replays only the norm-gate/paint (lax.map keeps one
+                    # (B,T,C,G) activity copy live at a time)
+                    back = jax.lax.map(
+                        lambda th: jnp.take_along_axis(
+                            multi_accdoa_class_activity_jnp(
+                                out, n_el, n_az, th
+                            ),
+                            row["inv"][None, None, None, :], axis=3,
+                        ),
+                        thresholds,
+                    )  # (K, B, T, C, G)
+                else:
+                    activity = multi_accdoa_class_activity_jnp(
+                        out, n_el, n_az, activity_threshold
+                    )  # (B, T, C, G) in {0, 1}, transformed coordinates
+                    back = jnp.take_along_axis(
+                        activity, row["inv"][None, None, None, :], axis=3
+                    )
             else:
                 back = jnp.take_along_axis(
                     out, row["inv"][None, None, None, :], axis=3
