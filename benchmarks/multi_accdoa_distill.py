@@ -31,6 +31,12 @@ temporal overlaps — the situations that FILL track slots B/C and make
 orderings ambiguous — actually occur; the artifact records the measured
 same-class-overlap prevalence from the ADPIT targets themselves).
 
+The study also carries the chip evidence for the ACCDOA decode
+calibration surface (`eval --accdoa-threshold-sweep`, round 4): the
+teacher's activity threshold is swept on a separate validation corpus
+and the tuned value is scored on held-out test
+(threshold_sweep_val / teacher_tuned_threshold).
+
 Teacher: multi_accdoa_conformer at the default conformer size.
 Students: one-layer d=96 multi_accdoa_conformer, trained 4 ways under
 the same budget: plain (hard ADPIT only), distilled with
@@ -322,6 +328,27 @@ def main():
         results[name] = pick(m)
         log(name, json.dumps(results[name]))
         print(json.dumps({name: results[name]}), flush=True)
+
+    # Decode calibration for the ACCDOA operating point
+    # (eval --accdoa-threshold-sweep, the bg-bias counterpart for this
+    # output family): sweep the activity threshold on a SEPARATE val
+    # corpus, then score the tuned threshold on held-out test.
+    val_c = synthetic_corpus(cfg_teacher, n_files=3, seconds=60.0,
+                             seed=300, train=False, doa_step_deg=45,
+                             event_rate_hz=EVENT_RATE)
+    ths = [0.3, 0.4, 0.5, 0.6, 0.7]
+    m_thr = evaluate_model(cfg_teacher, val_c, teacher_dir,
+                           save_visualizations=False,
+                           accdoa_threshold_sweep=ths)
+    results["threshold_sweep_val"] = m_thr["accdoa_threshold_sweep"]
+    t_star = float(m_thr["accdoa_threshold_sweep"]["best"]
+                   ["accdoa_threshold"])
+    log(f"threshold sweep (val, seed 300): best {t_star:g}")
+    results["teacher_tuned_threshold"] = pick(evaluate_model(
+        cfg_teacher, test_c, teacher_dir, save_visualizations=False,
+        accdoa_threshold=t_star))
+    log("teacher_tuned_threshold",
+        json.dumps(results["teacher_tuned_threshold"]))
 
     # objective + mimicry statistics on held-out scenes
     v_teacher = vectors_over(cfg_teacher, teacher_dir, test_c)
