@@ -31,6 +31,7 @@ Run in background on the chip; NEVER timeout-kill (wedges the grant).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import threading
 import time
@@ -46,7 +47,12 @@ jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 RESULTS = REPO / "benchmarks" / "results"
-SR, SECONDS, CHUNK_S = 24000, 30.0, 1.0
+# SERVE_LAT_SECONDS: per-stream clip length. Fragments emit per 5 s
+# window, so the per-config percentile sample is ~SECONDS/5 fragments
+# per stream — the round-3 default (30 s) left the 1-stream p99 resting
+# on 7 fragments; 120 s gives 24+ per stream.
+SR, CHUNK_S = 24000, 1.0
+SECONDS = float(os.environ.get("SERVE_LAT_SECONDS", "30.0"))
 CONFIGS = [("batched_1", 1, True), ("batched_4", 4, True),
            ("batched_8", 8, True), ("locked_8", 8, False)]
 
