@@ -108,10 +108,87 @@ def _parse_tta_transforms(spec: str | None):
     return tuple(int(t) for t in spec.split(",") if t.strip())
 
 
+def _apply_calibration(cfg: Config, args, logger):
+    """Fill decode-knob flags from a `seld_tpu calibrate` file.
+
+    Explicit CLI flags win over calibrated values (a passed --bg-bias /
+    --accdoa-threshold / --median-filter overrides the file); bool
+    levers (tta, int8) are turned ON if the calibration was tuned under
+    them, because the scalar knobs are only valid on the decode path
+    they were swept on (per-path optima differ — see seld_tpu/
+    calibrate.py)."""
+    path = getattr(args, "calibration", None)
+    if not path:
+        return
+    from seld_tpu.calibrate import check_calibration_matches, load_calibration
+
+    if getattr(args, "artifact", None):
+        raise ValueError(
+            "--calibration does not compose with --artifact: export with "
+            "--calibration instead — the artifact then carries the tuned "
+            "decode"
+        )
+    calib = load_calibration(path)
+    # Check against the config the command will actually run: the
+    # checkpoint-embedded config wins everywhere (SELDPredictor /
+    # evaluate_model both prefer it), so resolve it the same way here.
+    from seld_tpu.train.checkpoint import load_checkpoint_config
+
+    stored = load_checkpoint_config(cfg.data.checkpoint_path)
+    check_calibration_matches(calib, stored if stored is not None else cfg)
+    applied = []
+    if "bg_bias" in calib and not getattr(args, "bg_bias", 0.0):
+        args.bg_bias = float(calib["bg_bias"])
+        applied.append(f"bg_bias={args.bg_bias:g}")
+    if ("accdoa_threshold" in calib
+            and getattr(args, "accdoa_threshold", None) is None):
+        args.accdoa_threshold = float(calib["accdoa_threshold"])
+        applied.append(f"accdoa_threshold={args.accdoa_threshold:g}")
+    if not getattr(args, "median_filter", 0):
+        args.median_filter = int(calib["median_filter"])
+        applied.append(f"median_filter={args.median_filter}")
+    if calib.get("tta") and not (getattr(args, "tta", False)
+                                 or getattr(args, "tta_transforms", None)):
+        sel = calib.get("tta_transforms")
+        if not hasattr(args, "tta"):
+            raise ValueError(
+                "this calibration was tuned under TTA, which this "
+                "command cannot apply — recalibrate without --tta, or "
+                "use predict/eval --calibration"
+            )
+        args.tta = True
+        if sel:
+            args.tta_transforms = ",".join(str(t) for t in sel)
+        applied.append("tta=on")
+    if calib.get("int8"):
+        if hasattr(args, "int8") and not args.int8:
+            args.int8 = True
+            applied.append("int8=on")
+        elif hasattr(args, "int8_calib_wavs") and not args.int8_calib_wavs:
+            # export: int8 weights need a calibration pass over audio
+            raise ValueError(
+                "this calibration was tuned under int8 — pass "
+                "--int8-calib-wavs so export can bake the quantized "
+                "forward"
+            )
+        if calib.get("int8_weight_only"):
+            if not hasattr(args, "int8_weight_only"):
+                raise ValueError(
+                    "this calibration was tuned under int8 weight-only "
+                    "quantization, which this command cannot apply"
+                )
+            if not args.int8_weight_only:
+                args.int8_weight_only = True
+                applied.append("int8_weight_only=on")
+    logger.info("Applied calibration %s: %s", path,
+                ", ".join(applied) if applied else "(no unset knobs)")
+
+
 def cmd_eval(cfg: Config, args, logger):
     from seld_tpu.eval import evaluate_model
 
     cfg = _normalize_config(cfg, logger)
+    _apply_calibration(cfg, args, logger)
     _, test_c = _build_corpora(cfg, args.synthetic, logger)
     tta = None
     if getattr(args, "tta", False) or getattr(args, "tta_transforms", None):
@@ -154,6 +231,52 @@ def cmd_eval(cfg: Config, args, logger):
     )
     printable = {k: v for k, v in results.items() if k != "visualizations"}
     print(json.dumps(printable, indent=2, default=str))
+    return 0
+
+
+def cmd_calibrate(cfg: Config, args, logger):
+    """Tune every decode knob on a validation corpus and write a
+    calibration file that predict/eval/export consume via
+    --calibration. Point the data paths at a VALIDATION split —
+    calibrating on the test set invalidates the evaluation."""
+    from pathlib import Path
+
+    from seld_tpu.calibrate import run_calibration, write_calibration
+
+    cfg = _normalize_config(cfg, logger)
+    _, val_c = _build_corpora(cfg, args.synthetic, logger)
+    tta = None
+    if args.tta or args.tta_transforms:
+        from seld_tpu.tta import validate_transforms
+
+        tta = validate_transforms(_parse_tta_transforms(args.tta_transforms))
+    if args.int8_weight_only and not args.int8:
+        raise ValueError("--int8-weight-only requires --int8")
+
+    def _floats(spec):
+        return ([float(v) for v in str(spec).split(",") if v.strip()]
+                if spec else None)
+
+    calib = run_calibration(
+        cfg, val_c, cfg.data.checkpoint_path,
+        tta_transforms=tta,
+        int8=args.int8,
+        int8_weight_only=args.int8_weight_only,
+        bias_grid=_floats(args.bg_bias_sweep),
+        threshold_grid=_floats(args.accdoa_threshold_sweep),
+        median_widths=(
+            [int(w) for w in str(args.median_widths).split(",") if w.strip()]
+            if args.median_widths else None
+        ),
+        use_checkpoint=args.use_checkpoint,
+    )
+    out = Path(args.out) if args.out else (
+        Path(cfg.data.checkpoint_path) / "decode_calibration.json"
+    )
+    write_calibration(calib, out)
+    printable = {k: v for k, v in calib.items()
+                 if k not in ("knob_sweep", "median_sweep")}
+    print(json.dumps(printable, indent=2))
     return 0
 
 
@@ -219,6 +342,7 @@ def cmd_predict(cfg: Config, args, logger):
 
     from seld_tpu.infer import SELDPredictor
 
+    _apply_calibration(cfg, args, logger)
     if args.artifact:
         if args.int8:
             raise ValueError(
@@ -275,6 +399,7 @@ def cmd_export(cfg: Config, args, logger):
     """AOT serving export: checkpoint -> self-contained StableHLO file."""
     from seld_tpu.export import export_serving
 
+    _apply_calibration(cfg, args, logger)
     platforms = None
     if args.platforms:
         platforms = tuple(
@@ -545,6 +670,13 @@ def main(argv=None) -> int:
         "ONE eval pass — per-width DCASE2022 table + best width in the "
         "report",
     )
+    p_eval.add_argument(
+        "--calibration", default=None, metavar="FILE",
+        help="apply a `seld_tpu calibrate` file: fills --bg-bias/"
+        "--accdoa-threshold/--median-filter (and re-enables the "
+        "tta/int8 path the calibration was tuned on); explicit flags "
+        "override the file",
+    )
     p_eval.set_defaults(fn=cmd_eval)
 
     p_verify = sub.add_parser("verify", parents=[common])
@@ -610,6 +742,14 @@ def main(argv=None) -> int:
         "bit-equal to offline; composes with --artifact, where an "
         "explicit 0 disables a sidecar-baked width)",
     )
+    p_pred.add_argument(
+        "--calibration", default=None, metavar="FILE",
+        help="apply a `seld_tpu calibrate` file: fills --bg-bias/"
+        "--accdoa-threshold/--median-filter (and re-enables the "
+        "tta/int8 path the calibration was tuned on); explicit flags "
+        "override the file; not with --artifact (export with "
+        "--calibration instead)",
+    )
     p_pred.set_defaults(fn=cmd_predict)
 
     p_imp = sub.add_parser("import-torch", parents=[common])
@@ -651,7 +791,64 @@ def main(argv=None) -> int:
         "exported forwards (ACCDOA / multi-ACCDOA models; see eval "
         "--accdoa-threshold-sweep)",
     )
+    p_exp.add_argument(
+        "--calibration", default=None, metavar="FILE",
+        help="bake a `seld_tpu calibrate` file's tuned decode into the "
+        "artifact (bias/threshold into the forwards, median width into "
+        "the sidecar); TTA-path calibrations are rejected (artifacts "
+        "serve the plain forward); int8-path calibrations additionally "
+        "need --int8-calib-wavs",
+    )
     p_exp.set_defaults(fn=cmd_export)
+
+    p_cal = sub.add_parser(
+        "calibrate", parents=[common],
+        help="tune every decode knob (bias/threshold + median width) on "
+             "a validation corpus; writes decode_calibration.json for "
+             "predict/eval/export --calibration",
+    )
+    p_cal.add_argument(
+        "--use-checkpoint", choices=("best", "latest"), default="best",
+        dest="use_checkpoint",
+        help="which checkpoint to calibrate (matches eval --use-checkpoint)",
+    )
+    p_cal.add_argument(
+        "--tta", action="store_true",
+        help="calibrate the TTA decode path (per-path optima differ — "
+        "the calibration file records the path it was tuned on and "
+        "--calibration re-enables it)",
+    )
+    p_cal.add_argument(
+        "--tta-transforms", default=None,
+        help="comma-separated transform subset for --tta (default all 16)",
+    )
+    p_cal.add_argument(
+        "--int8", action="store_true",
+        help="calibrate the int8 PTQ decode path",
+    )
+    p_cal.add_argument(
+        "--int8-weight-only", action="store_true",
+        help="with --int8: weight-only quantization numerics",
+    )
+    p_cal.add_argument(
+        "--bg-bias-sweep", default=None, metavar="B1,B2,...",
+        help="candidate background biases for grid models "
+        "(default -1,-0.5,0,0.5,1,1.5,2,3)",
+    )
+    p_cal.add_argument(
+        "--accdoa-threshold-sweep", default=None, metavar="T1,T2,...",
+        help="candidate activity thresholds for ACCDOA families "
+        "(default 0.2,0.3,0.4,0.5,0.6,0.7)",
+    )
+    p_cal.add_argument(
+        "--median-widths", default=None, metavar="W1,W2,...",
+        help="candidate median-filter widths (default 1,3,5,7; 1 = off)",
+    )
+    p_cal.add_argument(
+        "--out", default=None,
+        help="output path (default <checkpoint_path>/decode_calibration.json)",
+    )
+    p_cal.set_defaults(fn=cmd_calibrate)
 
     p_score = sub.add_parser(
         "score", parents=[common],
