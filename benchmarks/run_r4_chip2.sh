@@ -9,7 +9,25 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 STAGE1_PID="${1:?stage-1 runner pid required}"
-while kill -0 "$STAGE1_PID" 2>/dev/null; do sleep 30; done
+
+# The PID alone is not a safe gate: a stale/typo'd PID would start
+# stage 2 while a stage-1 python still holds the chip (duplicate-run
+# contention), and a recycled PID would wait forever. Gate on the PID
+# OR any live process still running a stage-1 script (read-only /proc
+# scan — never pattern-KILL on a shared host).
+stage1_active() {
+  kill -0 "$STAGE1_PID" 2>/dev/null && return 0
+  local p
+  for p in /proc/[0-9]*/cmdline; do
+    if tr '\0' ' ' <"$p" 2>/dev/null \
+        | grep -qE 'flagship_synth_accuracy\.py|multi_accdoa_distill\.py|run_r4_chip\.sh'; then
+      return 0
+    fi
+  done
+  return 1
+}
+
+while stage1_active; do sleep 30; done
 echo "=== [$(date +%T)] stage-1 runner done; starting stage 2 ==="
 
 echo "=== [$(date +%T)] serve latency @120s clips (24+ fragments/stream) ==="

@@ -75,9 +75,17 @@ def run_calibration(
     Returns the calibration dict (not yet written to disk)."""
     from seld_tpu.eval import evaluate_model
     from seld_tpu.models.registry import ACCDOA_MODELS
+    from seld_tpu.train.checkpoint import load_checkpoint_config
 
     log = get_logger()
-    accdoa_mode = cfg.model.model_type in ACCDOA_MODELS
+    # The checkpoint-embedded config is what evaluate_model will
+    # actually run (it wins over the caller's cfg everywhere) — the
+    # knob family and the stamped model_type/feature_set must follow
+    # it, or the written calibration could be rejected by its own
+    # --calibration replay against this very checkpoint.
+    stored = load_checkpoint_config(checkpoint_dir)
+    eff_cfg = stored if stored is not None else cfg
+    accdoa_mode = eff_cfg.model.model_type in ACCDOA_MODELS
     if accdoa_mode:
         if bias_grid is not None:
             raise ValueError(
@@ -130,8 +138,8 @@ def run_calibration(
 
     calib = {
         "calibration_version": CALIBRATION_VERSION,
-        "model_type": cfg.model.model_type,
-        "feature_set": cfg.features.feature_set,
+        "model_type": eff_cfg.model.model_type,
+        "feature_set": eff_cfg.features.feature_set,
         "checkpoint": str(checkpoint_dir),
         "use_checkpoint": use_checkpoint,
         "tta": tta_transforms is not None,

@@ -136,15 +136,17 @@ def _apply_calibration(cfg: Config, args, logger):
 
     stored = load_checkpoint_config(cfg.data.checkpoint_path)
     check_calibration_matches(calib, stored if stored is not None else cfg)
+    # "unset" is None (the consumers' flag defaults), so an explicit
+    # `--bg-bias 0` / `--median-filter 0` still overrides the file
     applied = []
-    if "bg_bias" in calib and not getattr(args, "bg_bias", 0.0):
+    if "bg_bias" in calib and getattr(args, "bg_bias", 0.0) is None:
         args.bg_bias = float(calib["bg_bias"])
         applied.append(f"bg_bias={args.bg_bias:g}")
     if ("accdoa_threshold" in calib
-            and getattr(args, "accdoa_threshold", None) is None):
+            and getattr(args, "accdoa_threshold", 0.0) is None):
         args.accdoa_threshold = float(calib["accdoa_threshold"])
         applied.append(f"accdoa_threshold={args.accdoa_threshold:g}")
-    if not getattr(args, "median_filter", 0):
+    if getattr(args, "median_filter", 0) is None:
         args.median_filter = int(calib["median_filter"])
         applied.append(f"median_filter={args.median_filter}")
     if calib.get("tta") and not (getattr(args, "tta", False)
@@ -209,7 +211,7 @@ def cmd_eval(cfg: Config, args, logger):
         tta_transforms=tta,
         int8=int8,
         int8_weight_only=int8_wo,
-        bg_bias=getattr(args, "bg_bias", 0.0),
+        bg_bias=getattr(args, "bg_bias", None) or 0.0,
         bg_bias_sweep=(
             [float(b) for b in str(sweep_spec).split(",") if b.strip()]
             if (sweep_spec := getattr(args, "bg_bias_sweep", None))
@@ -221,7 +223,7 @@ def cmd_eval(cfg: Config, args, logger):
             if (thr_spec := getattr(args, "accdoa_threshold_sweep", None))
             else None
         ),
-        median_filter=getattr(args, "median_filter", 0),
+        median_filter=getattr(args, "median_filter", None) or 0,
         median_filter_sweep=(
             [int(w) for w in str(mf_spec).split(",") if w.strip()]
             if (mf_spec := getattr(args, "median_filter_sweep", None))
@@ -371,7 +373,7 @@ def cmd_predict(cfg: Config, args, logger):
             predictor.median_filter = validate_width(args.median_filter)
     else:
         predictor = SELDPredictor(cfg.data.checkpoint_path, cfg,
-                                  bg_bias=args.bg_bias,
+                                  bg_bias=args.bg_bias or 0.0,
                                   median_filter=args.median_filter or 0,
                                   accdoa_threshold=args.accdoa_threshold)
     if args.int8:
@@ -420,8 +422,8 @@ def cmd_export(cfg: Config, args, logger):
         batch_windows=args.batch_windows, platforms=platforms, cfg=cfg,
         int8_calib_waves=calib_waves,
         int8_weight_only=args.int8_weight_only,
-        bg_bias=args.bg_bias,
-        median_filter=args.median_filter,
+        bg_bias=args.bg_bias or 0.0,
+        median_filter=args.median_filter or 0,
         accdoa_threshold=args.accdoa_threshold,
     )
     logger.info("Serving artifact written: %s", out)
@@ -630,8 +632,8 @@ def main(argv=None) -> int:
         "gate for int8 serving/export on your own labeled data",
     )
     p_eval.add_argument(
-        "--bg-bias", type=float, default=0.0, metavar="B",
-        help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep)",
+        "--bg-bias", type=float, default=None, metavar="B",
+        help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep); an explicit 0 overrides a --calibration value",
     )
     p_eval.add_argument(
         "--bg-bias-sweep", default=None, metavar="B1,B2,...",
@@ -658,7 +660,7 @@ def main(argv=None) -> int:
         "in the report",
     )
     p_eval.add_argument(
-        "--median-filter", type=int, default=0, metavar="W",
+        "--median-filter", type=int, default=None, metavar="W",
         help="temporal majority smoothing of decoded prediction grids "
         "over an odd W-frame window before metrics (the eval gate for "
         "predict --median-filter; composes with --tta/--int8/--bg-bias)",
@@ -726,8 +728,8 @@ def main(argv=None) -> int:
         "export time, so --int8 is rejected here)",
     )
     p_pred.add_argument(
-        "--bg-bias", type=float, default=0.0, metavar="B",
-        help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep)",
+        "--bg-bias", type=float, default=None, metavar="B",
+        help="background-logit decode bias for grid models: the background class's logit is reduced by B before every decode (tune on validation data with eval --bg-bias-sweep); an explicit 0 overrides a --calibration value",
     )
     p_pred.add_argument(
         "--accdoa-threshold", type=float, default=None, metavar="T",
@@ -775,12 +777,12 @@ def main(argv=None) -> int:
         "near-float accuracy, no MXU int8 speedup)",
     )
     p_exp.add_argument(
-        "--bg-bias", type=float, default=0.0, metavar="B",
+        "--bg-bias", type=float, default=None, metavar="B",
         help="bake a validation-tuned background decode bias into the "
         "exported forwards (grid models; see eval --bg-bias-sweep)",
     )
     p_exp.add_argument(
-        "--median-filter", type=int, default=0, metavar="W",
+        "--median-filter", type=int, default=None, metavar="W",
         help="record a tuned temporal-smoothing width in the artifact "
         "sidecar (host-side post-op; from_artifact applies it "
         "automatically; see eval --median-filter-sweep)",

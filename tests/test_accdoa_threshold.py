@@ -5,16 +5,11 @@ No reference counterpart (the reference has no ACCDOA family at all);
 the 0.5 default is the DCASE2022-baseline convention
 (seld_tpu/accdoa.py)."""
 
-import jax
 import numpy as np
 import pytest
 
-from seld_tpu.accdoa import (
-    decode_accdoa_to_grid,
-    decode_accdoa_to_grid_jnp,
-    decode_multi_accdoa_to_grid_jnp,
-)
-from seld_tpu.config import Config, parse_overrides
+from seld_tpu.accdoa import decode_accdoa_to_grid, decode_accdoa_to_grid_jnp
+from seld_tpu.config import Config
 from seld_tpu.data import synthetic_corpus
 from seld_tpu.eval import evaluate_model
 from seld_tpu.infer import SELDPredictor, validate_accdoa_threshold

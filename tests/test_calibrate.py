@@ -116,6 +116,46 @@ def test_explicit_flags_override_calibration(grid_ckpt, grid_calibration,
     assert results["median_filter"] == 5
 
 
+def test_explicit_zero_overrides_calibration(grid_ckpt, grid_calibration,
+                                             tmp_path, capsys):
+    """An explicit `--bg-bias 0 --median-filter 0` must win over the
+    calibration file (flag defaults are None, so 0 is distinguishable
+    from unset — regression for the falsy-zero check). The calibration
+    is forced to NONZERO knobs so the assertion cannot pass vacuously."""
+    root, overrides = grid_ckpt
+    path, calib = grid_calibration
+    forced = dict(calib, bg_bias=1.0, median_filter=3)
+    fpath = tmp_path / "forced_calib.json"
+    fpath.write_text(json.dumps(forced))
+    assert main([
+        "eval", "--synthetic", *overrides, "--num-visualizations", "0",
+        "--calibration", str(fpath), "--bg-bias=0", "--median-filter", "0",
+    ]) == 0
+    out = capsys.readouterr().out
+    results = json.loads(out[out.index("{"):])
+    assert results["bg_bias"] == 0.0
+    assert results["median_filter"] == 0
+
+
+def test_calibrate_stamps_checkpoint_model(grid_ckpt):
+    """The knob family and the stamped model_type follow the
+    checkpoint-embedded config (what evaluate_model actually runs),
+    not the caller's CLI config — otherwise a calibration written with
+    an unstated model type would be rejected by its own --calibration
+    replay against the very checkpoint it was tuned on."""
+    root, overrides = grid_ckpt
+    # drop the model.* overrides: the CLI config defaults to
+    # resnet_conformer, but the checkpoint stores the tiny crnn
+    no_model = [o for o in overrides if not o.startswith("model.")]
+    assert main([
+        "calibrate", "--synthetic", *no_model,
+        "--bg-bias-sweep=0,0.5", "--median-widths", "1",
+        "--out", str(root / "stamp_check.json"),
+    ]) == 0
+    calib = json.loads((root / "stamp_check.json").read_text())
+    assert calib["model_type"] == "crnn"
+
+
 def test_predict_calibration_equals_explicit(grid_ckpt, grid_calibration,
                                              tmp_path, monkeypatch):
     """predict --calibration is bit-equal to passing the tuned knobs
