@@ -233,9 +233,10 @@ def measure_cpu_reference() -> float:
     return thr
 
 
-def wait_for_accelerator(max_wait_s: float = 900.0) -> None:
+def wait_for_accelerator(max_wait_s: float = 2700.0) -> None:
     """The tunneled TPU grant can be briefly unavailable (e.g. right after
-    a killed client; the stale lease must time out). Probe with short
+    a killed client; the stale lease must time out — measured wedges run
+    25-35 min, so the default budget covers a full one). Probe with short
     subprocess attempts — a hung in-process backend init can't be
     interrupted — until a trivial op succeeds."""
     import subprocess
