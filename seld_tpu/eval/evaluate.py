@@ -114,6 +114,18 @@ def evaluate_model(
             "eval --int8 does not compose with a device mesh — the "
             "quantized forward runs single-device, like the predictor"
         )
+    # Preempted/aborted training leaves a valid-looking checkpoint tree;
+    # scoring one silently is how two study baselines went bad (STATUS
+    # round-4 close-out). Stamp the report and warn loudly.
+    from seld_tpu.train.completion import workdir_incomplete_reason
+
+    training_incomplete = workdir_incomplete_reason(checkpoint_dir)
+    if training_incomplete is not None:
+        log.warning(
+            "checkpoint %s comes from TRUNCATED training (%s) — metrics "
+            "reflect a partially trained model", checkpoint_dir,
+            training_incomplete,
+        )
     stored_cfg = load_checkpoint_config(checkpoint_dir)
     if stored_cfg is not None:
         if stored_cfg.model != cfg.model:
@@ -707,4 +719,6 @@ def evaluate_model(
            if sweep_report and sweep_kind == "accdoa_threshold" else {}),
         "median_filter": int(median_filter),
         **({"median_filter_sweep": mf_report} if mf_report else {}),
+        **({"training_incomplete": training_incomplete}
+           if training_incomplete else {}),
     }
