@@ -34,7 +34,14 @@ Config-driven (`train.distill_ckpt` + `distill_alpha` / `distill_temperature`):
         reducing to the position-wise value wherever the identity
         ordering is already the best match.
         `train.distill_track_matching=position` restores the plain
-        position-wise MSE (the pre-round-4 behavior);
+        position-wise MSE (the pre-round-4 behavior).
+        Both ACCDOA KD variants weight each (frame, class) cell by the
+        TEACHER's decoded activity (`loss.background_class_weight` on
+        inactive cells, 1.0 on active — the vector analogue of the grid
+        branch's class weighting): ~99.7% of cells are zero-vectors a
+        trained teacher nails, and uniform vector KD measurably
+        collapses students to silence (round-4 study; grid precedent
+        commit 63b8953, ref CE bg weight reference trainer.py:99-101);
   * teacher variables travel as jitted-step ARGUMENTS, never closure
     constants (a 60M-param constant tree blows up remote TPU compiles —
     the same rule `seld_tpu.quant` follows for quant trees).
@@ -54,13 +61,6 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-
-
-def _masked_example_mean(per_example, example_mask):
-    if example_mask is None:
-        return jnp.mean(per_example)
-    em = example_mask.astype(per_example.dtype)
-    return jnp.sum(per_example * em) / jnp.maximum(jnp.sum(em), 1e-8)
 
 
 def grid_kd_loss(student_logits, teacher_logits, example_mask=None,
@@ -99,23 +99,72 @@ def grid_kd_loss(student_logits, teacher_logits, example_mask=None,
     return kl * temperature**2
 
 
+def _teacher_activity_weights(teacher_vectors, background_weight: float,
+                              activity_threshold: float):
+    """Per-(frame, class) weights from the TEACHER's decoded activity:
+    1.0 where any track's vector norm exceeds the decode threshold,
+    `background_weight` elsewhere. Input `(B, T, C, 3)` or
+    `(B, T, N, C, 3)`; returns `(B, T, C)`."""
+    norms = jnp.linalg.norm(teacher_vectors.astype(jnp.float32), axis=-1)
+    active = norms > activity_threshold
+    if active.ndim == 4:  # (B, T, N, C): any track activates the cell
+        active = jnp.any(active, axis=2)
+    return jnp.where(active, 1.0, jnp.float32(background_weight))
+
+
+def _weighted_cell_mean(per_cell, weights, example_mask):
+    """`sum(w * x * em) / sum(w * em)` over (B, T, C) cells — the same
+    normalization shape as the class-weighted grid CE/KD, so active
+    cells keep gradient share no matter how background-dominated the
+    scene is. `weights=None` is the uniform mean (the em-weighted mean
+    of per-example cell means, since every example has T*C cells)."""
+    if weights is None:
+        weights = jnp.ones_like(per_cell)
+    em = jnp.ones((per_cell.shape[0],), jnp.float32) if example_mask is None \
+        else example_mask.astype(jnp.float32)
+    em = em.reshape((-1,) + (1,) * (per_cell.ndim - 1))
+    return (jnp.sum(weights * per_cell * em)
+            / jnp.maximum(jnp.sum(weights * em), 1e-8))
+
+
 def vector_kd_loss(student_vectors, teacher_vectors, example_mask=None,
-                   temperature: float = 1.0):
+                   temperature: float = 1.0, background_weight=None,
+                   activity_threshold: float = 0.5):
     """Masked MSE between ACCDOA vector outputs (any track layout).
 
     `temperature` is accepted for interface symmetry and ignored — MSE
     between bounded regression outputs has no softening knob.
+
+    `background_weight` (the vector analogue of the grid KD's class
+    weighting, default off): per-(frame, class) cells where the teacher
+    is INACTIVE (every track's vector norm <= `activity_threshold`, the
+    decode rule) are down-weighted to `background_weight` and the total
+    renormalized by the weight mass. SELD scenes are ~99.7% inactive
+    cells on which a trained teacher emits near-zero vectors; uniform
+    vector KD is therefore dominated by "predict zero everywhere"
+    pressure — measured to collapse multi-ACCDOA students to zero
+    activity (benchmarks/results/multi_accdoa_distill.json, round 4;
+    the same failure the grid KD fixed with class weights, and the
+    vector counterpart of the reference CE's background weight 0.05,
+    reference trainer.py:99-101).
     """
     del temperature
-    diff = (student_vectors.astype(jnp.float32)
-            - teacher_vectors.astype(jnp.float32))
-    sq = diff * diff
-    per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=-1)
-    return _masked_example_mean(per_example, example_mask)
+    s = student_vectors.astype(jnp.float32)
+    t = teacher_vectors.astype(jnp.float32)
+    sq = jnp.square(s - t)
+    if sq.ndim == 5:  # (B, T, N, C, 3) -> per-(frame, class) over (N, xyz)
+        per_cell = jnp.mean(sq, axis=(2, 4))
+    else:  # (B, T, C, 3) -> over xyz
+        per_cell = jnp.mean(sq, axis=-1)
+    w = None if background_weight is None else _teacher_activity_weights(
+        t, background_weight, activity_threshold)
+    return _weighted_cell_mean(per_cell, w, example_mask)
 
 
 def multi_accdoa_kd_loss(student_vectors, teacher_vectors,
-                         example_mask=None, temperature: float = 1.0):
+                         example_mask=None, temperature: float = 1.0,
+                         background_weight=None,
+                         activity_threshold: float = 0.5):
     """Track-permutation-invariant KD for multi-ACCDOA heads.
 
     Inputs are `(B, T, N, C, 3)` (tracks, event classes, Cartesian axes).
@@ -132,6 +181,9 @@ def multi_accdoa_kd_loss(student_vectors, teacher_vectors,
     N is static (3 for the registry's multi-ACCDOA models), so the N!=6
     candidates unroll at trace time like ADPIT's do. `temperature` is
     accepted for interface symmetry and ignored (regression target).
+    `background_weight` / `activity_threshold`: teacher-activity cell
+    weighting, exactly as in `vector_kd_loss` (see there for why uniform
+    vector KD collapses students on ~99.7%-background scenes).
     """
     del temperature
     import itertools
@@ -152,10 +204,9 @@ def multi_accdoa_kd_loss(student_vectors, teacher_vectors,
         axis=0,
     )
     per_frame_class = jnp.min(per_perm, axis=0)  # (B, T, C)
-    per_example = jnp.mean(
-        per_frame_class.reshape(per_frame_class.shape[0], -1), axis=-1
-    )
-    return _masked_example_mean(per_example, example_mask)
+    w = None if background_weight is None else _teacher_activity_weights(
+        t, background_weight, activity_threshold)
+    return _weighted_cell_mean(per_frame_class, w, example_mask)
 
 
 @dataclass(frozen=True)
@@ -272,6 +323,8 @@ def load_teacher(cfg, checkpoint_dir, window_frames: int, n_feat_ch: int):
             ),
         )
     elif t_kind == "multi_accdoa":
+        from functools import partial
+
         matching = cfg.train.distill_track_matching
         if matching == "permutation":
             kd = multi_accdoa_kd_loss
@@ -282,8 +335,20 @@ def load_teacher(cfg, checkpoint_dir, window_frames: int, n_feat_ch: int):
                 f"train.distill_track_matching must be 'permutation' or "
                 f"'position', got {matching!r}"
             )
+        # Teacher-activity cell weighting — the vector analogue of the
+        # grid branch's class weighting, sharing its knob.
+        # loss.background_class_weight=1.0 recovers uniform KD.
+        kd = partial(
+            kd,
+            background_weight=float(cfg.loss.background_class_weight),
+        )
     else:
-        kd = vector_kd_loss
+        from functools import partial
+
+        kd = partial(
+            vector_kd_loss,
+            background_weight=float(cfg.loss.background_class_weight),
+        )
     spec = DistillSpec(
         apply=apply,
         kd=kd,

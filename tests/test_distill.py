@@ -317,6 +317,145 @@ def test_load_teacher_track_matching_knob(tmp_path):
         load_teacher(cfg_bad, teacher_dir, win, ch)
 
 
+def _activity_weighted_oracle(per_cell, teacher, em, bg_w, thr=0.5):
+    """Literal restatement of the teacher-activity cell weighting:
+    w = 1 on cells where any teacher track norm > thr, bg_w elsewhere;
+    loss = sum(w * per_cell * em) / sum(w * em)."""
+    norms = np.linalg.norm(teacher.astype(np.float64), axis=-1)
+    active = norms > thr
+    if active.ndim == 4:  # (B, T, N, C) -> any track
+        active = active.any(axis=2)
+    w = np.where(active, 1.0, bg_w)
+    if em is None:
+        em = np.ones(per_cell.shape[0])
+    em = np.asarray(em, np.float64).reshape(-1, 1, 1)
+    return float((w * per_cell * em).sum() / max((w * em).sum(), 1e-8))
+
+
+def _make_sparse_teacher(rng, shape, n_active=6):
+    """Mostly zero-vector teacher (the real SELD regime) with a few
+    unit-norm active cells. Returns (teacher, active_mask (B,T,C))."""
+    t = np.zeros(shape, np.float32)
+    b, T, *mid = shape[:-1]
+    act = np.zeros((shape[0], shape[1], shape[-2]), bool)
+    for _ in range(n_active):
+        i, f, c = (rng.integers(shape[0]), rng.integers(shape[1]),
+                   rng.integers(shape[-2]))
+        v = rng.normal(size=3)
+        v = v / np.linalg.norm(v)
+        if len(shape) == 5:
+            t[i, f, rng.integers(shape[2]), c] = v
+        else:
+            t[i, f, c] = v
+        act[i, f, c] = True
+    return t, act
+
+
+def test_vector_kd_activity_weighting_matches_oracle():
+    from seld_tpu.distill import vector_kd_loss
+
+    rng = np.random.default_rng(5)
+    t, _ = _make_sparse_teacher(rng, (3, 4, 5, 3))
+    s = rng.normal(size=(3, 4, 5, 3)).astype(np.float32) * 0.1
+    em = np.array([1.0, 0.0, 1.0], np.float32)
+    per_cell = ((s.astype(np.float64) - t) ** 2).mean(axis=-1)
+    for bg_w in (0.05, 0.5):
+        got = float(vector_kd_loss(s, t, em, background_weight=bg_w))
+        want = _activity_weighted_oracle(per_cell, t, em, bg_w)
+        assert got == pytest.approx(want, rel=1e-5)
+    # bg_w=1.0 recovers the uniform loss exactly
+    assert float(vector_kd_loss(s, t, em, background_weight=1.0)) == \
+        pytest.approx(float(vector_kd_loss(s, t, em)), rel=1e-6)
+
+
+def test_multi_accdoa_kd_activity_weighting_matches_oracle():
+    import itertools
+
+    from seld_tpu.distill import multi_accdoa_kd_loss
+
+    rng = np.random.default_rng(9)
+    t, _ = _make_sparse_teacher(rng, (2, 3, 3, 4, 3))
+    s = rng.normal(size=(2, 3, 3, 4, 3)).astype(np.float32) * 0.1
+    per_cell = np.stack([
+        ((s.astype(np.float64) - t[:, :, p]) ** 2).mean(axis=(2, 4))
+        for p in itertools.permutations(range(3))
+    ]).min(axis=0)
+    got = float(multi_accdoa_kd_loss(s, t, None, background_weight=0.05))
+    want = _activity_weighted_oracle(per_cell, t, None, 0.05)
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_activity_weighting_rebalances_background_pressure():
+    """The round-4 collapse mechanism, as a property: on a 99%-background
+    teacher, an error on ONE active cell must dominate the same-size
+    error spread over the many background cells — uniform KD has it the
+    other way around (background pressure >> event pressure)."""
+    from seld_tpu.distill import multi_accdoa_kd_loss
+
+    rng = np.random.default_rng(13)
+    shape = (2, 20, 3, 10, 3)  # 400 (frame, class) cells
+    t, act = _make_sparse_teacher(rng, shape, n_active=4)
+
+    # student A: matches teacher except ONE active cell zeroed (silence
+    # on an event); student B: matches except 0.1-norm noise on every
+    # background cell (hum everywhere)
+    s_silent = t.copy()
+    i, f, c = map(int, np.argwhere(act)[0])
+    s_silent[i, f, :, c, :] = 0.0
+    s_hum = t.copy()
+    bg = ~act
+    noise = rng.normal(size=shape).astype(np.float32)
+    noise /= np.linalg.norm(noise, axis=-1, keepdims=True) * 10.0
+    s_hum[bg[:, :, None, :].repeat(3, axis=2)] = \
+        noise[bg[:, :, None, :].repeat(3, axis=2)]
+
+    uni_silent = float(multi_accdoa_kd_loss(s_silent, t))
+    uni_hum = float(multi_accdoa_kd_loss(s_hum, t))
+    w_silent = float(multi_accdoa_kd_loss(s_silent, t,
+                                          background_weight=0.05))
+    w_hum = float(multi_accdoa_kd_loss(s_hum, t, background_weight=0.05))
+    # uniform KD: background hum dominates the one silenced event
+    assert uni_hum > uni_silent
+    # activity-weighted KD: the silenced event dominates the hum
+    assert w_silent > w_hum
+
+
+def test_load_teacher_wires_activity_weighting(tmp_path):
+    """Both multi-ACCDOA matchings arrive background-down-weighted from
+    load_teacher (sharing loss.background_class_weight), and =1.0
+    recovers uniform."""
+    from seld_tpu.distill import load_teacher, multi_accdoa_kd_loss
+
+    cfg_t = tiny_config(tmp_path, **{
+        "model.model_type": "multi_accdoa_conformer",
+        "model.conf_d_model": "32",
+        "model.conf_n_heads": "4",
+        "model.conf_n_layers": "1",
+        "targets.accdoa": "true",
+        "targets.accdoa_tracks": "3",
+    })
+    train_c = synthetic_corpus(cfg_t, n_files=1, seconds=3.0, seed=0)
+    test_c = synthetic_corpus(cfg_t, n_files=1, seconds=3.0, seed=1)
+    teacher_dir = _teacher_ckpt(cfg_t, tmp_path, train_c, test_c)
+    win, ch = train_c.window_frames, train_c.mel.shape[1]
+
+    rng = np.random.default_rng(3)
+    t, _ = _make_sparse_teacher(rng, (2, 3, 3, 4, 3))
+    s = rng.normal(size=(2, 3, 3, 4, 3)).astype(np.float32) * 0.1
+
+    spec, _, _ = load_teacher(cfg_t, teacher_dir, win, ch)
+    want = float(multi_accdoa_kd_loss(
+        s, t, None, background_weight=cfg_t.loss.background_class_weight))
+    assert float(spec.kd(s, t, None)) == pytest.approx(want, rel=1e-6)
+    assert want != pytest.approx(float(multi_accdoa_kd_loss(s, t)),
+                                 rel=1e-3)
+
+    cfg_uni = cfg_t.replace_path("loss.background_class_weight", 1.0)
+    spec_u, _, _ = load_teacher(cfg_uni, teacher_dir, win, ch)
+    assert float(spec_u.kd(s, t, None)) == pytest.approx(
+        float(multi_accdoa_kd_loss(s, t)), rel=1e-6)
+
+
 # ------------------------------------------------------------- step wiring
 
 
