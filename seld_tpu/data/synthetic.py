@@ -16,22 +16,41 @@ from seld_tpu.data.audio import write_wav
 from seld_tpu.data.corpus import WindowedCorpus, build_corpus
 
 
-def foa_gains(az_deg: float, el_deg: float) -> np.ndarray:
+def foa_gains(az_deg, el_deg) -> np.ndarray:
     """SN3D first-order ambisonic panning gains in STARSS22's ACN channel
     order (W, Y, Z, X) for a plane wave from (az, el) degrees — the same
     convention the mel_iv intensity vectors decode
     (features/spatial.py) and the ACS transforms permute
-    (features/acs.py)."""
-    az, el = np.deg2rad(az_deg), np.deg2rad(el_deg)
-    return np.asarray(
-        [1.0, np.sin(az) * np.cos(el), np.sin(el), np.cos(az) * np.cos(el)],
-        np.float32,
-    )
+    (features/acs.py). Accepts scalars -> (4,) or equal-shape arrays ->
+    (4, *shape) (per-sample gains for moving sources)."""
+    az = np.asarray(np.deg2rad(az_deg), np.float32)
+    el = np.asarray(np.deg2rad(el_deg), np.float32)
+    return np.stack([
+        np.ones_like(az),
+        np.sin(az) * np.cos(el),
+        np.sin(el),
+        np.cos(az) * np.cos(el),
+    ]).astype(np.float32)
+
+
+def _wrap_az(az):
+    """Wrap azimuth(s) to [-180, 180) degrees."""
+    return (np.asarray(az) + 180.0) % 360.0 - 180.0
+
+
+def _reflect(x, lo: float, hi: float):
+    """Reflect value(s) into [lo, hi] (triangle wave) — elevation
+    trajectories bounce off the caps instead of crossing the poles,
+    like a physical source tracked in (az, el) coordinates."""
+    span = hi - lo
+    y = (np.asarray(x, np.float64) - lo) % (2.0 * span)
+    return lo + np.where(y > span, 2.0 * span - y, y)
 
 
 def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4,
                    doa_step_deg: int | None = None,
-                   event_rate_hz: float | None = None):
+                   event_rate_hz: float | None = None,
+                   motion_deg_per_s: float | None = None):
     """A clip of FOA-panned tones + noise, and matching metadata rows.
 
     Events are genuinely spatialized: each source signal is panned onto
@@ -53,6 +72,18 @@ def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4,
     it was written for, but at 120 s it leaves ~95% of 5 s training
     windows pure background (the flagship accuracy study collapsed on
     exactly that corpus). Long training clips should set ~0.3-0.5.
+
+    motion_deg_per_s: if set, sources MOVE — each event gets a constant
+    angular velocity (magnitude ~ the knob +-20%, random direction in
+    the (az, el) plane); the audio is panned with PER-SAMPLE SN3D gains
+    along the trajectory and the metadata rows carry the per-100 ms-
+    frame (az, el) at the frame midpoint, exactly STARSS22's moving-
+    source labeling that the reference rasterizer consumes row-by-row
+    (ref dataset.py:60-119). Azimuth wraps at the dateline (a moving
+    source crossing +-180 exercises the wraparound for free); elevation
+    reflects off the caps. With doa_step_deg, only the STARTING
+    direction is lattice-quantized — trajectories leave the lattice,
+    like real motion does.
     """
     n = int(seconds * sample_rate)
     t = np.arange(n) / sample_rate
@@ -82,14 +113,40 @@ def synthetic_clip(rng, seconds: float, sample_rate: int, n_channels: int = 4,
         s0, s1 = int(start_s * sample_rate), min(int((start_s + dur_s) * sample_rate), n)
         tone = 0.3 * np.sin(2 * np.pi * f0 * t[s0:s1]).astype(np.float32)
         tone += 0.1 * np.sin(2 * np.pi * 2 * f0 * t[s0:s1]).astype(np.float32)
+        if motion_deg_per_s is not None:
+            # constant angular velocity; elevation bounces off the same
+            # cap the start elevation was drawn from
+            speed = motion_deg_per_s * rng.uniform(0.8, 1.2)
+            theta = rng.uniform(0.0, 2.0 * np.pi)
+            v_az, v_el = speed * np.cos(theta), speed * np.sin(theta)
+            el_cap = float((60 // int(doa_step_deg)) * int(doa_step_deg)
+                           if doa_step_deg is not None else 85)
+
+            def angles_at(rel_t):
+                return (_wrap_az(az + v_az * rel_t),
+                        _reflect(el + v_el * rel_t, -el_cap, el_cap))
+        else:
+            def angles_at(rel_t):
+                shape = np.shape(rel_t)
+                return (np.full(shape, float(az)), np.full(shape, float(el)))
         if n_channels == 4:
-            gains = foa_gains(az, el)[:, None]
+            if motion_deg_per_s is not None:
+                az_t, el_t = angles_at(np.arange(s1 - s0) / sample_rate)
+                gains = foa_gains(az_t, el_t)  # (4, s1-s0) per-sample pan
+            else:
+                gains = foa_gains(az, el)[:, None]
         else:
             gains = rng.uniform(0.3, 1.0, (n_channels, 1)).astype(np.float32)
         wave[:, s0:s1] += tone * gains
-        # metadata rows at 100 ms cadence over the active span
+        # metadata rows at 100 ms cadence over the active span, labeled
+        # at the frame midpoint (the trajectory's per-frame average for
+        # linear motion — STARSS22's per-frame az/el convention)
         for meta_frame in range(int(start_s * 10), int((start_s + dur_s) * 10)):
-            rows.append((meta_frame, cls, src, az, el))
+            rel_mid = np.clip((meta_frame + 0.5) / 10.0 - start_s,
+                              0.0, dur_s)
+            az_mf, el_mf = angles_at(rel_mid)
+            rows.append((meta_frame, cls, src,
+                         int(round(float(az_mf))), int(round(float(el_mf)))))
     # uniform rescale if overlapping events could clip the int16 wav
     # write — clipping is per-sample nonlinear and would corrupt the
     # SN3D channel RATIOS the intensity vectors decode; a uniform scale
@@ -105,6 +162,7 @@ def synthetic_corpus(
     cfg: Config, n_files: int = 2, seconds: float = 12.0, seed: int = 0,
     train: bool = True, doa_step_deg: int | None = None,
     event_rate_hz: float | None = None,
+    motion_deg_per_s: float | None = None,
 ) -> WindowedCorpus:
     """Build a WindowedCorpus directly from in-memory synthetic clips."""
     import tempfile
@@ -113,6 +171,7 @@ def synthetic_corpus(
         audio_files, meta_files = synthetic_raw_files(
             Path(td), cfg, n_files=n_files, seconds=seconds, seed=seed,
             doa_step_deg=doa_step_deg, event_rate_hz=event_rate_hz,
+            motion_deg_per_s=motion_deg_per_s,
         )
         return build_corpus(
             audio_files, meta_files, cfg.features, cfg.grid, cfg.window,
@@ -124,6 +183,7 @@ def synthetic_raw_files(
     root: Path, cfg: Config, n_files: int = 2, seconds: float = 12.0, seed: int = 0,
     split_dirs: bool = False, doa_step_deg: int | None = None,
     event_rate_hz: float | None = None,
+    motion_deg_per_s: float | None = None,
 ):
     """Write synthetic (wav, csv) pairs to disk; with split_dirs=True,
     lay out the STARSS22 directory structure for discovery tests."""
@@ -132,7 +192,8 @@ def synthetic_raw_files(
     for i in range(n_files):
         wave, rows = synthetic_clip(rng, seconds, cfg.features.sample_rate,
                                     doa_step_deg=doa_step_deg,
-                                    event_rate_hz=event_rate_hz)
+                                    event_rate_hz=event_rate_hz,
+                                    motion_deg_per_s=motion_deg_per_s)
         if split_dirs:
             sub = "dev-train-sony" if i % 2 == 0 else "dev-train-tau"
             apath = root / cfg.data.audio_dirname / sub / f"fold3_room1_mix{i:03d}.wav"

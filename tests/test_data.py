@@ -242,3 +242,95 @@ def test_synthetic_doa_step_closure_and_no_clipping():
                 ta, te = transform_angles(a, e, t)
                 assert float(ta) % 45 == 0 and -180 <= float(ta) < 180
                 assert float(te) in {-45.0, 0.0, 45.0}
+
+
+def test_foa_gains_vectorized_matches_scalar():
+    from seld_tpu.data.synthetic import foa_gains
+
+    az = np.array([0.0, 90.0, -135.0, 179.5])
+    el = np.array([0.0, 30.0, -60.0, 85.0])
+    vec = foa_gains(az, el)  # (4, 4)
+    assert vec.shape == (4, 4)
+    for i in range(4):
+        np.testing.assert_allclose(vec[:, i], foa_gains(az[i], el[i]),
+                                   rtol=1e-6)
+
+
+def test_moving_source_labels_follow_trajectory():
+    """motion_deg_per_s: per-frame labels move at the configured angular
+    speed (within rounding + the +-20% per-event jitter), azimuth wraps
+    at the dateline, elevation stays inside the cap."""
+    from seld_tpu.data.synthetic import synthetic_clip
+
+    rng = np.random.default_rng(3)
+    speeds = []
+    for _ in range(40):
+        wave, rows = synthetic_clip(rng, 4.0, 24000, event_rate_hz=0.25,
+                                    motion_deg_per_s=90.0)
+        if len(rows) < 3:
+            continue
+        az, el = rows[:, 3].astype(float), rows[:, 4].astype(float)
+        assert np.all((az >= -180) & (az <= 180))
+        assert np.all(np.abs(el) <= 85)
+        d_az = (np.diff(az) + 180) % 360 - 180  # wrapped per-frame step
+        d_el = np.diff(el)
+        step = np.hypot(d_az, d_el)  # degrees per 100 ms
+        # interior steps: 10 * step = deg/s; event speed is 90 +- 20%
+        # (frame-midpoint clipping makes first/last steps smaller)
+        interior = step[1:-1]
+        if len(interior):
+            speeds.extend((10.0 * interior).tolist())
+    assert speeds, "no multi-frame moving events generated"
+    speeds = np.asarray(speeds)
+    # an elevation-cap bounce inside a frame shortens that step, so
+    # bound the bulk of the distribution, not every sample
+    assert np.quantile(speeds, 0.1) > 90 * 0.8 - 15, speeds.min()
+    assert np.all(speeds < 90 * 1.2 + 15), speeds.max()
+    assert abs(np.median(speeds) - 90) < 25, np.median(speeds)
+
+
+def test_moving_source_iv_tracks_labels():
+    """The per-sample pan must agree with the per-frame labels: mel_iv
+    intensity vectors averaged over each metadata frame point at that
+    frame's labeled (az, el). This is the learnability contract for the
+    moving-source accuracy study (the static version:
+    test_foa_gains_iv_recovers_labeled_doa)."""
+    import jax.numpy as jnp
+
+    from seld_tpu.data.synthetic import synthetic_clip
+    from seld_tpu.features import frame_signal
+    from seld_tpu.features.spatial import foa_intensity_mel, stft_frames
+
+    sr, n_fft, hop, n_mels = 24000, 960, 480, 64
+    rng = np.random.default_rng(11)
+    checked = 0
+    errors = []
+    for _ in range(20):
+        wave, rows = synthetic_clip(rng, 3.0, sr, event_rate_hz=1 / 3.0,
+                                    motion_deg_per_s=60.0)
+        if len(rows) < 4:
+            continue
+        spec = stft_frames(frame_signal(jnp.asarray(wave), n_fft, hop), n_fft)
+        iv = np.asarray(foa_intensity_mel(spec, n_mels, sr))  # (T, 3, M)
+        frames_per_meta = int(0.1 * sr / hop)  # 5 stft frames per 100 ms
+        for mf, cls, src, az, el in rows[1:-1]:  # skip edge frames
+            t0 = int(mf) * frames_per_meta
+            seg = iv[t0: t0 + frames_per_meta]
+            if seg.shape[0] < frames_per_meta:
+                continue
+            ivm = seg.mean(axis=0)  # (3, M)
+            band = np.argmax(np.abs(ivm).sum(axis=0))
+            x, y, z = ivm[:, band]
+            est_az = np.degrees(np.arctan2(y, x))
+            est_el = np.degrees(np.arctan2(z, np.hypot(x, y)))
+            # 60 deg/s * 0.1 s frame = 6 deg of in-frame motion; allow
+            # that plus STFT window spill into the next meta frame and
+            # mel leakage per frame, but require tight median tracking
+            err_az = abs(((est_az - az) + 180) % 360 - 180)
+            err_el = abs(est_el - el)
+            assert err_az < 14.0, (mf, az, est_az)
+            assert err_el < 14.0, (mf, el, est_el)
+            errors.append(max(err_az, err_el))
+            checked += 1
+    assert checked >= 10, checked
+    assert np.median(errors) < 5.0, np.median(errors)
