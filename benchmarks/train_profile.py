@@ -34,6 +34,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 RESULTS = REPO / "benchmarks" / "results"
 B, T = 16, 250
 V5E_BF16_PEAK = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
 
 
 def log(*a):
@@ -75,12 +76,18 @@ def main():
     float(once(0))
     log(f"compile+first {time.time() - t0:.1f}s")
 
-    # cost analysis (FLOPs of one step)
+    # cost analysis (FLOPs + HBM traffic of one step): the two rooflines
+    # that decide whether the measured step time is compute-bound or
+    # bandwidth-bound (VERDICT r4 item 5's "X% MFU is the floor
+    # because Y" accounting)
+    bytes_accessed = float("nan")
     try:
         ca = step.lower(C.s, mel, mask, em, rng).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", float("nan")))
+        bytes_accessed = float(ca.get("bytes accessed", float("nan")))
         results["xla_flops_per_step"] = flops
+        results["xla_bytes_accessed_per_step"] = bytes_accessed
     except Exception as e:
         log(f"cost_analysis failed: {e}")
         flops = float("nan")
@@ -103,6 +110,22 @@ def main():
         results["mfu_vs_v5e_bf16_peak"] = round(flops / best / V5E_BF16_PEAK, 4)
     log(f"step {best*1e3:.2f} ms -> {results.get('mfu_vs_v5e_bf16_peak')} MFU")
 
+    if np.isfinite(flops) and np.isfinite(bytes_accessed):
+        mxu_ms = flops / V5E_BF16_PEAK * 1e3
+        hbm_ms = bytes_accessed / V5E_HBM_BYTES_PER_S * 1e3
+        floor_ms = max(mxu_ms, hbm_ms)
+        results["roofline"] = {
+            "mxu_roofline_ms": round(mxu_ms, 2),
+            "hbm_roofline_ms": round(hbm_ms, 2),
+            "bound": "hbm" if hbm_ms > mxu_ms else "mxu",
+            "arithmetic_intensity_flops_per_byte":
+                round(flops / bytes_accessed, 2),
+            "v5e_ridge_flops_per_byte":
+                round(V5E_BF16_PEAK / V5E_HBM_BYTES_PER_S, 1),
+            "pct_of_binding_roofline": round(floor_ms / (best * 1e3), 4),
+        }
+        log("roofline:", json.dumps(results["roofline"]))
+
     # --- profile ---
     trace_dir = str(REPO / "logs" / "profile_train_b16")
     jax.profiler.start_trace(trace_dir)
@@ -111,7 +134,14 @@ def main():
     float(out)
     jax.profiler.stop_trace()
     try:
-        from seld_tpu.tools.profile_summary import summarize
+        from seld_tpu.tools.profile_summary import category_totals, summarize
+
+        cats = category_totals(trace_dir)
+        n_steps = 8.0
+        results["category_ms_per_step"] = {
+            k: round(v / n_steps, 3) for k, v in cats.items()
+        }
+        log("categories/step:", json.dumps(results["category_ms_per_step"]))
 
         rows, _plane = summarize(trace_dir, top=40)
         results["top_ops"] = [

@@ -41,6 +41,32 @@ def test_profile_summary_tool(tmp_path):
     assert len(rows) > 0
     assert all(ms >= 0 for ms, _, _ in rows)
 
+    from seld_tpu.tools.profile_summary import category_totals
+
+    cats = category_totals(trace_dir)
+    assert cats and all(v >= 0 for v in cats.values())
+    # a matmul loop must show real compute time in some bucket
+    assert sum(v for k, v in cats.items() if k != "enclosing_ms") > 0
+
+
+def test_category_totals_on_committed_tpu_trace():
+    """The roofline accounting's category split, against a real TPU
+    trace (the round-3 inference_b64 VMEM-regression capture): async
+    -start spans overlap compute and must be separated from the -done
+    stalls, and the non-async leaf categories must roughly partition
+    the enclosing jit time."""
+    from pathlib import Path
+
+    from seld_tpu.tools.profile_summary import category_totals
+
+    trace_dir = Path(__file__).parent.parent / "benchmarks/results/traces"
+    cats = category_totals(trace_dir)
+    assert cats["async_issue_ms"] > cats["enclosing_ms"], cats  # overlap
+    leaf = sum(v for k, v in cats.items()
+               if k not in ("enclosing_ms", "async_issue_ms"))
+    assert 0.5 * cats["enclosing_ms"] < leaf < 1.5 * cats["enclosing_ms"], \
+        cats
+
 
 def test_gaussian_monolith_mode_pipeline(tmp_path):
     """The reference's gaussian-monolith configuration end to end:
