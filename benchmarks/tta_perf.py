@@ -66,40 +66,53 @@ def main():
 
         return chained
 
+    def tta16(fold):
+        return make_tta_forward(
+            lambda v, m: model.apply(v, m, train=False),
+            cfg.grid.n_el, cfg.grid.n_az, "mel_iv",
+            kind="grid", fold=fold,
+        )
+
+    # (name, fwd, batch): the b16 rows keep comparability with the
+    # round-4 artifact; the b8 fold ladder is the VERDICT r4 #8 A/B —
+    # the predictor's native batch_windows=8, where fold 2/3 keeps the
+    # device batch inside the flat b8-24 VMEM regime and fold 4 (b32)
+    # probes the regime edge.
+    mel8 = mel[:8]
     variants = {
-        "plain": variant(plain_fwd),
-        "tta4": variant(make_tta_forward(
+        "plain": (variant(plain_fwd), mel, BATCH),
+        "tta4": (variant(make_tta_forward(
             lambda v, m: model.apply(v, m, train=False),
             cfg.grid.n_el, cfg.grid.n_az, "mel_iv",
             transforms=(0, 1, 2, 3), kind="grid",
-        )),
-        "tta16": variant(make_tta_forward(
-            lambda v, m: model.apply(v, m, train=False),
-            cfg.grid.n_el, cfg.grid.n_az, "mel_iv",
-            kind="grid",
-        )),
+        )), mel, BATCH),
+        "tta16": (variant(tta16(1)), mel, BATCH),
+        "plain_b8": (variant(plain_fwd), mel8, 8),
+        "tta16_b8_fold1": (variant(tta16(1)), mel8, 8),
+        "tta16_b8_fold2": (variant(tta16(2)), mel8, 8),
+        "tta16_b8_fold4": (variant(tta16(4)), mel8, 8),
     }
 
     n_short = 2
     results = {}
-    for name, chained in variants.items():
-        n_delta = {"plain": 40, "tta4": 16, "tta16": 6}[name]
+    for name, (chained, m_in, batch) in variants.items():
+        n_delta = 40 if "plain" in name else (16 if "tta4" in name else 6)
         t0 = time.time()
-        float(chained(variables, mel, n_short))
+        float(chained(variables, m_in, n_short))
         log(f"[{name}] compile+first {time.time() - t0:.1f}s")
 
         def timed(n, reps=3):
             best = float("inf")
             for _ in range(reps):
                 t0 = time.time()
-                float(chained(variables, mel, n))
+                float(chained(variables, m_in, n))
                 best = min(best, time.time() - t0)
             return best
 
         t_short = timed(n_short)
         t_long = timed(n_short + n_delta)
         per_iter = (t_long - t_short) / n_delta
-        thr = BATCH * WINDOW_S / per_iter
+        thr = batch * WINDOW_S / per_iter
         results[name] = {
             "ms_per_iter": round(per_iter * 1e3, 3),
             "audio_s_per_s": round(thr, 1),
@@ -107,11 +120,14 @@ def main():
         log(f"[{name}] {per_iter * 1e3:.2f} ms/iter -> {thr:.0f} audio_s/s")
         print(json.dumps({name: results[name]}), flush=True)
 
-    for k, n in (("tta4", 4), ("tta16", 16)):
-        if k in results and "plain" in results:
+    for k, n, ref in (("tta4", 4, "plain"), ("tta16", 16, "plain"),
+                      ("tta16_b8_fold1", 16, "plain_b8"),
+                      ("tta16_b8_fold2", 16, "plain_b8"),
+                      ("tta16_b8_fold4", 16, "plain_b8")):
+        if k in results and ref in results:
             results[f"{k}_overhead_vs_{n}x"] = round(
                 results[k]["ms_per_iter"]
-                / (n * results["plain"]["ms_per_iter"]), 3
+                / (n * results[ref]["ms_per_iter"]), 3
             )
     (RESULTS / "tta_perf.json").write_text(json.dumps(results, indent=2) + "\n")
     print(json.dumps(results))

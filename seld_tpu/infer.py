@@ -225,6 +225,7 @@ class SELDPredictor:
         self.quantized = False
         self._quant_tree = None
         self._tta_transforms = None
+        self._tta_fold = 1
         # Optional cross-stream window dispatcher (seld_tpu.serve.
         # WindowBatcher): when set, _batched routes its rows there so
         # windows from CONCURRENT streams share device calls. Safe under
@@ -311,6 +312,7 @@ class SELDPredictor:
         self.quantized = bool(sidecar.get("quantized_int8"))
         self._quant_tree = None
         self._tta_transforms = None
+        self._tta_fold = 1
         self.dispatch = None
         get_logger().info(
             "Predictor: %s from artifact %s (epoch %d%s)",
@@ -374,7 +376,7 @@ class SELDPredictor:
             self.accdoa_threshold,
         )
 
-    def tta(self, transforms=None):
+    def tta(self, transforms=None, fold: int = 1):
         """Enable ACS test-time augmentation (seld_tpu.tta): every window
         is predicted under each of the selected FOA scene transforms
         (default: all 16), each prediction is mapped back to original
@@ -382,6 +384,12 @@ class SELDPredictor:
         averaged — mean softmax probabilities for grid models, mean
         inverse-rotated vectors for single-ACCDOA. Costs len(transforms)x
         compute per window (run as a scan at the native batch shape).
+        `fold` packs that many views into each device call's batch
+        (seld_tpu.tta fold semantics): worthwhile while
+        fold*batch_windows stays in the flat b8-24 VMEM regime; results
+        at different folds agree to ~1e-6, and every bit-equality
+        contract (stream==offline, int8 composition) holds at a FIXED
+        fold.
 
         Composes with quantize() in either call order and with streaming
         (`--stream` reuses these forwards, so stream==offline bit-equality
@@ -413,6 +421,7 @@ class SELDPredictor:
             grid_cfg.n_el, grid_cfg.n_az, cfg.features.feature_set,
             transforms=sel, kind=kind,
             activity_threshold=self.accdoa_threshold,
+            fold=fold,
         )
 
         @jax.jit
@@ -445,6 +454,7 @@ class SELDPredictor:
             self._quant_tree, state, mel
         )
         self._tta_transforms = sel
+        self._tta_fold = int(fold)
         get_logger().info(
             "Predictor: TTA enabled (%d transforms%s)", len(sel),
             ", int8" if self.quantized else "",
@@ -542,7 +552,7 @@ class SELDPredictor:
         if self._tta_transforms is not None:
             # tta() was enabled before quantize(): rebuild the TTA
             # forwards on top of the fresh quant tree.
-            return self.tta(self._tta_transforms)
+            return self.tta(self._tta_transforms, fold=self._tta_fold)
         return self
 
     def _batched(self, windows, fn):

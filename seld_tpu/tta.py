@@ -68,7 +68,8 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
                      transforms=None, kind: str = "grid",
                      activity_threshold: float = 0.5,
                      bias_sweep=None,
-                     threshold_sweep=None):
+                     threshold_sweep=None,
+                     fold: int = 1):
     """Build the TTA-averaged forward.
 
     apply_fn(ctx, mel) -> model output for one feature batch
@@ -108,6 +109,21 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
     replayed per candidate. Single-ACCDOA needs no sweep support here:
     its TTA average is vectors, thresholded AFTER averaging, so every
     candidate decodes from the same averaged output.
+
+    `fold` folds that many views into the window-batch dimension per
+    device call: the scan runs len(transforms)/fold iterations over
+    (fold*B)-row forwards instead of len(transforms) iterations at B.
+    This amortizes the per-iteration scan boundary and batches the
+    per-view inverse gathers, and is worthwhile exactly when fold*B
+    stays inside the flat b8–24 VMEM regime (e.g. the predictor's
+    native B=8 with fold 2–3); past that the forward itself slows and
+    eats the win (benchmarks/tta_perf.py measures both). fold must
+    divide len(transforms). Numerics: folded forwards run at a
+    different executable batch shape, so results match fold=1 only to
+    ~1e-6 (the fixed-batch-shape invariant) — bit-equality contracts
+    (identity-only == plain decode; stream == offline) hold per fixed
+    fold value, not across fold values. The calibration sweeps
+    (`bias_sweep`/`threshold_sweep`) require fold=1.
     """
     import jax
     import jax.numpy as jnp
@@ -126,6 +142,19 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
             "candidate thresholds decode from the averaged output)"
         )
     sel = validate_transforms(transforms)
+    fold = int(fold)
+    if fold < 1:
+        raise ValueError(f"TTA fold must be >= 1; got {fold}")
+    if fold > 1 and (bias_sweep is not None or threshold_sweep is not None):
+        raise ValueError(
+            "TTA fold > 1 does not compose with calibration sweeps — "
+            "calibrate at fold=1, serve the tuned point at any fold"
+        )
+    if len(sel) % fold:
+        raise ValueError(
+            f"TTA fold ({fold}) must divide the number of transforms "
+            f"({len(sel)})"
+        )
     cell_gather, ch_perm, ch_sign = acs_tables(n_el, n_az, feature_set)
     cp = jnp.asarray(ch_perm[list(sel)])
     cs = jnp.asarray(ch_sign[list(sel)])
@@ -152,6 +181,60 @@ def make_tta_forward(apply_fn, n_el: int, n_az: int, feature_set: str,
     thresholds = None
     if threshold_sweep is not None:
         thresholds = jnp.asarray(threshold_sweep, jnp.float32).reshape(-1)
+
+    if fold > 1:
+        # scan leaves carry `fold` views per iteration
+        xs = {k: v.reshape((len(sel) // fold, fold) + v.shape[1:])
+              for k, v in xs.items()}
+
+        def fwd_folded(ctx, mel):
+            if kind == "multi_accdoa":
+                out_sd = jax.eval_shape(lambda m: apply_fn(ctx, m), mel)
+                b, t, _, c_ev, _ = out_sd.shape
+                acc0 = jnp.zeros((b, t, c_ev, n_el * n_az), jnp.float32)
+            else:
+                acc0 = jnp.zeros(
+                    jax.eval_shape(lambda m: apply_fn(ctx, m), mel).shape,
+                    jnp.float32,
+                )
+
+            def body(acc, row):
+                # (B,T,C,F) -> per-view channel perm/sign -> (V*B,T,C,F)
+                feats = jnp.take_along_axis(
+                    mel[None], row["cp"][:, None, None, :, None], axis=3
+                ) * row["cs"][:, None, None, :, None]
+                out = apply_fn(
+                    ctx, feats.reshape((-1,) + mel.shape[1:])
+                ).astype(jnp.float32)
+                if kind == "grid":
+                    probs = jax.nn.softmax(out, axis=2)  # (V*B,T,M,G)
+                    probs = probs.reshape((fold, -1) + probs.shape[1:])
+                    back = jnp.take_along_axis(
+                        probs, row["inv"][:, None, None, None, :], axis=4
+                    )
+                elif kind == "multi_accdoa":
+                    from seld_tpu.accdoa import (
+                        multi_accdoa_class_activity_jnp,
+                    )
+
+                    act = multi_accdoa_class_activity_jnp(
+                        out, n_el, n_az, activity_threshold
+                    )  # (V*B, T, C, G)
+                    act = act.reshape((fold, -1) + act.shape[1:])
+                    back = jnp.take_along_axis(
+                        act, row["inv"][:, None, None, None, :], axis=4
+                    )
+                else:
+                    o = out.reshape((fold, -1) + out.shape[1:])
+                    back = jnp.take_along_axis(
+                        o, row["inv"][:, None, None, None, :], axis=4
+                    ) * row["inv_sign"][:, None, None, None, :]
+                return acc + back.sum(axis=0), None
+
+            acc, _ = jax.lax.scan(body, acc0, xs)
+            return acc / float(len(sel))
+
+        return fwd_folded
 
     def fwd(ctx, mel):
         out_sd = jax.eval_shape(lambda m: apply_fn(ctx, m), mel)

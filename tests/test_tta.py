@@ -353,3 +353,92 @@ def test_eval_tta_runs_and_identity_matches(grid_ckpt):
     full = evaluate_model(cfg, test_c, ckpt, save_visualizations=False,
                           tta_transforms=(0, 1, 2, 3))
     assert "dcase2022" in full and np.isfinite(full["test_loss"])
+
+
+def _tiny_kind_model(model_type: str):
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.models import build_model, init_variables
+
+    cfg = parse_overrides(Config(), [
+        f"model.model_type={model_type}", "model.conf_d_model=32",
+        "model.conf_n_heads=4", "model.conf_n_layers=1",
+        "model.crnn_cnn_channels=8,16", "model.compute_dtype=float32",
+        "features.feature_set=mel_iv", "model.n_channels=4",
+    ])
+    model = build_model(cfg.model, cfg.grid)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal((2, 6, 7, 64)), jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(0), mel)
+    return cfg, model, variables, mel
+
+
+@pytest.mark.parametrize("model_type,kind", [
+    ("conformer", "grid"),
+    ("accdoa_conformer", "accdoa"),
+    ("multi_accdoa_conformer", "multi_accdoa"),
+])
+def test_tta_fold_matches_unfolded(model_type, kind):
+    """fold>1 packs views into the window-batch dimension; the average
+    must match fold=1 up to the fixed-batch-shape executable tolerance
+    (~1e-6 relative — different device batch shapes compile to slightly
+    different programs; exact equality is NOT the contract across
+    folds). multi-ACCDOA votes are sums of {0,1} maps, so those stay
+    exactly equal."""
+    import jax
+
+    cfg, model, variables, mel = _tiny_kind_model(model_type)
+
+    def mk(fold):
+        return jax.jit(make_tta_forward(
+            lambda v, m: model.apply(v, m, train=False),
+            cfg.grid.n_el, cfg.grid.n_az, "mel_iv", kind=kind, fold=fold,
+        ))
+
+    base = np.asarray(mk(1)(variables, mel))
+    for fold in (2, 4, 16):
+        folded = np.asarray(mk(fold)(variables, mel))
+        assert folded.shape == base.shape
+        if kind == "multi_accdoa":
+            # {0,1} vote sums are order-exact; only the forward's batch
+            # shape differs, which cannot flip a hard threshold unless a
+            # norm sits within float noise of it (it doesn't here)
+            np.testing.assert_array_equal(folded, base)
+        else:
+            np.testing.assert_allclose(folded, base, rtol=2e-5, atol=2e-6)
+
+
+def test_tta_fold_rejections():
+    cfg, model, variables, mel = _tiny_kind_model("conformer")
+    apply_fn = lambda v, m: model.apply(v, m, train=False)  # noqa: E731
+    with pytest.raises(ValueError, match="must divide"):
+        make_tta_forward(apply_fn, cfg.grid.n_el, cfg.grid.n_az, "mel_iv",
+                         transforms=(0, 1, 2), kind="grid", fold=2)
+    with pytest.raises(ValueError, match="fold must be >= 1"):
+        make_tta_forward(apply_fn, cfg.grid.n_el, cfg.grid.n_az, "mel_iv",
+                         kind="grid", fold=0)
+    with pytest.raises(ValueError, match="does not compose"):
+        make_tta_forward(apply_fn, cfg.grid.n_el, cfg.grid.n_az, "mel_iv",
+                         kind="grid", fold=2, bias_sweep=[0.0, 1.0])
+
+
+def test_predictor_tta_fold_stream_bit_equality(grid_ckpt):
+    """Predictor-level fold: offline and streamed predictions stay
+    bit-equal at a FIXED fold (the shared-forward invariant), and the
+    folded prediction agrees with fold=1 on the decoded grid."""
+    ckpt, cfg, wave, wav_path = grid_ckpt
+    p1 = SELDPredictor(ckpt, cfg)
+    p1.tta(transforms=(0, 1, 2, 3))
+    base = p1.predict_waveform(wave)
+
+    from seld_tpu.stream import stream_predict
+
+    p2 = SELDPredictor(ckpt, cfg)
+    p2.tta(transforms=(0, 1, 2, 3), fold=2)
+    folded = p2.predict_waveform(wave)
+    half = wave.shape[1] // 2
+    streamed = stream_predict(p2, [wave[:, :half], wave[:, half:]])
+    np.testing.assert_array_equal(folded.classes, streamed.classes)
+    # decoded argmax is far from ties on a trained model; folds agree
+    assert (folded.classes == base.classes).mean() > 0.99
